@@ -1,0 +1,637 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators._
+import graft.pipeline.{Pipeline, TaskReport}
+import graft.multimodal.Multimodal
+
+/** Registered engine queries (SURVEY §2) + their DuckDB oracle SQL.
+  *
+  * Determinism contract (SURVEY §6): money sums go through decimal(18,2)
+  * (exact) and only the final value is cast to double; ratios are int/int
+  * IEEE divisions; cosine is a left-fold in double mirrored by `list_reduce`
+  * in the oracle; time buckets are integer `div`; every query ends with a
+  * total ORDER BY (Spark default asc = NULLS FIRST, mirrored explicitly in
+  * the SQL).
+  */
+object Queries {
+  import Tables._
+
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+  private val one2: Column = lit(1).cast("decimal(3,2)")
+  private def revenueTerm(price: Column, disc: Column): Column =
+    dec2(price) * (one2 - dec2(disc))
+
+  // SQL fragments mirroring the helpers above.
+  private val sqlRev =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+  private def sqlDec2(c: String) = s"CAST($c AS DECIMAL(18,2))"
+
+  // ------------------------------------------------------------- R1 ETL ----
+
+  def etlMapOnly(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .where(col("l_quantity") >= 10 && col("l_quantity") <= 30
+        && col("l_shipdate") >= to_timestamp(lit("1996-01-01")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        revenueTerm(col("l_extendedprice"), col("l_discount"))
+          .cast("double").as("revenue"),
+        col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val etlMapOnlySql: String =
+    s"""SELECT l_orderkey, l_linenumber, l_partkey,
+       CAST($sqlRev AS DOUBLE) AS revenue, l_returnflag
+       FROM lineitem
+       WHERE l_quantity >= 10 AND l_quantity <= 30
+         AND l_shipdate >= TIMESTAMP '1996-01-01'
+       ORDER BY l_orderkey, l_linenumber"""
+
+  def etlCastRename(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .where(col("o_totalprice") > 100000.0)
+      .select(col("o_orderkey").as("order_id"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        upper(col("o_orderstatus")).as("status"),
+        dec2(col("o_totalprice")).cast("double").as("total"))
+      .orderBy(col("order_id"))
+
+  val etlCastRenameSql: String =
+    s"""SELECT o_orderkey AS order_id,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       upper(o_orderstatus) AS status,
+       CAST(${sqlDec2("o_totalprice")} AS DOUBLE) AS total
+       FROM orders WHERE o_totalprice > 100000.0 ORDER BY order_id"""
+
+  // ------------------------------------------- R2/R3 timestamp buckets ----
+
+  private def hourBucket(ts: Column) =
+    TimePartitioning.bucket(ts, TimePartitioning.Hour)
+  private def dayBucket(ts: Column) =
+    TimePartitioning.bucket(ts, TimePartitioning.Day)
+
+  def partitionHourTs(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(hourBucket(col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+      .orderBy(col("bucket"))
+
+  val partitionHourTsSql: String =
+    """SELECT epoch_us(ts) // 3600000000 AS bucket,
+       COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events GROUP BY 1 ORDER BY 1"""
+
+  def partitionDayTs(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(dayBucket(col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+      .orderBy(col("bucket"))
+
+  val partitionDayTsSql: String =
+    """SELECT epoch_us(ts) // 86400000000 AS bucket,
+       COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events GROUP BY 1 ORDER BY 1"""
+
+  def partitionDayOrders(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupBy(dayBucket(col("o_orderdate")).as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("sum_total"))
+      .orderBy(col("bucket"))
+
+  val partitionDayOrdersSql: String =
+    """SELECT epoch_us(o_orderdate) // 86400000000 AS bucket,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+       FROM orders GROUP BY 1 ORDER BY 1"""
+
+  // --------------------------------------- R4 long-column unix buckets ----
+
+  /** Long unix column in `unit`, derived losslessly from the micros value,
+    * then bucketed through the reference's toSeconds division chain.
+    */
+  private def unixBucketQuery(s: SparkSession, dir: String,
+      unixUnit: TimePartitioning.UnixUnit): DataFrame = {
+    val perUs = unixUnit match {
+      case TimePartitioning.Sec   => call_function("div", unix_micros(col("ts")), lit(1000000L))
+      case TimePartitioning.Milli => call_function("div", unix_micros(col("ts")), lit(1000L))
+      case TimePartitioning.Micro => unix_micros(col("ts"))
+      case TimePartitioning.Nano  => unix_micros(col("ts")) * lit(1000L)
+    }
+    events(s, dir).select(perUs.as("t"), col("value"))
+      .groupBy(TimePartitioning.bucketOfLong(col("t"), unixUnit,
+        TimePartitioning.Hour).as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+      .orderBy(col("bucket"))
+  }
+
+  private def unixBucketSql(derive: String, perSecond: Long): String =
+    s"""SELECT (($derive) // $perSecond) // 3600 AS bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events GROUP BY 1 ORDER BY 1"""
+
+  def partitionUnixSec(s: SparkSession, d: String): DataFrame =
+    unixBucketQuery(s, d, TimePartitioning.Sec)
+  val partitionUnixSecSql: String = unixBucketSql("epoch_us(ts) // 1000000", 1L)
+
+  def partitionUnixMilli(s: SparkSession, d: String): DataFrame =
+    unixBucketQuery(s, d, TimePartitioning.Milli)
+  val partitionUnixMilliSql: String = unixBucketSql("epoch_us(ts) // 1000", 1000L)
+
+  def partitionUnixMicro(s: SparkSession, d: String): DataFrame =
+    unixBucketQuery(s, d, TimePartitioning.Micro)
+  val partitionUnixMicroSql: String = unixBucketSql("epoch_us(ts)", 1000000L)
+
+  def partitionUnixNano(s: SparkSession, d: String): DataFrame =
+    unixBucketQuery(s, d, TimePartitioning.Nano)
+  val partitionUnixNanoSql: String = unixBucketSql("epoch_us(ts) * 1000", 1000000000L)
+
+  // ----------------------------------------------- R5 skew-split salt ----
+
+  def partitionSkewSplit(s: SparkSession, dir: String): DataFrame =
+    TimePartitioning.aggregateByBucketSalted(
+      events(s, dir), hourBucket(col("ts")), col("event_id"), split = 4,
+      partial = Seq(count(lit(1)).as("pn"), sum(dec2(col("value"))).as("ps")),
+      finalAggs = Seq(sum(col("pn")).as("n_events"),
+        sum(col("ps")).cast("double").as("sum_value")))
+      .orderBy(col("bucket"))
+
+  val partitionSkewSplitSql: String =
+    """SELECT epoch_us(ts) // 3600000000 AS bucket, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events GROUP BY 1 ORDER BY 1"""
+
+  // ------------------------------------------- R11 invalid-record policy --
+
+  private def parsedEvents(s: SparkSession, dir: String): DataFrame =
+    ErrorPolicy(events(s, dir),
+      Seq("k" -> get_json_object(col("props"), "$.k").cast("long")),
+      valid = get_json_object(col("props"), "$.k").cast("long").isNotNull,
+      policy = ErrorPolicy.Permissive)
+
+  def invalidRecordDrop(s: SparkSession, dir: String): DataFrame =
+    ErrorPolicy(events(s, dir),
+      Seq("k" -> get_json_object(col("props"), "$.k").cast("long")),
+      valid = get_json_object(col("props"), "$.k").cast("long").isNotNull,
+      policy = ErrorPolicy.Drop)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+
+  val invalidRecordDropSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+       FROM events
+       WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+       GROUP BY event_type ORDER BY event_type"""
+
+  def invalidRecordPermissive(s: SparkSession, dir: String): DataFrame =
+    parsedEvents(s, dir)
+      .agg(count(lit(1)).as("n_total"), count(col("k")).as("n_valid"),
+        sum(when(col("_corrupt"), 1L).otherwise(0L)).as("n_corrupt"))
+
+  val invalidRecordPermissiveSql: String =
+    """SELECT COUNT(*) AS n_total,
+       COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_valid,
+       CAST(SUM(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt
+       FROM events"""
+
+  // --------------------------------------------- R9 task report (rows) ----
+
+  def taskReport(s: SparkSession, dir: String): DataFrame = {
+    val report = TaskReport.attach(s)
+    lineitem(s, dir).where(col("l_quantity") > 25).count()
+    // listener events are posted asynchronously; give the bus time to drain
+    Thread.sleep(2000)
+    report.stageReport(s)
+  }
+
+  // --------------------------------------------- R14 config pipeline ----
+
+  def pipelineConfigRun(s: SparkSession, dir: String): DataFrame = {
+    val cfg = Pipeline.Config(
+      inputPath = s"$dir/lineitem.parquet",
+      transforms = Seq(
+        Pipeline.Where("l_quantity > 45"),
+        Pipeline.Derive("revenue",
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE)"),
+        Pipeline.Rename("l_returnflag", "flag"),
+        Pipeline.Select(Seq("l_orderkey", "l_linenumber", "revenue", "flag"))))
+    Pipeline.plan(s, cfg).orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val pipelineConfigRunSql: String =
+    s"""SELECT l_orderkey, l_linenumber, CAST($sqlRev AS DOUBLE) AS revenue,
+       l_returnflag AS flag
+       FROM lineitem WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber"""
+
+  // --------------------------------------------------- E1/E2 core SQL ----
+
+  def q1Pricing(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .where(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q1PricingSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       CAST(SUM(${sqlDec2("l_quantity")}) AS DOUBLE) AS sum_qty,
+       CAST(SUM(${sqlDec2("l_extendedprice")}) AS DOUBLE) AS sum_base_price,
+       CAST(SUM($sqlRev) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""
+
+  def q3TopOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+    val o = orders(s, dir).where(col("o_orderdate") < to_timestamp(lit("1997-06-01")))
+    val l = lineitem(s, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"))
+      .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  }
+
+  val q3TopOrdersSql: String =
+    s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+       CAST(SUM($sqlRev) AS DOUBLE) AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-06-01'
+       GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+       ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+  def q5RegionRevenue(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  val q5RegionRevenueSql: String =
+    s"""SELECT r_name, n_name, CAST(SUM($sqlRev) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name, n_name ORDER BY r_name, n_name"""
+
+  def joinBroadcastPart(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .join(broadcast(part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy(col("p_brand"))
+
+  val joinBroadcastPartSql: String =
+    s"""SELECT p_brand, COUNT(*) AS n_items,
+       CAST(SUM(${sqlDec2("l_quantity")}) AS DOUBLE) AS sum_qty
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       GROUP BY p_brand ORDER BY p_brand"""
+
+  // ------------------------------------------------- E3/E4/E5 windows ----
+
+  def windowTopEvents(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .orderBy(col("user_id"), col("rank"))
+  }
+
+  val windowTopEventsSql: String =
+    """SELECT user_id, event_id, value, rank FROM (
+         SELECT user_id, event_id, value,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id)
+             AS BIGINT) AS rank
+         FROM events) WHERE rank <= 3 ORDER BY user_id, rank"""
+
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us").asc, col("event_id").asc)
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t_us"))
+      .withColumn("prev_us", lag(col("t_us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("t_us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_sess"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("t_us")).as("start_us"), max(col("t_us")).as("end_us"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  val sessionizeSql: String =
+    """SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events,
+       MIN(t_us) AS start_us, MAX(t_us) AS end_us
+       FROM (
+         SELECT user_id, t_us,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         FROM (
+           SELECT user_id, event_id, epoch_us(ts) AS t_us,
+             CASE WHEN lag(epoch_us(ts)) OVER
+                 (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                 (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                 > 1800000000 THEN 1 ELSE 0 END AS new_sess
+           FROM events))
+       GROUP BY user_id, session_idx ORDER BY user_id, session_idx"""
+
+  def rollupOrders(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("sum_total"))
+      .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("o_orderstatus"))
+
+  val rollupOrdersSql: String =
+    """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+       FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+       ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST"""
+
+  def distinctUsersDaily(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(dayBucket(col("ts")).as("bucket"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("bucket"))
+
+  val distinctUsersDailySql: String =
+    """SELECT epoch_us(ts) // 86400000000 AS bucket,
+       COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+       FROM events GROUP BY 1 ORDER BY 1"""
+
+  // ----------------------------------------------------- L1 exact dedup --
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(documents(s, dir), col("doc_id"), col("text"))
+      .orderBy(col("fp"))
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+       FROM documents GROUP BY 1 ORDER BY fp"""
+
+  def dedupExactNormalized(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactNormalized(documents(s, dir), col("doc_id"), col("text"))
+      .orderBy(col("fp"))
+
+  /** The oracle's normalize must mirror TextAnalysis.normalize exactly
+    * (DuckDB regexp_replace needs the 'g' flag to match Spark's
+    * replace-all).
+    */
+  val normalizeSql: String =
+    """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g'))"""
+
+  val dedupExactNormalizedSql: String =
+    s"""SELECT md5($normalizeSql) AS fp, MIN(doc_id) AS keep_id,
+       COUNT(*) AS dup_count
+       FROM documents GROUP BY 1 ORDER BY fp"""
+
+  // ------------------------------------------------- L2/L4 shingle dedup --
+
+  /** DuckDB shingle construction mirroring Dedup.shingles(n=3). */
+  private val shingleSql: String =
+    s"""list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+              for i in range(1, len(w) - 1)] END)"""
+
+  private val shingleSrcSql: String =
+    s"SELECT doc_id, lang, string_split($normalizeSql, ' ') AS w FROM documents"
+
+  private val jaccardSql: String =
+    """CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)"""
+
+  def dedupJaccardExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(documents(s, dir), col("doc_id"), col("text"),
+      block = col("lang"), threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val dedupJaccardExactSql: String =
+    s"""WITH s AS (SELECT doc_id, lang, $shingleSql AS sh
+         FROM ($shingleSrcSql))
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jaccardSql AS jac
+       FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       WHERE $jaccardSql >= 0.5
+       ORDER BY id_a, id_b"""
+
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(documents(s, dir), col("doc_id"), col("text"),
+      threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** LSH recall at J≥0.5 with 16 bands × 4 rows is ~1 on the bimodal test
+    * corpus (all true pairs are J≥0.9; miss prob < 1e-7 per pair) — so the
+    * exact-Jaccard truth is the oracle (SURVEY §6).
+    */
+  val dedupMinhashSql: String =
+    s"""WITH s AS (SELECT doc_id, lang, $shingleSql AS sh
+         FROM ($shingleSrcSql))
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jaccardSql AS jac
+       FROM s a JOIN s b ON a.doc_id < b.doc_id
+       WHERE $jaccardSql >= 0.5
+       ORDER BY id_a, id_b"""
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(documents(s, dir), col("doc_id"), col("text"),
+      maxDist = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // -------------------------------------------- L5/L6 embedding dedup/ANN --
+
+  /** DuckDB cosine mirroring Similarity.cosine: widen to double, left-fold. */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_reduce(list_transform(range(1, len($a) + 1),
+          i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)
+        / (sqrt(list_reduce(list_transform(range(1, len($a) + 1),
+             i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), (x, y) -> x + y))
+         * sqrt(list_reduce(list_transform(range(1, len($b) + 1),
+             i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y))))"""
+
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingPairs(embeddings(s, dir), col("vec_id"), col("embedding"),
+      threshold = 0.46)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val dedupEmbeddingSql: String =
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ${cosSql("a.embedding", "b.embedding")} AS cos
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.46
+       ORDER BY id_a, id_b"""
+
+  def annTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.bruteForceTopK(e.where(col("id") < 10), e, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annTopkSql: String =
+    s"""SELECT query_id, neighbor_id, cos, rank FROM (
+         SELECT query_id, neighbor_id, cos,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+             AS BIGINT) AS rank
+         FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ${cosSql("q.embedding", "c.embedding")} AS cos
+           FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+           WHERE q.vec_id < 10))
+       WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  // ------------------------------------------------ L8-L11 text analysis --
+
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(TextAnalysis.wordCount(col("text")).cast("long")).as("sum_words"),
+        sum(TextAnalysis.bpeTokenCount(col("text")).cast("long")).as("sum_bpe"))
+      .orderBy(col("lang"), col("source"))
+
+  val textStatsSql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS sum_words,
+       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+         AS BIGINT) AS sum_bpe
+       FROM documents GROUP BY lang, source ORDER BY lang, source"""
+
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).where(col("doc_id") < 50)
+      .select(col("doc_id"),
+        TextAnalysis.wordCount(col("text")).cast("long").as("words"),
+        TextAnalysis.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"),
+        length(col("text")).cast("long").as("chars"))
+      .orderBy(col("doc_id"))
+
+  val textTokensSql: String =
+    """SELECT doc_id, CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS words,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+         AS BIGINT) AS bpe_tokens,
+       CAST(length(text) AS BIGINT) AS chars
+       FROM documents WHERE doc_id < 50 ORDER BY doc_id"""
+
+  def langId(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+
+  val langIdSql: String = {
+    def score(markers: Seq[String]) =
+      raw"""len(list_filter(string_split_regex(text, '\s+'),
+          x -> list_contains([${markers.map("'" + _ + "'").mkString(",")}], x)))"""
+    val sEn = score(Seq("the", "of", "and", "is"))
+    val sDe = score(Seq("der", "und", "die", "ist"))
+    val sFr = score(Seq("le", "et", "les", "est"))
+    val sEs = score(Seq("el", "y", "los", "es"))
+    s"""SELECT lang, predicted, COUNT(*) AS n FROM (
+         SELECT lang,
+           CASE
+             WHEN $sEn = greatest($sEn, $sDe, $sFr, $sEs)
+               AND greatest($sEn, $sDe, $sFr, $sEs) > 0 THEN 'en'
+             WHEN $sDe = greatest($sEn, $sDe, $sFr, $sEs)
+               AND greatest($sEn, $sDe, $sFr, $sEs) > 0 THEN 'de'
+             WHEN $sFr = greatest($sEn, $sDe, $sFr, $sEs)
+               AND greatest($sEn, $sDe, $sFr, $sEs) > 0 THEN 'fr'
+             WHEN $sEs = greatest($sEn, $sDe, $sFr, $sEs)
+               AND greatest($sEn, $sDe, $sFr, $sEs) > 0 THEN 'es'
+             ELSE 'und' END AS predicted
+         FROM documents)
+       GROUP BY lang, predicted ORDER BY lang, predicted"""
+  }
+
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).where(col("doc_id") < 100)
+      .select(col("doc_id"),
+        TextAnalysis.wordCount(col("text")).cast("long").as("words"),
+        TextAnalysis.qualityScore(col("text")).as("score"))
+      .orderBy(col("doc_id"))
+
+  val qualityScoreSql: String = {
+    val words = """len(string_split_regex(text, '\s+'))"""
+    val wordsD = s"CAST($words AS DOUBLE)"
+    val lengthTerm =
+      s"""CASE WHEN $wordsD >= 20 AND $wordsD <= 1000 THEN 1.0
+          WHEN $wordsD < 20 THEN $wordsD / 20.0
+          ELSE 1000.0 / $wordsD END"""
+    val punctRatio =
+      raw"""CASE WHEN length(text) = 0 THEN 0.0
+          ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) END"""
+    val stopRatio =
+      raw"""CASE WHEN $words = 0 THEN 0.0
+          ELSE CAST(len(list_filter(string_split_regex(text, '\s+'),
+                 x -> list_contains(['the','a','of','and','to','in','is'], x)))
+               AS DOUBLE) / $wordsD END"""
+    s"""SELECT doc_id, CAST($words AS BIGINT) AS words,
+       ($lengthTerm) * (1.0 - ($punctRatio))
+         * (CASE WHEN ($stopRatio) > 0.01 THEN 1.0 ELSE 0.5 END) AS score
+       FROM documents WHERE doc_id < 100 ORDER BY doc_id"""
+  }
+
+  def fingerprintQ(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).where(col("doc_id") < 50)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  val fingerprintSql: String =
+    s"""SELECT doc_id, md5($normalizeSql) AS fp
+       FROM documents WHERE doc_id < 50 ORDER BY doc_id"""
+
+  // -------------------------------------------------- L7 multimodal meta --
+
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.withPayload(documents(s, dir).where(col("doc_id") < 50),
+      col("text"), "text")
+      .select(col("doc_id"),
+        col("meta.modality").as("modality"),
+        col("meta.num_bytes").cast("long").as("num_bytes"),
+        col("meta.content_md5").as("content_md5"))
+      .orderBy(col("doc_id"))
+
+  val multimodalMetaSql: String =
+    """SELECT doc_id, 'text' AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS num_bytes, md5(text) AS content_md5
+       FROM documents WHERE doc_id < 50 ORDER BY doc_id"""
+}

@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (SURVEY §2 L1-L5), all designed so the shuffled
+  * rows are tiny (hashes/ids, never documents) and candidate generation is
+  * bucket-local — at 100 TB nothing here is an all-pairs join.
+  *
+  * Determinism: every hash is either md5 (replayable in the DuckDB oracle) or
+  * Spark's xxhash64 with its fixed seed (stable across JVMs/executors), and
+  * MinHash "permutations" are fixed odd-multiplier affine maps over the token
+  * hash — no RNG anywhere.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact --
+
+  /** Exact dedup: group by content hash, keep the smallest id. The projection
+    * (hash, id) happens before the shuffle, so shuffle rows are ~50 B
+    * regardless of document size.
+    */
+  def exact(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(md5(text).as("fp"), id.as("id"))
+      .groupBy(col("fp"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact dedup after canonical normalization (case/punct/ws-insensitive). */
+  def exactNormalized(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(TextAnalysis.fingerprint(text).as("fp"), id.as("id"))
+      .groupBy(col("fp"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  // ------------------------------------------------------------- shingles --
+
+  /** Distinct word n-gram shingles of the normalized text. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(TextAnalysis.normalize(text))
+    val k = size(toks) - (n - 1)
+    when(k <= 0, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(transform(sequence(lit(0), k - 1), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
+  }
+
+  /** Exact Jaccard similarity of two shingle-array columns — int/int double,
+    * so bit-identical across engines.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+  }
+
+  /** Exact n-gram-Jaccard near-dup pairs via a *blocked* self-join: only
+    * pairs sharing a block key are compared. At test scale the block is a
+    * metadata column; at 100 TB the LSH variant below replaces blocking.
+    * Output: (id_a, id_b, jac) with id_a < id_b, jac ≥ threshold.
+    */
+  def jaccardPairs(docs: DataFrame, id: Column, text: Column, block: Column,
+      threshold: Double, n: Int = 3): DataFrame = {
+    val s = docs.select(id.as("id"), block.as("blk"), shingles(text, n).as("sh"))
+    val a = s.select(col("id").as("id_a"), col("blk"))
+    val b = s.select(col("id").as("id_b"), col("blk"))
+    val candidates = a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    verifyJaccard(candidates, s.select(col("id"), col("sh")), threshold)
+  }
+
+  // -------------------------------------------------------------- minhash --
+
+  /** Fixed affine "permutations" h_i(x) = a_i*x + b_i over the xxhash64 token
+    * hash (64-bit wrap-around). Odd multipliers ⇒ bijective mod 2^64.
+    * Derived from splitmix64 so they are reproducible constants, not RNG.
+    */
+  private def mixers(k: Int): Seq[(Long, Long)] = {
+    var state = 0x9E3779B97F4A7C15L
+    def next(): Long = {
+      state += 0x9E3779B97F4A7C15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Seq.fill(k)((next() | 1L, next()))
+  }
+
+  /** MinHash signatures in the *exploded* shape: one row per (doc, shingle)
+    * → xxhash64 once → k affine maps as k tiny agg expressions in ONE
+    * groupBy(id). This is both the 100 TB shape (narrow shuffle rows, one
+    * aggregation) and the Catalyst-friendly shape — building the signature
+    * as 64 nested `transform` lambdas over an inlined shingle expression
+    * blows the optimizer up quadratically.
+    *
+    * Output: (id, m0..m{k-1}) — one long column per signature slot.
+    */
+  def minhashSigs(shingled: DataFrame, k: Int): DataFrame = {
+    val exploded = shingled
+      .select(col("id"), explode(col("sh")).as("shingle"))
+      .select(col("id"), xxhash64(col("shingle")).as("h"))
+    val aggs = mixers(k).zipWithIndex.map { case ((a, b), i) =>
+      min(col("h") * lit(a) + lit(b)).as(s"m$i")
+    }
+    exploded.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash+LSH near-dup pairs, exact-verified:
+    * shingles → explode → xxhash64 → groupBy(id) k-slot signature →
+    * band keys (xxhash64 of each band's slots) → explode bands (b tiny
+    * rows/doc) → shuffle on (band, key) → bucket-local candidate id pairs →
+    * re-join shingle arrays → exact-Jaccard verification.
+    * With the standard (bands, rows) S-curve the verified output equals the
+    * exact-threshold truth with probability ~1 − (1 − t^r)^b; callers pick
+    * parameters so the miss probability at their threshold is negligible
+    * (16×4 at t ≥ 0.9 ⇒ < 1e-7).
+    *
+    * Output: (id_a, id_b, jac) — same contract as [[jaccardPairs]], so the
+    * DuckDB oracle for the exact computation doubles as the oracle here.
+    */
+  def minhashPairs(docs: DataFrame, id: Column, text: Column,
+      threshold: Double, n: Int = 3, k: Int = 64,
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    require(bands * rowsPerBand <= k, "bands*rowsPerBand must be <= k")
+    val shingled = docs.select(id.as("id"), shingles(text, n).as("sh"))
+    val sigs = minhashSigs(shingled, k)
+    val bandKeyCols = (0 until bands).map { b =>
+      val slots = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      xxhash64((lit(b.toLong) +: slots): _*)
+    }
+    val banded = sigs.select(col("id"),
+      posexplode(array(bandKeyCols: _*)).as(Seq("band_idx", "band_key")))
+    val candidates = banded.as("a")
+      .join(banded.as("b"), Seq("band_idx", "band_key"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyJaccard(candidates, shingled, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate id pairs against the shingle
+    * table; the intersect is computed once per pair.
+    */
+  private def verifyJaccard(candidates: DataFrame, shingled: DataFrame,
+      threshold: Double): DataFrame = {
+    val shA = shingled.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = shingled.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    candidates.join(shA, "id_a").join(shB, "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("ni"),
+        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
+      .select(col("id_a"), col("id_b"),
+        (col("ni").cast("double") /
+          (col("na") + col("nb") - col("ni")).cast("double")).as("jac"))
+      .where(col("jac") >= threshold)
+  }
+
+  // -------------------------------------------------------------- simhash --
+
+  /** 64-bit SimHash per doc in the exploded shape: one row per (doc, token)
+    * → xxhash64 → 64 per-bit counting aggs in one groupBy(id); bit b of the
+    * result is 1 iff more token hashes have bit b set than clear. Same
+    * rationale as [[minhashSigs]]: k small agg expressions over narrow rows
+    * beat one giant nested-lambda expression.
+    *
+    * Output: (id, sh64).
+    */
+  def simhashTable(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val exploded = docs
+      .select(id.as("id"),
+        explode(TextAnalysis.tokens(TextAnalysis.normalize(text))).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    val bitCounts = (0 until 64).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"c$b"))
+    val counted = exploded.groupBy(col("id"))
+      .agg(count(lit(1)).as("n"), bitCounts: _*)
+    val sh64 = (0 until 64).map(b =>
+      when(col(s"c$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    counted.select(col("id"), sh64.as("sh64"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxDist, candidate
+    * generation bucketed by 16-bit simhash quarters (any pair within hamming
+    * ≤ 3 shares at least one exact quarter — pigeonhole), so the join is
+    * bucket-local, never all-pairs.
+    */
+  def simhashPairs(docs: DataFrame, id: Column, text: Column,
+      maxDist: Int = 3): DataFrame = {
+    val s = simhashTable(docs, id, text)
+    val quartered = s.select(col("id"), col("sh64"),
+      posexplode(array((0 until 4).map(q =>
+        shiftright(col("sh64"), q * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("q_idx", "q_key")))
+    val aSide = quartered.select(col("q_idx"), col("q_key"),
+      col("id").as("id_a"), col("sh64").as("h_a"))
+    val bSide = quartered.select(col("q_idx"), col("q_key"),
+      col("id").as("id_b"), col("sh64").as("h_b"))
+    aSide.join(bSide, Seq("q_idx", "q_key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b")).distinct()
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .where(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  // ---------------------------------------------------- embedding near-dup --
+
+  /** Embedding-cosine near-dup pairs ≥ threshold. Exact (blocked only by the
+    * similarity join in [[Similarity]]); see `Similarity.cosinePairs`.
+    */
+  def embeddingPairs(vectors: DataFrame, id: Column, vec: Column,
+      threshold: Double): DataFrame =
+    Similarity.cosinePairs(vectors, id, vec, threshold)
+}

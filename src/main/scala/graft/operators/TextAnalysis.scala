@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (SURVEY §2
+  * L8-L11). All are pure `functions._` compositions — codegen'd, no UDFs —
+  * and all arithmetic that reaches query output is either integer or an
+  * int/int double division (IEEE-identical across engines, see SURVEY §6).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. Test documents are single-space separated; the regex
+    * handles runs of whitespace for real-world text.
+    */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  def wordCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish pre-tokenization count: letter runs, digit runs, or single
+    * non-space symbols (the usual GPT-2-style pre-tok shape, minus the
+    * lookahead tricks regexp engines disagree on).
+    */
+  val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
+
+  /** A tiny, deterministic English-stopword set (present in the synthetic
+    * vocab as well as real text).
+    */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(stopwords.map(lit(_)): _*)))
+
+  /** Stopword ratio = stopwords / words (0.0 when empty). int/int double. */
+  def stopwordRatio(text: Column): Column = {
+    val n = wordCount(text)
+    when(n === 0, lit(0.0))
+      .otherwise(stopwordCount(text).cast("double") / n.cast("double"))
+  }
+
+  /** Punctuation density = punct chars / chars. */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    val p = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    when(n === 0, lit(0.0)).otherwise(p.cast("double") / n.cast("double"))
+  }
+
+  /** Mean word length = non-space chars / words. */
+  def meanWordLen(text: Column): Column = {
+    val n = wordCount(text)
+    val chars = length(regexp_replace(text, "\\s+", ""))
+    when(n === 0, lit(0.0)).otherwise(chars.cast("double") / n.cast("double"))
+  }
+
+  /** Heuristic language ID via stopword evidence: one marker-word set per
+    * language; predict the language with the most marker hits, "und" when no
+    * evidence. Deterministic tie-break by probe order (en,de,fr,es).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "is"),
+    "de" -> Seq("der", "und", "die", "ist"),
+    "fr" -> Seq("le", "et", "les", "est"),
+    "es" -> Seq("el", "y", "los", "es"))
+
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), els) =>
+      when(s === best && best > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Quality score in [0,1]: rewards mid-length docs, penalizes punctuation
+    * soup and stopword-free keyword stuffing. All terms are int/int doubles.
+    */
+  def qualityScore(text: Column): Column = {
+    val words = wordCount(text).cast("double")
+    val lengthTerm = when(words >= 20 && words <= 1000, lit(1.0))
+      .when(words < 20, words / lit(20.0))
+      .otherwise(lit(1000.0) / words)
+    val punctTerm = lit(1.0) - punctRatio(text)
+    val stopTerm = when(stopwordRatio(text) > 0.01, lit(1.0)).otherwise(lit(0.5))
+    lengthTerm * punctTerm * stopTerm
+  }
+
+  /** Canonical normalization for fingerprinting/dedup: lowercase, strip
+    * non-alphanumerics to spaces, collapse whitespace, trim.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "), "\\s+", " "))
+
+  /** Document fingerprint = md5 of the normalized text. Stands in for the
+    * reference-free "rolling hash" fingerprint; md5 exists verbatim in both
+    * Spark and DuckDB so the oracle can replay it.
+    */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+}

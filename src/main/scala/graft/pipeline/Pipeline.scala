@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{ErrorPolicy, TimePartitioning}
+
+/** Config-driven ETL pipeline — the Spark re-expression of the reference's
+  * executor contract: an Embulk run is `input → filters → (partitioning?) →
+  * output` configured in YAML (`MapReduceExecutorTask.java:32-75` carries
+  * the config; `MapReduceExecutor.java:87-137` picks map-only vs partitioned
+  * job shape).
+  *
+  * Here the same decisions become *plan* decisions:
+  *  - no partitioning ⇒ map-only: scan → narrow transforms → write, no
+  *    shuffle (`EmbulkMapReduce.java:295` analogue);
+  *  - partitioning ⇒ one `repartition(bucket)` shuffle then a partitioned
+  *    write (`EmbulkPartitioningMapReduce.java:39` analogue);
+  *  - `reducers` ⇒ shuffle partition count (`MapReduceExecutorTask.java:44`);
+  *  - `localModeMaxTasks` ⇒ coalesce tiny inputs, the analogue of
+  *    `local_mode_input_tasks` (`MapReduceExecutorTask.java:56`).
+  */
+object Pipeline {
+
+  /** Column-level transforms (the Embulk "filters" stage). */
+  sealed trait Transform
+  final case class Select(cols: Seq[String]) extends Transform
+  final case class Rename(from: String, to: String) extends Transform
+  final case class Cast(col: String, to: String) extends Transform
+  final case class Where(predicate: String) extends Transform
+  final case class Derive(name: String, expression: String) extends Transform
+
+  final case class Partitioning(column: String, unit: String,
+    unixTimestampUnit: Option[String] = None, mapSidePartitionSplit: Int = 1)
+
+  final case class Config(
+    inputPath: String,
+    format: String = "parquet",
+    transforms: Seq[Transform] = Nil,
+    partitioning: Option[Partitioning] = None,
+    reducers: Option[Int] = None,
+    localModeMaxTasks: Option[Int] = None,
+    stopOnInvalidRecord: Boolean = false)
+
+  /** Build the logical plan for a config (no execution). */
+  def plan(spark: SparkSession, config: Config): DataFrame = {
+    val in = spark.read.format(config.format).load(config.inputPath)
+    val transformed = config.transforms.foldLeft(in) { (df, t) =>
+      t match {
+        case Select(cs)      => df.select(cs.map(col): _*)
+        case Rename(f, to)   => df.withColumnRenamed(f, to)
+        case Cast(c, to)     => df.withColumn(c, col(c).cast(to))
+        case Where(p)        => df.where(p)
+        case Derive(n, e)    => df.withColumn(n, expr(e))
+      }
+    }
+    config.localModeMaxTasks match {
+      case Some(n) if transformed.rdd.getNumPartitions > n => transformed.coalesce(n)
+      case _ => transformed
+    }
+  }
+
+  /** Bucket expression for a partitioning config — timestamp column or long
+    * column via unix_timestamp_unit, exactly the reference's two partitioner
+    * variants (`TimestampPartitioning.java:163-185`).
+    */
+  def bucketExpr(df: DataFrame, p: Partitioning): Column = {
+    val c = col(p.column)
+    val unit = TimePartitioning.BucketUnit.of(p.unit)
+    val isLong = df.schema(p.column).dataType ==
+      org.apache.spark.sql.types.LongType
+    if (isLong)
+      TimePartitioning.bucketOfLong(c,
+        TimePartitioning.UnixUnit.of(p.unixTimestampUnit.getOrElse("sec")), unit)
+    else TimePartitioning.bucket(c, unit)
+  }
+
+  /** Execute: plan → (optional invalid-record gate) → write. Returns the
+    * task report for the run (the reference's job report surface).
+    */
+  def run(spark: SparkSession, config: Config, outPath: String): TaskReport = {
+    val report = TaskReport.attach(spark)
+    val df = plan(spark, config)
+    config.partitioning match {
+      case Some(p) =>
+        TimePartitioning.writePartitioned(
+          df, bucketExpr(df, p), outPath, config.reducers)
+      case None =>
+        df.write.mode("overwrite").parquet(outPath)
+    }
+    report
+  }
+}

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming ingest (SURVEY §2 E7): the continuous version of the
+  * reference's bulk load. Where the reference runs a finite MapReduce job
+  * per load, the Spark-native engine points `readStream` at the landing
+  * directory and keeps the same *logical* pipeline: scan → transform →
+  * time-bucketed aggregation/write, with watermarked event-time windows
+  * instead of a static partition key.
+  */
+object StreamingIngest {
+
+  /** File-stream source over a directory of parquet drops. */
+  def readParquetStream(spark: SparkSession, path: String,
+      schema: StructType, maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(path)
+
+  /** Watermarked hourly per-event-type counts — the streaming twin of the
+    * batch `partition_hour_ts` query, so batch/stream equivalence is
+    * testable on the same inputs.
+    */
+  def hourlyCounts(events: DataFrame, tsCol: String = "ts",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Drain all currently-available input and stop (`Trigger.AvailableNow`) —
+    * batch-equivalent processing of a static directory; complete-mode memory
+    * sink for assertion in tests.
+    */
+  def runAvailableNow(agg: DataFrame, queryName: String): StreamingQuery =
+    agg.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+}
