@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// one shared SparkSession across suites; Spark local mode dislikes
+// concurrent contexts in one JVM
+Test / parallelExecution := false

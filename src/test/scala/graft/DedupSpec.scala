@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("exact dedup keeps min id per content hash") {
+    val docs = Seq((1L, "aa bb"), (2L, "aa bb"), (3L, "cc"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(docs, $"doc_id", $"text")
+      .orderBy($"keep_id").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("keep_id") === 1L)
+    assert(out(0).getAs[Long]("dup_count") === 2L)
+  }
+
+  test("normalized dedup is case/punct/whitespace-insensitive") {
+    val docs = Seq((1L, "Hello,  World!"), (2L, "hello world"), (3L, "bye"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactNormalized(docs, $"doc_id", $"text").collect()
+    assert(out.length === 2)
+    assert(out.map(_.getAs[Long]("dup_count")).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("shingles: n-gram count and short-text fallback") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b")).toDF("id", "t")
+    val sh = df.select($"id", Dedup.shingles($"t", 3).as("sh"))
+      .orderBy($"id").collect()
+    assert(sh(0).getSeq[String](1) === Seq("a b c", "b c d", "c d e"))
+    assert(sh(1).getSeq[String](1) === Seq("a b"))
+  }
+
+  test("minhash+LSH finds exactly the exact-Jaccard pairs on the corpus") {
+    val docs = Tables.documents(spark, sf)
+    val truth = Dedup.jaccardPairs(docs, $"doc_id", $"text",
+        block = lit(1), threshold = 0.5)
+      .select($"id_a", $"id_b").orderBy($"id_a", $"id_b").collect().toSeq
+    val lsh = Dedup.minhashPairs(docs, $"doc_id", $"text", threshold = 0.5)
+      .select($"id_a", $"id_b").orderBy($"id_a", $"id_b").collect().toSeq
+    assert(truth.nonEmpty)            // the synthetic corpus plants near-dups
+    assert(lsh === truth)
+  }
+
+  test("simhash: duplicate docs collide, near-dups within small hamming") {
+    val docs = Seq((1L, "the quick brown fox jumps over a lazy dog tonight"),
+      (2L, "the quick brown fox jumps over a lazy dog tonight"),
+      (3L, "completely different words entirely unrelated content here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, $"doc_id", $"text", maxDist = 3)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    assert(pairs.head.getAs[Long]("hamming") === 0L)
+  }
+}

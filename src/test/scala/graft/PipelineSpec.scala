@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.ErrorPolicy
+import graft.pipeline.{Pipeline, TaskReport}
+
+/** Pipeline config semantics — the reference's executor config surface
+  * (`MapReduceExecutorTask.java:32-75`), including the partitioned-output
+  * job shape of `EmbulkPartitioningMapReduce.java` and the
+  * `stop_on_invalid_record` policy.
+  */
+class PipelineSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("map-only config: transforms apply, no partitioning") {
+    val cfg = Pipeline.Config(
+      inputPath = s"$sf/orders.parquet",
+      transforms = Seq(
+        Pipeline.Where("o_totalprice > 50000"),
+        Pipeline.Cast("o_custkey", "string"),
+        Pipeline.Rename("o_orderstatus", "status"),
+        Pipeline.Derive("big", "o_totalprice > 200000"),
+        Pipeline.Select(Seq("o_orderkey", "o_custkey", "status", "big"))))
+    val df = Pipeline.plan(spark, cfg)
+    assert(df.columns.toSeq === Seq("o_orderkey", "o_custkey", "status", "big"))
+    assert(df.schema("o_custkey").dataType.typeName === "string")
+    assert(df.count() > 0)
+  }
+
+  test("partitioned config writes bucket directories and reports tasks") {
+    val out = java.nio.file.Files.createTempDirectory("graft_pipe_").toString
+    val cfg = Pipeline.Config(
+      inputPath = s"$sf/orders.parquet",
+      partitioning = Some(Pipeline.Partitioning("o_orderdate", "day")),
+      reducers = Some(4))
+    val report = Pipeline.run(spark, cfg, out)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
+    assert(dirs.nonEmpty)
+    assert(spark.read.parquet(out).count() ===
+      spark.read.parquet(s"$sf/orders.parquet").count())
+    Thread.sleep(2000) // listener bus drains asynchronously
+    assert(report.taskRows.nonEmpty)
+    assert(report.failedTasks === 0)
+  }
+
+  test("long-column partitioning config uses unix_timestamp_unit") {
+    val df = Tables.events(spark, sf)
+      .select($"event_id", unix_micros($"ts").as("t_us"))
+    val bucket = Pipeline.bucketExpr(df,
+      Pipeline.Partitioning("t_us", "hour", Some("micro")))
+    val n = df.select(bucket.as("b")).distinct().count()
+    assert(n > 0 && n < df.count())
+  }
+
+  test("localModeMaxTasks coalesces tiny inputs (local_mode_input_tasks)") {
+    val cfg = Pipeline.Config(inputPath = s"$sf/orders.parquet",
+      localModeMaxTasks = Some(1))
+    assert(Pipeline.plan(spark, cfg).rdd.getNumPartitions === 1)
+  }
+
+  test("ErrorPolicy: Drop filters, Permissive marks, Fail throws") {
+    val df = Seq(("1", 1), ("x", 2), ("3", 3)).toDF("raw", "i")
+    val parsed = Seq("v" -> $"raw".cast("long"))
+    val valid = $"raw".cast("long").isNotNull
+    assert(ErrorPolicy(df, parsed, valid, ErrorPolicy.Drop).count() === 2)
+    val perm = ErrorPolicy(df, parsed, valid, ErrorPolicy.Permissive)
+    assert(perm.count() === 3)
+    assert(perm.where($"_corrupt").count() === 1)
+    val e = intercept[ErrorPolicy.InvalidRecordException](
+      ErrorPolicy(df, parsed, valid, ErrorPolicy.Fail).count())
+    assert(e.count === 1)
+  }
+
+  test("task report aggregates per-stage records (AttemptState surface)") {
+    val report = TaskReport.attach(spark)
+    Tables.lineitem(spark, sf).groupBy($"l_returnflag").count().collect()
+    Thread.sleep(2000)
+    val stages = report.stageReport(spark).collect()
+    assert(stages.nonEmpty)
+    assert(stages.map(_.getAs[Long]("records_read")).sum > 0)
+  }
+}

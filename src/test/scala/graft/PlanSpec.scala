@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale guards (SURVEY §5): the physical plans must show filter/column
+  * pushdown, broadcast joins for dims, and whole-stage codegen — the
+  * properties that keep these operators viable at 100 TB.
+  */
+class PlanSpec extends AnyFunSuite with SparkFixture {
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("map-only ETL pushes filters and prunes columns at the parquet scan") {
+    val plan = physical(Queries.etlMapOnly(spark, sf))
+    assert(plan.contains("PushedFilters: ["))
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,10.0)"), plan.take(2000))
+    // pruned read schema: no l_tax/l_suppkey in the scan
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("l_tax"))
+  }
+
+  test("dimension joins broadcast (q5: nation/region never shuffle the fact)") {
+    val plan = physical(Queries.q5RegionRevenue(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("time-bucket aggregation is one shuffle with map-side partial agg") {
+    val plan = physical(Queries.partitionDayOrders(spark, sf))
+    assert(plan.contains("HashAggregate"))
+    // partial + final HashAggregate around a single bucket Exchange; the
+    // sort for ORDER BY adds its own range exchange
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"want 1 hash exchange, plan:\n${plan.take(3000)}")
+  }
+
+  test("flagship queries keep whole-stage codegen in the hot path") {
+    // AQE finalizes the physical plan lazily — execute first. Codegen'd
+    // operators print with a `*(stageId)` prefix in the final plan.
+    val df = Queries.q1Pricing(spark, sf)
+    df.collect()
+    val plan = physical(df)
+    assert(plan.contains("*(1)"), plan.take(2000))
+    // scan → filter → project → partial agg all fused in one codegen stage
+    assert(plan.contains("*(1) HashAggregate"), plan.take(2000))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("cosine: identical → 1, orthogonal → 0, opposite → -1") {
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f), 1.0),
+      (Array(1f, 0f), Array(0f, 1f), 0.0),
+      (Array(1f, 0f), Array(-1f, 0f), -1.0),
+    ).toDF("a", "b", "want")
+    df.select(Similarity.cosine($"a", $"b").as("got"), $"want").collect()
+      .foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("brute-force top-k excludes self, is rank-ordered, k rows per query") {
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val out = Similarity.bruteForceTopK(e.where($"id" < 5), e, k = 3)
+      .orderBy($"query_id", $"rank").collect()
+    assert(out.length === 15)
+    out.foreach(r => assert(
+      r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+    out.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      val sims = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cos"))
+      assert(sims.sorted.reverse.toSeq === sims.toSeq)
+    }
+  }
+
+  test("LSH ANN returns a subset of true candidates with exact scores") {
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val brute = Similarity.bruteForceTopK(e.where($"id" < 5), e, k = 20)
+      .select($"query_id", $"neighbor_id", $"cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.annTopKLsh(e.where($"id" < 5), e, k = 5,
+      nPlanes = 6, tables = 8)
+      .select($"query_id", $"neighbor_id", $"cos").collect()
+    assert(lsh.nonEmpty)
+    // every LSH hit that the brute-force top-20 also saw carries the exact
+    // same (bit-identical) cosine — LSH only restricts candidates
+    lsh.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(1))).foreach { want =>
+        assert(r.getDouble(2) === want)
+      }
+    }
+  }
+
+  test("lshCosinePairs finds the high-cosine pairs cosinePairs finds") {
+    val e = Tables.embeddings(spark, sf)
+    val exact = Similarity.cosinePairs(e, $"vec_id", $"embedding", 0.45)
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshCosinePairs(e, $"vec_id", $"embedding", 0.45,
+      nPlanes = 8, tables = 8)
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // exact-verify ⇒ no false positives
+  }
+}

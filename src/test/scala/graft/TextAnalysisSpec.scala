@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String) =
+    Seq(text).toDF("text").select(c).head()
+
+  test("word and BPE-ish token counting") {
+    assert(one(TextAnalysis.wordCount($"text"), "a b  c").getInt(0) === 3)
+    // letters run + digits run + 2 symbols + letters run = 5
+    assert(one(TextAnalysis.bpeTokenCount($"text"), "ab12, (cd").getInt(0) === 5)
+  }
+
+  test("normalize lowers, strips punctuation, collapses whitespace") {
+    assert(one(TextAnalysis.normalize($"text"), " Hello,  WORLD!! ")
+      .getString(0) === "hello world")
+  }
+
+  test("stopword and punct ratios are int/int doubles") {
+    val r = Seq("the cat, the hat").toDF("text").select(
+      TextAnalysis.stopwordRatio($"text").as("s"),
+      TextAnalysis.punctRatio($"text").as("p")).head()
+    assert(r.getDouble(0) === 2.0 / 4.0)
+    assert(r.getDouble(1) === 1.0 / 16.0)
+  }
+
+  test("langId picks the language with most marker hits, und when none") {
+    val df = Seq(
+      ("the size of the house is big", "en"),
+      ("der hund und die katze ist da", "de"),
+      ("le chat et les chiens est la", "fr"),
+      ("el perro y los gatos es aqui", "es"),
+      ("zzz qqq www", "und"),
+    ).toDF("text", "want")
+    df.select(TextAnalysis.langId($"text").as("got"), $"want").collect()
+      .foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
+  test("qualityScore in [0,1], rewards normal prose over symbol soup") {
+    val scores = Seq(
+      "the cat sat on the mat and then the dog sat on the cat so everyone sat down today",
+      "!!! ### $$$ %%% ^^^ &&& *** ((( ))) @@@ !!! ### $$$ %%% ^^^ &&& *** ((( ))) @@@",
+    ).toDF("text").select(TextAnalysis.qualityScore($"text")).collect()
+      .map(_.getDouble(0))
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(0) > scores(1))
+  }
+
+  test("fingerprint is normalization-invariant") {
+    val fp = Seq("The  Quick FOX!", "the quick fox").toDF("text")
+      .select(TextAnalysis.fingerprint($"text")).collect().map(_.getString(0))
+    assert(fp(0) === fp(1))
+  }
+}
