@@ -18,8 +18,16 @@ object Bench {
 
     // task_report sleeps on the listener bus (not a real query); everything
     // else runs, including the non-oracle ops.
+    // warm the session (executor threads, codegen compiler, parquet
+    // footers) so the first timed query doesn't absorb startup cost
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    Tables.lineitem(spark, sfDir).limit(1).collect()
+
     val skip = Set("task_report")
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.filterNot(skip).sorted
+      .filter(n => only.forall(_.contains(n)))
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

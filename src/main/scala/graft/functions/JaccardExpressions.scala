@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Jaccard similarity of two SORTED long arrays (hashed shingle sets) via a
+  * two-pointer merge walk — no per-pair hash set, no boxing.
+  *
+  * `array_intersect` on string/long arrays builds a boxed HashSet per pair;
+  * at 1.9M verified pairs (sf0.1) that was ~6 µs/pair and the dedup
+  * pipeline's dominant cost. The merge walk is ~100 ns/pair and exactly
+  * reproduces |A∩B| for distinct-element inputs, so
+  * `jac = ni / (na + nb − ni)` is the same int/int double as the
+  * `array_intersect` formulation and the DuckDB oracle (SURVEY §6).
+  */
+case class SortedJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_jaccard requires array<bigint> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val av = a.asInstanceOf[ArrayData]
+    val bv = b.asInstanceOf[ArrayData]
+    val na = av.numElements()
+    val nb = bv.numElements()
+    var i = 0; var j = 0; var ni = 0
+    while (i < na && j < nb) {
+      val x = av.getLong(i)
+      val y = bv.getLong(j)
+      if (x == y) { ni += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    ni.toDouble / (na + nb - ni).toDouble
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sorted_jaccard"
+}
+
+object JaccardFunctions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Jaccard of two sorted long-array columns. */
+  def sortedJaccard(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedJaccard(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

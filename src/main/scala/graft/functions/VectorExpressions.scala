@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst kernel for cosine similarity over embedding arrays.
+  *
+  * The composable route (`zip_with` + `aggregate`) evaluates higher-order
+  * lambdas per element per row — interpreted, allocation-heavy, and outside
+  * whole-stage codegen. This expression generates a single fused loop, which
+  * is what a 100 TB similarity join spends its time in.
+  *
+  * Numeric contract (SURVEY §6): each accumulator (dot, ‖a‖², ‖b‖²) is a
+  * left-fold over exact float→double products, and the result is
+  * `dot / (sqrt(na) * sqrt(nb))` — term-for-term the same IEEE operation
+  * sequence as the `aggregate`-based fold and the DuckDB oracle's
+  * `list_reduce`, so all three produce bit-identical doubles.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cosine requires array<float>/array<double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val av = a.asInstanceOf[ArrayData]
+    val bv = b.asInstanceOf[ArrayData]
+    val n = math.min(av.numElements(), bv.numElements())
+    val aF = elemIsFloat(left)
+    val bF = elemIsFloat(right)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aF) av.getFloat(i).toDouble else av.getDouble(i)
+      val y = if (bF) bv.getFloat(i).toDouble else bv.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (aV, bV) => {
+      val getA = if (elemIsFloat(left)) s"(double) $aV.getFloat(i)"
+                 else s"$aV.getDouble(i)"
+      val getB = if (elemIsFloat(right)) s"(double) $bV.getFloat(i)"
+                 else s"$bV.getDouble(i)"
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      s"""
+        int $n = java.lang.Math.min($aV.numElements(), $bV.numElements());
+        double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        for (int i = 0; i < $n; i++) {
+          double x = $getA;
+          double y = $getB;
+          $dot += x * y; $na += x * x; $nb += y * y;
+        }
+        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_cosine"
+}
+
+object VectorFunctions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Column-level cosine similarity backed by [[CosineSim]]. */
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

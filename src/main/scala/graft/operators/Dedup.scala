@@ -33,14 +33,12 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles --
 
-  /** Distinct word n-gram shingles of the normalized text. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(TextAnalysis.normalize(text))
-    val k = size(toks) - (n - 1)
-    when(k <= 0, array(concat_ws(" ", toks)))
-      .otherwise(array_distinct(transform(sequence(lit(0), k - 1), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
-  }
+  /** Distinct word n-gram shingles of the normalized text — native one-pass
+    * kernel ([[graft.functions.WordShingles]]); the lambda-composed
+    * formulation was the profiled hotspot of the whole dedup pipeline.
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.TextFunctions.wordShingles(TextAnalysis.normalize(text), n)
 
   /** Exact Jaccard similarity of two shingle-array columns — int/int double,
     * so bit-identical across engines.
@@ -57,7 +55,9 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, id: Column, text: Column, block: Column,
       threshold: Double, n: Int = 3): DataFrame = {
+    // four consumers (candidate a/b sides + verify a/b sides): cache once
     val s = docs.select(id.as("id"), block.as("blk"), shingles(text, n).as("sh"))
+      .cache()
     val a = s.select(col("id").as("id_a"), col("blk"))
     val b = s.select(col("id").as("id_b"), col("blk"))
     val candidates = a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
@@ -119,7 +119,9 @@ object Dedup {
       threshold: Double, n: Int = 3, k: Int = 64,
       bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     require(bands * rowsPerBand <= k, "bands*rowsPerBand must be <= k")
-    val shingled = docs.select(id.as("id"), shingles(text, n).as("sh"))
+    // the shingle table feeds banding AND both sides of the verify join —
+    // cache it so the shingle/signature pipeline runs once, not four times
+    val shingled = docs.select(id.as("id"), shingles(text, n).as("sh")).cache()
     val sigs = minhashSigs(shingled, k)
     val bandKeyCols = (0 until bands).map { b =>
       val slots = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
@@ -136,19 +138,28 @@ object Dedup {
   }
 
   /** Exact-Jaccard verification of candidate id pairs against the shingle
-    * table; the intersect is computed once per pair.
+    * table. Set operations run on xxhash64'd shingles (long arrays) — far
+    * cheaper than string intersection, identical sizes barring a within-pair
+    * 64-bit collision (P ≈ 5e-15 per pair). Pairs whose sizes already rule
+    * out the threshold (Jaccard bound: min(n_a,n_b)·(1+θ) ≥ θ·(n_a+n_b))
+    * are skipped before any intersection; the 0.5 slack keeps the float
+    * prefilter a strict superset of the exact predicate.
     */
   private def verifyJaccard(candidates: DataFrame, shingled: DataFrame,
       threshold: Double): DataFrame = {
-    val shA = shingled.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val shB = shingled.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    val hashed = shingled.select(col("id"),
+      array_sort(transform(col("sh"), s => xxhash64(s))).as("shh"),
+      size(col("sh")).as("n"))
+    val shA = hashed.select(col("id").as("id_a"), col("shh").as("sh_a"),
+      col("n").as("na"))
+    val shB = hashed.select(col("id").as("id_b"), col("shh").as("sh_b"),
+      col("n").as("nb"))
     candidates.join(shA, "id_a").join(shB, "id_b")
+      .where(least(col("na"), col("nb")) * lit(1.0 + threshold) >=
+        lit(threshold) * (col("na") + col("nb")) - 0.5)
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).as("ni"),
-        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
-      .select(col("id_a"), col("id_b"),
-        (col("ni").cast("double") /
-          (col("na") + col("nb") - col("ni")).cast("double")).as("jac"))
+        graft.functions.JaccardFunctions
+          .sortedJaccard(col("sh_a"), col("sh_b")).as("jac"))
       .where(col("jac") >= threshold)
   }
 

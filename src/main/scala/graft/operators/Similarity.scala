@@ -25,7 +25,12 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity via the native codegen'd kernel
+    * ([[graft.functions.CosineSim]]); bit-identical to
+    * `dot(a,b) / (norm(a) * norm(b))` — same fold order, fused loop.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosineSim(a, b)
 
   /** All-pairs cosine ≥ threshold (id_a < id_b). Exact; at scale use
     * [[lshCosinePairs]]. Norms are computed once per row before the join so
@@ -33,14 +38,12 @@ object Similarity {
     */
   def cosinePairs(vectors: DataFrame, id: Column, vec: Column,
       threshold: Double): DataFrame = {
-    val v = vectors.select(id.as("id"), vec.as("v"), norm(vec).as("nrm"))
-    val a = v.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
-    val b = v.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+    val v = vectors.select(id.as("id"), vec.as("v"))
+    val a = v.select(col("id").as("id_a"), col("v").as("v_a"))
+    val b = v.select(col("id").as("id_b"), col("v").as("v_b"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
-      // dot/(n_a*n_b) with hoisted norms is bit-identical to cosine():
-      // same fold, same multiplication tree — just computed once per row.
       .select(col("id_a"), col("id_b"),
-        (dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("cos"))
+        cosine(col("v_a"), col("v_b")).as("cos"))
       .where(col("cos") >= threshold)
   }
 
@@ -50,13 +53,11 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = queries.select(col("id").as("query_id"), col("vec").as("q_vec"),
-      norm(col("vec")).as("q_n"))
-    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("c_vec"),
-      norm(col("vec")).as("c_n"))
+    val q = queries.select(col("id").as("query_id"), col("vec").as("q_vec"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("c_vec"))
     val scored = q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("q_vec"), col("c_vec")) / (col("q_n") * col("c_n"))).as("cos"))
+        cosine(col("q_vec"), col("c_vec")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= k)
