@@ -497,6 +497,16 @@ object Queries {
        WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.46
        ORDER BY id_a, id_b"""
 
+  /** IVF-cell ANN (rows-only: centroid assignment is data-dependent; the
+    * exact-score property vs brute force is asserted in ExtrasSpec).
+    */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    IvfIndex.annTopK(e.where(col("id") < 10), e, k = 5, nCells = 16, nprobe = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def annTopk(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))

@@ -66,6 +66,7 @@ object SparkEntry {
     "dedup_embedding" -> (Queries.dedupEmbedding _),
     // L6 similarity search
     "ann_topk" -> (Queries.annTopk _),
+    "ann_ivf" -> (Queries.annIvf _),
     // L7 multimodal
     "multimodal_meta" -> (Queries.multimodalMeta _),
     // L8-L11 text analysis

@@ -61,4 +61,42 @@ object Multimodal {
     val frames = pmod(abs(xxhash64(payload)), lit(300L)) + 1L
     filter(sequence(lit(0L), frames - 1L), i => i % stride === 0)
   }
+
+  /** Decoded features for one payload row. */
+  final case class DecodedFeature(id: Long, width: Long, height: Long,
+    channels: Long, feature: Array[Float])
+
+  /** Batch decode via `mapPartitions` — the Scala analogue of a
+    * `mapInPandas` batch UDF and the shape a real codec drops into: the
+    * partition iterator amortizes per-batch init (codec handles, model
+    * weights) across all rows of a partition, and nothing is collected to
+    * the driver. The decode body is a STUB (deterministic bytes→features);
+    * swap `decodeOne` for a JNI/library call without touching the plan.
+    */
+  def decodeBatch(df: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload", dims: Int = 8)
+      : org.apache.spark.sql.Dataset[DecodedFeature] = {
+    import df.sparkSession.implicits._
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      // per-partition init happens HERE once (codec/session handles)
+      def splitmix(x0: Long): Long = {
+        var z = x0 + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      def decodeOne(id: Long, bytes: Array[Byte]): DecodedFeature = {
+        var h = 0L
+        var i = 0
+        while (i < bytes.length) { h = h * 31L + bytes(i); i += 1 }
+        val feat = Array.tabulate(dims)(d =>
+          (splitmix(h + d) >>> 40).toFloat / (1 << 24).toFloat)
+        DecodedFeature(id, math.abs(h % 1920) + 1, math.abs(h % 1080) + 1,
+          3L, feat)
+      }
+      rows.map(r => decodeOne(r.getLong(idIdx), r.getAs[Array[Byte]](pIdx)))
+    }
+  }
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF-style ANN: partition the corpus into coarse cells, search only the
+  * query's `nprobe` nearest cells — the scale path where hyperplane LSH
+  * recall is too data-independent.
+  *
+  * Centroid selection is deterministic (the lowest-id `nCells` vectors act
+  * as seeds — a k-means iteration can refine them, but seeded assignment
+  * alone already gives the partition-pruning shape). At 100 TB: centroids
+  * broadcast (~nCells × dims × 8 B), corpus shuffles once on `cell`, and a
+  * probe touches `nprobe/nCells` of the data.
+  */
+object IvfIndex {
+
+  /** Assign each vector to its max-cosine centroid cell. `centroids` must be
+    * small (broadcast); returns (id, vec, cell).
+    */
+  def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = vectors.select(col("id"), col("vec"))
+      .crossJoin(broadcast(centroids.select(
+        col("id").as("cell"), col("vec").as("c_vec"))))
+      .select(col("id"), col("vec"), col("cell"),
+        Similarity.cosine(col("vec"), col("c_vec")).as("aff"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("aff").desc, col("cell").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("id"), col("vec"), col("cell"))
+  }
+
+  /** Deterministic coarse centroids: the `nCells` lowest-id vectors. */
+  def seedCentroids(vectors: DataFrame, nCells: Int): DataFrame =
+    vectors.select(col("id"), col("vec")).orderBy(col("id")).limit(nCells)
+
+  /** Top-k neighbors searching only each query's `nprobe` best cells. */
+  def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = seedCentroids(corpus, nCells)
+    val indexed = assign(corpus, centroids)
+
+    // query → its nprobe closest cells
+    val qCells = queries.select(col("id").as("query_id"), col("vec").as("q_vec"))
+      .crossJoin(broadcast(centroids.select(
+        col("id").as("cell"), col("vec").as("c_vec"))))
+      .select(col("query_id"), col("q_vec"), col("cell"),
+        Similarity.cosine(col("q_vec"), col("c_vec")).as("aff"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("aff").desc, col("cell").asc)
+    val probes = qCells.withColumn("rn", row_number().over(wq))
+      .where(col("rn") <= nprobe)
+      .select(col("query_id"), col("q_vec"), col("cell"))
+
+    val cand = probes.join(indexed, "cell")
+      .where(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("q_vec"),
+        col("id").as("neighbor_id"), col("vec").as("c_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("q_vec"), col("c_vec")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** JSON front-end for [[Pipeline.Config]] — the declarative face of the
+  * reference's YAML executor config (`MapReduceExecutorTask.java:32-75`:
+  * `partitioning {type: timestamp, column, unit, unix_timestamp_unit,
+  * map_side_partition_split}`, `reducers`, `local_mode_input_tasks`,
+  * `stop_on_invalid_record`). Field names follow the reference's config
+  * keys so a user can port a config by hand, mechanically.
+  */
+object ConfigJson {
+
+  def parse(json: String): Pipeline.Config = {
+    val root = JsonMethods.parse(json)
+    def str(v: JValue): Option[String] = v match {
+      case JString(s) => Some(s); case _ => None
+    }
+    def int(v: JValue): Option[Int] = v match {
+      case JInt(i) => Some(i.toInt); case _ => None
+    }
+    val in = root \ "in"
+    val inputPath = str(in \ "path").getOrElse(
+      throw new IllegalArgumentException("config: in.path is required"))
+    val format = str(in \ "format").getOrElse("parquet")
+
+    val transforms = (root \ "filters") match {
+      case JArray(items) => items.map { f =>
+        str(f \ "type").getOrElse("") match {
+          case "where" => Pipeline.Where(str(f \ "predicate").get)
+          case "rename" => Pipeline.Rename(str(f \ "from").get, str(f \ "to").get)
+          case "cast" => Pipeline.Cast(str(f \ "col").get, str(f \ "to").get)
+          case "derive" =>
+            Pipeline.Derive(str(f \ "name").get, str(f \ "expression").get)
+          case "select" => Pipeline.Select((f \ "cols") match {
+            case JArray(cs) => cs.flatMap(str)
+            case _ => Nil
+          })
+          case other =>
+            throw new IllegalArgumentException(s"config: unknown filter '$other'")
+        }
+      }
+      case _ => Nil
+    }
+
+    val partitioning = (root \ "partitioning") match {
+      case JNothing | JNull => None
+      case p => Some(Pipeline.Partitioning(
+        column = str(p \ "column").getOrElse(
+          throw new IllegalArgumentException("config: partitioning.column is required")),
+        unit = str(p \ "unit").getOrElse("hour"),
+        unixTimestampUnit = str(p \ "unix_timestamp_unit"),
+        mapSidePartitionSplit = int(p \ "map_side_partition_split").getOrElse(1)))
+    }
+
+    Pipeline.Config(
+      inputPath = inputPath,
+      format = format,
+      transforms = transforms,
+      partitioning = partitioning,
+      reducers = int(root \ "reducers"),
+      localModeMaxTasks = int(root \ "local_mode_input_tasks"),
+      stopOnInvalidRecord = (root \ "stop_on_invalid_record") match {
+        case JBool(b) => b; case _ => false
+      })
+  }
+}
