@@ -469,6 +469,34 @@ object Queries {
        WHERE $jaccardSql >= 0.5
        ORDER BY id_a, id_b"""
 
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val pairs = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
+      threshold = 0.5)
+    Dedup.clusters(docs.select(col("doc_id").as("id")), pairs)
+      .orderBy(col("id"))
+  }
+
+  /** Oracle: connected components of the exact-Jaccard ≥ θ pair graph via a
+    * recursive CTE (min reachable id per doc).
+    */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE
+       s AS (SELECT doc_id, lang, $shingleSql AS sh FROM ($shingleSrcSql)),
+       pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE $jaccardSql >= 0.5),
+       edges AS (
+         SELECT id_a AS src, id_b AS dst FROM pairs
+         UNION ALL
+         SELECT id_b AS src, id_a AS dst FROM pairs),
+       reach(id, root) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id)
+       SELECT id, MIN(root) AS root FROM reach GROUP BY id ORDER BY id"""
+
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(documents(s, dir), col("doc_id"), col("text"),
       maxDist = 3)

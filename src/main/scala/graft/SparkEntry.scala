@@ -61,6 +61,7 @@ object SparkEntry {
     "dedup_exact_normalized" -> (Queries.dedupExactNormalized _),
     // L2-L5 near-dup
     "dedup_minhash" -> (Queries.dedupMinhash _),
+    "dedup_clusters" -> (Queries.dedupClusters _),
     "dedup_simhash" -> (Queries.dedupSimhash _),
     "dedup_jaccard_exact" -> (Queries.dedupJaccardExact _),
     "dedup_embedding" -> (Queries.dedupEmbedding _),
@@ -106,6 +107,7 @@ object SparkEntry {
     "dedup_exact" -> Queries.dedupExactSql,
     "dedup_exact_normalized" -> Queries.dedupExactNormalizedSql,
     "dedup_minhash" -> Queries.dedupMinhashSql,
+    "dedup_clusters" -> Queries.dedupClustersSql,
     "dedup_jaccard_exact" -> Queries.dedupJaccardExactSql,
     "dedup_embedding" -> Queries.dedupEmbeddingSql,
     "ann_topk" -> Queries.annTopkSql,

@@ -212,6 +212,43 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  // ------------------------------------------------------------- clusters --
+
+  /** Connected components over near-dup pairs: every doc gets the minimum
+    * id reachable through the pair graph (`root`), so "keep one per
+    * cluster" = `where id = root`. Iterative min-label propagation — each
+    * round is two shuffles (join + agg), and rounds needed = graph diameter
+    * (near-dup clusters are shallow; `maxIter` bounds pathological chains).
+    * The driver loop only checks a convergence count per round; labels
+    * never leave the cluster.
+    */
+  def clusters(ids: DataFrame, pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var labels = ids.select(col("id"), col("id").as("root")).cache()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("root"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("root")).as("root"))
+        .cache()
+      val changed = next.alias("n")
+        .join(labels.alias("o"), Seq("id"))
+        .where(col("n.root") =!= col("o.root"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   // ---------------------------------------------------- embedding near-dup --
 
   /** Embedding-cosine near-dup pairs ≥ threshold. Exact (blocked only by the

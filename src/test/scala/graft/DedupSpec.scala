@@ -44,6 +44,16 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(lsh === truth)
   }
 
+  test("clusters: min-label propagation closes transitive chains") {
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
+    // chain 1-2-3-4 (diameter 3) + isolated 5 and 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(ids, pairs).orderBy($"id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 9L -> 9L))
+  }
+
   test("simhash: duplicate docs collide, near-dups within small hamming") {
     val docs = Seq((1L, "the quick brown fox jumps over a lazy dog tonight"),
       (2L, "the quick brown fox jumps over a lazy dog tonight"),
