@@ -398,6 +398,18 @@ object Queries {
        COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
        FROM events GROUP BY 1 ORDER BY 1"""
 
+  /** Sketch-based distinct (HyperLogLog++). Rows-only: the estimate is
+    * deterministic for Spark's implementation but not reproducible in
+    * DuckDB; the exact twin `distinct_users_daily` is the oracle-checked
+    * path.
+    */
+  def approxDistinctUsers(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(dayBucket(col("ts")).as("bucket"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("bucket"))
+
   // ----------------------------------------------------- L1 exact dedup --
 
   def dedupExact(s: SparkSession, dir: String): DataFrame =

@@ -56,6 +56,7 @@ object SparkEntry {
     "sessionize" -> (Queries.sessionize _),
     "rollup_orders" -> (Queries.rollupOrders _),
     "distinct_users_daily" -> (Queries.distinctUsersDaily _),
+    "approx_distinct_users" -> (Queries.approxDistinctUsers _),
     // L1 exact dedup
     "dedup_exact" -> (Queries.dedupExact _),
     "dedup_exact_normalized" -> (Queries.dedupExactNormalized _),

@@ -36,6 +36,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(exchanges === 1, s"want 1 hash exchange, plan:\n${plan.take(3000)}")
   }
 
+  test("LSH dedup paths never plan an all-pairs join") {
+    Seq(Queries.dedupMinhash(spark, sf),
+        Queries.dedupJaccardExact(spark, sf),
+        Queries.dedupSimhash(spark, sf)).foreach { df =>
+      val plan = physical(df)
+      assert(!plan.contains("CartesianProduct"), plan.take(1500))
+      assert(!plan.contains("BroadcastNestedLoop"), plan.take(1500))
+    }
+  }
+
   test("flagship queries keep whole-stage codegen in the hot path") {
     // AQE finalizes the physical plan lazily — execute first. Codegen'd
     // operators print with a `*(stageId)` prefix in the final plan.

@@ -55,6 +55,18 @@ class TimePartitioningSpec extends AnyFunSuite with SparkFixture {
     assert(agg(4) === agg(16))
   }
 
+  test("skew salt multiplies reduce-side groups without changing results") {
+    val ev = Tables.events(spark, sf)
+    val buckets = ev.select(TimePartitioning.bucket($"ts", Day).as("b"))
+      .distinct().count()
+    val salted = ev.select(TimePartitioning.bucket($"ts", Day).as("b"),
+        TimePartitioning.salt($"event_id", 4).as("s"))
+      .distinct().count()
+    // a hot day-bucket is split across up to 4 partial-agg groups
+    assert(salted > buckets)
+    assert(salted <= buckets * 4)
+  }
+
   test("partitioned write produces one directory per bucket (reduce-side output)") {
     val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
     val ev = Tables.events(spark, sf)
