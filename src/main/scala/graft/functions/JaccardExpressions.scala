@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -18,7 +18,7 @@ import org.apache.spark.sql.types._
   * `array_intersect` formulation and the DuckDB oracle (SURVEY §6).
   */
 case class SortedJaccard(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
@@ -48,6 +48,27 @@ case class SortedJaccard(left: Expression, right: Expression)
     }
     ni.toDouble / (na + nb - ni).toDouble
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (aV, bV) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val ni = ctx.freshName("ni")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+        int $na = $aV.numElements();
+        int $nb = $bV.numElements();
+        int $i = 0, $j = 0, $ni = 0;
+        while ($i < $na && $j < $nb) {
+          long $x = $aV.getLong($i);
+          long $y = $bV.getLong($j);
+          if ($x == $y) { $ni++; $i++; $j++; }
+          else if ($x < $y) $i++;
+          else $j++;
+        }
+        ${ev.value} = (double) $ni / (double) ($na + $nb - $ni);
+      """
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

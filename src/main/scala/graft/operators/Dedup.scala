@@ -223,27 +223,30 @@ object Dedup {
     * never leave the cluster.
     */
   def clusters(ids: DataFrame, pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    // undirected edge list, both directions
+    // undirected edge list, both directions; localCheckpoint truncates the
+    // per-iteration lineage (otherwise every round replans the whole
+    // history) and materializes the reused frame
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .cache()
-    var labels = ids.select(col("id"), col("id").as("root")).cache()
+      .localCheckpoint()
+    var labels = ids.select(col("id"), col("id").as("root")).localCheckpoint()
+    // min-label propagation decreases sum(root) monotonically; an unchanged
+    // sum means a fixpoint — a single-agg convergence probe, no self-join
+    def rootSum(df: DataFrame): Long =
+      df.agg(sum(col("root"))).head().getLong(0)
+    var prevSum = rootSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("root"))
-      val next = labels.unionByName(viaNeighbors)
+      labels = labels.unionByName(viaNeighbors)
         .groupBy(col("id")).agg(min(col("root")).as("root"))
-        .cache()
-      val changed = next.alias("n")
-        .join(labels.alias("o"), Seq("id"))
-        .where(col("n.root") =!= col("o.root"))
-        .limit(1).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+        .localCheckpoint()
+      val s = rootSum(labels)
+      converged = s == prevSum
+      prevSum = s
       iter += 1
     }
     labels
