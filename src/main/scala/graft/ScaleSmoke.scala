@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale smoke: run the flagship queries on a 10×-unioned copy of the sf0.1
+  * tables (~6M-row lineitem, 1M events, 50k docs) to observe plan behavior
+  * one order of magnitude up — shuffle sizing, AQE coalescing, and the
+  * near-dup pipelines' growth curves. Ids are re-keyed per replica so
+  * keyed operators see distinct entities, not 10 copies of one.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = java.nio.file.Files.createTempDirectory("graft_scale_").toString
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def amplify(name: String, keyCols: Map[String, Long]): Unit = {
+      val src = Tables.table(spark, base, name)
+      val copies = (0 until 10).map { r =>
+        keyCols.foldLeft(src) { case (df, (c, stride)) =>
+          df.withColumn(c, col(c) + lit(r * stride))
+        }
+      }.reduce(_ unionByName _)
+      copies.write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    // strides larger than any real key range keep replicas disjoint
+    amplify("lineitem", Map("l_orderkey" -> 10000000L))
+    amplify("orders", Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
+    amplify("customer", Map("c_custkey" -> 1000000L))
+    amplify("events", Map("event_id" -> 10000000L, "user_id" -> 1000000L))
+    amplify("documents", Map("doc_id" -> 1000000L))
+    amplify("embeddings", Map("vec_id" -> 1000000L))
+    Seq("region", "nation", "supplier", "part").foreach { t =>
+      Tables.table(spark, base, t).write.mode("overwrite")
+        .parquet(s"$out/$t.parquet")
+    }
+
+    val flagships = Seq("q1_pricing", "q5_region_revenue", "partition_hour_ts",
+      "partition_skew_split", "sessionize", "window_top_events",
+      "dedup_exact", "dedup_minhash", "dedup_jaccard_exact",
+      "dedup_embedding", "ann_topk", "text_stats")
+    spark.range(1000000L).selectExpr("sum(id)").collect() // warm
+    val results = flagships.map { name =>
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, out)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[scale] $name failed: ${e.getMessage}") }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"scale10x","queries":$qs,"base":"$base"}""")
+    spark.stop()
+  }
+}
