@@ -410,6 +410,37 @@ object Queries {
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy(col("bucket"))
 
+  // ------------------------------------------------------- as-of join ----
+
+  /** Attribution-style as-of join: each error event picks up the latest
+    * preceding click of the same user. Oracle: DuckDB's native ASOF LEFT
+    * JOIN over the identically tie-reduced right side.
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val l = ev.where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"))
+    val r = ev.where(col("event_type") === "click")
+    AsOfJoin.asOf(l, col("user_id"), col("t_us"),
+        r, col("user_id"), unix_micros(col("ts")),
+        payload = Seq("click_event_id" -> col("event_id"),
+          "click_value" -> col("value")))
+      .orderBy(col("event_id"))
+  }
+
+  val asofJoinSql: String =
+    """WITH r AS (
+         SELECT user_id, epoch_us(ts) AS t,
+                MAX(event_id) AS click_event_id,
+                arg_max(value, event_id) AS click_value
+         FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+       SELECT l.event_id, l.user_id, epoch_us(l.ts) AS t_us,
+              r.click_event_id AS right_click_event_id,
+              r.click_value AS right_click_value
+       FROM (SELECT * FROM events WHERE event_type = 'error') l
+       ASOF LEFT JOIN r ON l.user_id = r.user_id AND epoch_us(l.ts) >= r.t
+       ORDER BY l.event_id"""
+
   // ----------------------------------------------------- L1 exact dedup --
 
   def dedupExact(s: SparkSession, dir: String): DataFrame =

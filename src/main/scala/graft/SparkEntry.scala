@@ -51,6 +51,8 @@ object SparkEntry {
     "q3_top_orders" -> (Queries.q3TopOrders _),
     "q5_region_revenue" -> (Queries.q5RegionRevenue _),
     "join_broadcast_part" -> (Queries.joinBroadcastPart _),
+    // as-of temporal join
+    "asof_join" -> (Queries.asofJoin _),
     // E3-E6 windows / sessions / rollup / distinct
     "window_top_events" -> (Queries.windowTopEvents _),
     "sessionize" -> (Queries.sessionize _),
@@ -101,6 +103,7 @@ object SparkEntry {
     "q3_top_orders" -> Queries.q3TopOrdersSql,
     "q5_region_revenue" -> Queries.q5RegionRevenueSql,
     "join_broadcast_part" -> Queries.joinBroadcastPartSql,
+    "asof_join" -> Queries.asofJoinSql,
     "window_top_events" -> Queries.windowTopEventsSql,
     "sessionize" -> Queries.sessionizeSql,
     "rollup_orders" -> Queries.rollupOrdersSql,

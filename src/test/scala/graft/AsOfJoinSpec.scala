@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("asOf picks latest right <= left time; null when none precedes") {
+    val left = Seq((1L, 10L, 100L), (1L, 25L, 101L), (2L, 5L, 102L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 10L, 900L), (1L, 20L, 901L), (2L, 50L, 902L))
+      .toDF("k", "t", "rid")
+    val out = AsOfJoin.asOf(left, $"k", $"t", right, $"k", $"t",
+        Seq("rid" -> $"rid"))
+      .orderBy($"lid").collect()
+    // lid=100 at t=10: right at t=10 qualifies (<=, equal-time matches)
+    assert(out(0).getAs[Long]("right_rid") === 900L)
+    // lid=101 at t=25: latest is t=20
+    assert(out(1).getAs[Long]("right_rid") === 901L)
+    // lid=102 at t=5: nothing precedes
+    assert(out(2).isNullAt(out(2).fieldIndex("right_rid")))
+  }
+
+  test("right-side timestamp ties reduce deterministically (max payload)") {
+    val left = Seq((1L, 10L, 100L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 5L, 900L), (1L, 5L, 903L), (1L, 5L, 901L))
+      .toDF("k", "t", "rid")
+    val out = AsOfJoin.asOf(left, $"k", $"t", right, $"k", $"t",
+      Seq("rid" -> $"rid")).collect()
+    assert(out.head.getAs[Long]("right_rid") === 903L)
+  }
+}
