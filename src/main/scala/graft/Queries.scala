@@ -338,6 +338,25 @@ object Queries {
              AS BIGINT) AS rank
          FROM events) WHERE rank <= 3 ORDER BY user_id, rank"""
 
+  /** Same result as `window_top_events` computed by the custom
+    * TopKPerKeyExec physical operator (bounded per-key heap, no full
+    * per-key sort) — the window-formulation SQL is its oracle.
+    */
+  def topkPerKey(s: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerKey.topK(
+        events(s, dir).select(col("user_id"), col("event_id"), col("value")),
+        keys = Seq("user_id"),
+        order = Seq("value" -> "desc", "event_id" -> "asc"), k = 3)
+      .orderBy(col("user_id"), col("value").desc, col("event_id"))
+
+  val topkPerKeySql: String =
+    """SELECT user_id, event_id, value FROM (
+         SELECT user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id)
+             AS rn
+         FROM events) WHERE rn <= 3
+       ORDER BY user_id, value DESC, event_id"""
+
   def sessionize(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("t_us").asc, col("event_id").asc)

@@ -55,6 +55,7 @@ object SparkEntry {
     "asof_join" -> (Queries.asofJoin _),
     // E3-E6 windows / sessions / rollup / distinct
     "window_top_events" -> (Queries.windowTopEvents _),
+    "topk_per_key" -> (Queries.topkPerKey _),
     "sessionize" -> (Queries.sessionize _),
     "rollup_orders" -> (Queries.rollupOrders _),
     "distinct_users_daily" -> (Queries.distinctUsersDaily _),
@@ -105,6 +106,7 @@ object SparkEntry {
     "join_broadcast_part" -> Queries.joinBroadcastPartSql,
     "asof_join" -> Queries.asofJoinSql,
     "window_top_events" -> Queries.windowTopEventsSql,
+    "topk_per_key" -> Queries.topkPerKeySql,
     "sessionize" -> Queries.sessionizeSql,
     "rollup_orders" -> Queries.rollupOrdersSql,
     "distinct_users_daily" -> Queries.distinctUsersDailySql,
