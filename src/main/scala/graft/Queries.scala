@@ -429,6 +429,65 @@ object Queries {
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy(col("bucket"))
 
+  // --------------------------------------- pivot / cube / semi-anti ------
+
+  /** Day × event_type pivot of decimal-exact value sums. */
+  def pivotEventValues(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    events(s, dir)
+      .groupBy(dayBucket(col("ts")).as("bucket"))
+      .pivot("event_type", types)
+      .agg(sum(dec2(col("value"))).cast("double"))
+      .select(col("bucket") +: types.map(t => col(t).as(s"sum_$t")): _*)
+      .orderBy(col("bucket"))
+  }
+
+  val pivotEventValuesSql: String = {
+    val cols = Seq("click", "error", "purchase", "signup", "view").map(t =>
+      s"""CAST(SUM(CASE WHEN event_type = '$t'
+          THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_$t""")
+      .mkString(",\n       ")
+    s"""SELECT epoch_us(ts) // 86400000000 AS bucket,
+       $cols
+       FROM events GROUP BY 1 ORDER BY 1"""
+  }
+
+  def cubeOrders(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("sum_total"))
+      .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("o_orderstatus"))
+
+  val cubeOrdersSql: String =
+    """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+       FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+       ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST"""
+
+  /** Semi/anti join surface: customers that do / don't have urgent orders. */
+  def semiAntiCustomers(s: SparkSession, dir: String): DataFrame = {
+    val urgent = orders(s, dir).where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val c = customer(s, dir)
+    val semi = c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("has_urgent").as("kind"))
+    val anti = c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("no_urgent").as("kind"))
+    semi.unionByName(anti).orderBy(col("c_custkey"), col("kind"))
+  }
+
+  val semiAntiCustomersSql: String =
+    """SELECT c_custkey, kind FROM (
+         SELECT c_custkey, 'has_urgent' AS kind FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         UNION ALL
+         SELECT c_custkey, 'no_urgent' AS kind FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'))
+       ORDER BY c_custkey, kind"""
+
   // ------------------------------------------------------- as-of join ----
 
   /** Attribution-style as-of join: each error event picks up the latest

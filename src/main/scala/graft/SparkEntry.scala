@@ -58,6 +58,9 @@ object SparkEntry {
     "topk_per_key" -> (Queries.topkPerKey _),
     "sessionize" -> (Queries.sessionize _),
     "rollup_orders" -> (Queries.rollupOrders _),
+    "cube_orders" -> (Queries.cubeOrders _),
+    "pivot_event_values" -> (Queries.pivotEventValues _),
+    "semi_anti_customers" -> (Queries.semiAntiCustomers _),
     "distinct_users_daily" -> (Queries.distinctUsersDaily _),
     "approx_distinct_users" -> (Queries.approxDistinctUsers _),
     // L1 exact dedup
@@ -109,6 +112,9 @@ object SparkEntry {
     "topk_per_key" -> Queries.topkPerKeySql,
     "sessionize" -> Queries.sessionizeSql,
     "rollup_orders" -> Queries.rollupOrdersSql,
+    "cube_orders" -> Queries.cubeOrdersSql,
+    "pivot_event_values" -> Queries.pivotEventValuesSql,
+    "semi_anti_customers" -> Queries.semiAntiCustomersSql,
     "distinct_users_daily" -> Queries.distinctUsersDailySql,
     "dedup_exact" -> Queries.dedupExactSql,
     "dedup_exact_normalized" -> Queries.dedupExactNormalizedSql,
