@@ -429,6 +429,49 @@ object Queries {
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy(col("bucket"))
 
+  /** Exact interpolated percentiles — Spark `percentile` and DuckDB
+    * `quantile_cont` share the (p·(n−1)) linear-interpolation definition;
+    * bit-equality verified by the oracle compare.
+    */
+  def valuePercentiles(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  val valuePercentilesSql: String =
+    """SELECT event_type, quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90, COUNT(*) AS n
+       FROM events GROUP BY 1 ORDER BY 1"""
+
+  /** Edit-distance near-dup pairs (bounded block: lang × doc_id<100).
+    * `levenshtein` is the same integer DP in both engines.
+    */
+  def dedupLevenshtein(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir).where(col("doc_id") < 100)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val a = d.select(col("doc_id").as("id_a"), col("lang"),
+      col("text").as("t_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("lang"),
+      col("text").as("t_b"))
+    a.join(b, Seq("lang")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("t_a"), col("t_b")).cast("long").as("dist"))
+      .where(col("dist") <= 60)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val dedupLevenshteinSql: String =
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+       FROM (SELECT * FROM documents WHERE doc_id < 100) a
+       JOIN (SELECT * FROM documents WHERE doc_id < 100) b
+         ON a.lang = b.lang AND a.doc_id < b.doc_id
+       WHERE levenshtein(a.text, b.text) <= 60
+       ORDER BY id_a, id_b"""
+
   // --------------------------------------- pivot / cube / semi-anti ------
 
   /** Day × event_type pivot of decimal-exact value sums. */

@@ -61,6 +61,7 @@ object SparkEntry {
     "cube_orders" -> (Queries.cubeOrders _),
     "pivot_event_values" -> (Queries.pivotEventValues _),
     "semi_anti_customers" -> (Queries.semiAntiCustomers _),
+    "value_percentiles" -> (Queries.valuePercentiles _),
     "distinct_users_daily" -> (Queries.distinctUsersDaily _),
     "approx_distinct_users" -> (Queries.approxDistinctUsers _),
     // L1 exact dedup
@@ -71,6 +72,7 @@ object SparkEntry {
     "dedup_clusters" -> (Queries.dedupClusters _),
     "dedup_simhash" -> (Queries.dedupSimhash _),
     "dedup_jaccard_exact" -> (Queries.dedupJaccardExact _),
+    "dedup_levenshtein" -> (Queries.dedupLevenshtein _),
     "dedup_embedding" -> (Queries.dedupEmbedding _),
     // L6 similarity search
     "ann_topk" -> (Queries.annTopk _),
@@ -115,12 +117,14 @@ object SparkEntry {
     "cube_orders" -> Queries.cubeOrdersSql,
     "pivot_event_values" -> Queries.pivotEventValuesSql,
     "semi_anti_customers" -> Queries.semiAntiCustomersSql,
+    "value_percentiles" -> Queries.valuePercentilesSql,
     "distinct_users_daily" -> Queries.distinctUsersDailySql,
     "dedup_exact" -> Queries.dedupExactSql,
     "dedup_exact_normalized" -> Queries.dedupExactNormalizedSql,
     "dedup_minhash" -> Queries.dedupMinhashSql,
     "dedup_clusters" -> Queries.dedupClustersSql,
     "dedup_jaccard_exact" -> Queries.dedupJaccardExactSql,
+    "dedup_levenshtein" -> Queries.dedupLevenshteinSql,
     "dedup_embedding" -> Queries.dedupEmbeddingSql,
     "ann_topk" -> Queries.annTopkSql,
     "multimodal_meta" -> Queries.multimodalMetaSql,
