@@ -812,6 +812,33 @@ object Queries {
        FROM documents WHERE doc_id < 100 ORDER BY doc_id"""
   }
 
+  /** Gopher-style repetition signal: fraction of duplicated word 3-grams
+    * (1 − distinct/total). High values flag boilerplate/spam for LLM
+    * training-data filtering. int/int doubles throughout.
+    */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val words = TextAnalysis.wordCount(TextAnalysis.normalize(col("text")))
+    val total = when(words >= 3, words - 2).otherwise(lit(1)).cast("long")
+    val distinctSh = size(Dedup.shingles(col("text"), 3)).cast("long")
+    documents(s, dir).where(col("doc_id") < 200)
+      .select(col("doc_id"), total.as("total_3g"), distinctSh.as("distinct_3g"),
+        (lit(1.0) - distinctSh.cast("double") / total.cast("double"))
+          .as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textRepetitionSql: String =
+    s"""SELECT doc_id,
+       CAST(CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 1 END AS BIGINT)
+         AS total_3g,
+       CAST(len($shingleSql) AS BIGINT) AS distinct_3g,
+       1.0 - CAST(len($shingleSql) AS DOUBLE)
+           / CAST(CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 1 END AS DOUBLE)
+         AS dup_frac
+       FROM (SELECT doc_id, string_split($normalizeSql, ' ') AS w
+             FROM documents WHERE doc_id < 200)
+       ORDER BY doc_id"""
+
   def fingerprintQ(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).where(col("doc_id") < 50)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))

@@ -84,6 +84,7 @@ object SparkEntry {
     "text_tokens" -> (Queries.textTokens _),
     "lang_id" -> (Queries.langId _),
     "quality_score" -> (Queries.qualityScore _),
+    "text_repetition" -> (Queries.textRepetition _),
     "fingerprint" -> (Queries.fingerprintQ _),
   )
 
@@ -132,6 +133,7 @@ object SparkEntry {
     "text_tokens" -> Queries.textTokensSql,
     "lang_id" -> Queries.langIdSql,
     "quality_score" -> Queries.qualityScoreSql,
+    "text_repetition" -> Queries.textRepetitionSql,
     "fingerprint" -> Queries.fingerprintSql,
   )
 }
