@@ -54,6 +54,9 @@ object TimePartitioning {
 
   /** Exact 64-bit integer division (SQL `div` / IntegralDivide) — never
     * floating point, so bucket ids are exact and cross-engine reproducible.
+    * Truncates toward zero, exactly like the reference's Java `/`
+    * (`TimestampPartitioning.java:68-71`) and DuckDB's `//`, so pre-1970
+    * timestamps bucket identically in all three.
     */
   private def floorDiv(a: Column, b: Long): Column =
     call_function("div", a, lit(b))

@@ -34,6 +34,16 @@ class TimePartitioningSpec extends AnyFunSuite with SparkFixture {
     (0 until 4).foreach(i => assert(row.getLong(i) === t / 3600))
   }
 
+  test("pre-1970 timestamps truncate toward zero like the reference's Java /") {
+    // 1969-12-31 23:00:00Z = -3600 s → -3600/3600 = -1 (Java truncation)
+    val df = Seq("1969-12-31 23:00:00", "1969-12-31 23:59:59").toDF("s")
+      .select(to_timestamp($"s").as("ts"))
+    val buckets = df.select(TimePartitioning.bucket($"ts", Hour))
+      .collect().map(_.getLong(0))
+    assert(buckets(0) === -1L)
+    assert(buckets(1) === 0L) // -1 s / 3600 truncates to 0, as in Java
+  }
+
   test("unit parsing matches the reference's config errors") {
     assert(BucketUnit.of("hour") === Hour)
     assert(BucketUnit.of("day") === Day)
