@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -21,19 +21,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * fewer than n tokens ⇒ one shingle = the whole string; otherwise the
   * distinct n-grams in first-occurrence order.
   */
-case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType && n >= 1) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"word_shingles requires a string input and n >= 1, got " +
-        s"${child.dataType.simpleString}, n=$n")
-
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+/** Static kernel shared by interpreted eval and generated code. */
+object WordShinglesKernel {
+  def compute(input: UTF8String, n: Int): ArrayData = {
+    val text = input.toString
     val toks = text.split(" ")
     if (toks.length < n) {
       new GenericArrayData(Array[Any](UTF8String.fromString(text)))
@@ -60,6 +51,25 @@ case class WordShingles(child: Expression, n: Int)
       new GenericArrayData(out)
     }
   }
+}
+
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && n >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_shingles requires a string input and n >= 1, got " +
+        s"${child.dataType.simpleString}, n=$n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    WordShinglesKernel.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordShinglesKernel.compute($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
