@@ -263,8 +263,10 @@ object Queries {
     val c = customer(s, dir).where(col("c_mktsegment") === "BUILDING")
     val o = orders(s, dir).where(col("o_orderdate") < to_timestamp(lit("1997-06-01")))
     val l = lineitem(s, dir)
+    // no broadcast hint: customer scales with the data — AQE picks
+    // broadcast at small SF and shuffle at scale from runtime stats
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"))
       .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
         .cast("double").as("revenue"))
@@ -305,9 +307,12 @@ object Queries {
        JOIN region ON n_regionkey = r_regionkey
        GROUP BY r_name, n_name ORDER BY r_name, n_name"""
 
+  /** Dim join: `part` scales with the data, so the broadcast decision is
+    * left to AQE's runtime statistics rather than a hard hint.
+    */
   def joinBroadcastPart(s: SparkSession, dir: String): DataFrame =
     lineitem(s, dir)
-      .join(broadcast(part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .join(part(s, dir), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_items"),
         sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
