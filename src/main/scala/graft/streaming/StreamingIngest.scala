@@ -35,6 +35,16 @@ object StreamingIngest {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: drop rows whose key was already seen, with
+    * state bounded by the event-time watermark (keys older than the
+    * watermark are forgotten — the streaming twin of `Dedup.exact`).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      tsCol: String = "ts", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCols :+ tsCol)
+
   /** Drain all currently-available input and stop (`Trigger.AvailableNow`) —
     * batch-equivalent processing of a static directory; complete-mode memory
     * sink for assertion in tests.

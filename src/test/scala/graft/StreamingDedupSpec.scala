@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingIngest
+
+/** Streaming exact dedup: duplicate keys are dropped across microbatches
+  * (state carries), and the watermark bounds the state.
+  */
+class StreamingDedupSpec extends AnyFunSuite with SparkFixture {
+
+  test("duplicates across microbatches are dropped while state is live") {
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long)](spark)
+    val stream = input.toDS().toDF("doc_key", "sec")
+      .select($"doc_key", timestamp_seconds($"sec").as("ts"))
+    val q = StreamingIngest.dedupStream(stream, Seq("doc_key"))
+      .writeStream.format("memory").queryName("graft_dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 100L), (2L, 120L), (1L, 100L)) // in-batch dup
+      q.processAllAvailable()
+      assert(spark.table("graft_dedup_stream").count() === 2)
+      input.addData((1L, 100L), (3L, 140L)) // cross-batch dup + new key
+      q.processAllAvailable()
+      val keys = spark.table("graft_dedup_stream")
+        .select($"doc_key").collect().map(_.getLong(0)).sorted
+      assert(keys.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+}
