@@ -882,7 +882,8 @@ object Queries {
         TextAnalysis.qualityScore(col("text")).as("score"))
       .orderBy(col("doc_id"))
 
-  val qualityScoreSql: String = {
+  /** DuckDB twin of TextAnalysis.qualityScore over a `text` column. */
+  private val qualityScoreExprSql: String = {
     val words = """len(string_split_regex(text, '\s+'))"""
     val wordsD = s"CAST($words AS DOUBLE)"
     val lengthTerm =
@@ -898,11 +899,15 @@ object Queries {
           ELSE CAST(len(list_filter(string_split_regex(text, '\s+'),
                  x -> list_contains(['the','a','of','and','to','in','is'], x)))
                AS DOUBLE) / $wordsD END"""
-    s"""SELECT doc_id, CAST($words AS BIGINT) AS words,
-       ($lengthTerm) * (1.0 - ($punctRatio))
-         * (CASE WHEN ($stopRatio) > 0.01 THEN 1.0 ELSE 0.5 END) AS score
-       FROM documents WHERE doc_id < 100 ORDER BY doc_id"""
+    s"""($lengthTerm) * (1.0 - ($punctRatio))
+         * (CASE WHEN ($stopRatio) > 0.01 THEN 1.0 ELSE 0.5 END)"""
   }
+
+  val qualityScoreSql: String =
+    s"""SELECT doc_id,
+       CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS words,
+       $qualityScoreExprSql AS score
+       FROM documents WHERE doc_id < 100 ORDER BY doc_id"""
 
   /** Gopher-style repetition signal: fraction of duplicated word 3-grams
     * (1 − distinct/total). High values flag boilerplate/spam for LLM
@@ -939,6 +944,114 @@ object Queries {
   val fingerprintSql: String =
     s"""SELECT doc_id, md5($normalizeSql) AS fp
        FROM documents WHERE doc_id < 50 ORDER BY doc_id"""
+
+  // ------------------------------------------- corpus curation operators --
+
+  /** Incremental ingest dedup: the odd-id half of `documents` arrives as a
+    * new batch and is deduplicated against the even-id corpus by content
+    * hash (anti-join on 16-byte fingerprints — see Dedup.incremental for
+    * the 100 TB shape).
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    Dedup.incremental(
+      incoming = d.where(pmod(col("doc_id"), lit(2)) === 1),
+      corpus = d.where(pmod(col("doc_id"), lit(2)) === 0),
+      col("doc_id"), col("text"))
+      .orderBy(col("fp"))
+  }
+
+  val dedupIncrementalSql: String =
+    """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+       FROM documents
+       WHERE doc_id % 2 = 1
+         AND md5(text) NOT IN (
+           SELECT DISTINCT md5(text) FROM documents WHERE doc_id % 2 = 0)
+       GROUP BY 1 ORDER BY fp"""
+
+  /** Changelog compaction: latest event per user via max_by hash-agg (no
+    * per-key sort — the oracle's window formulation is the semantic spec,
+    * not the plan).
+    */
+  def latestByKey(s: SparkSession, dir: String): DataFrame = {
+    val ord = struct(unix_micros(col("ts")).as("t_us"), col("event_id"))
+    Compaction.latestByKey(events(s, dir), col("user_id"), ord, Seq(
+        "last_t_us" -> unix_micros(col("ts")),
+        "last_event_id" -> col("event_id"),
+        "last_value" -> col("value")))
+      .withColumnRenamed("key", "user_id")
+      .orderBy(col("user_id"))
+  }
+
+  val latestByKeySql: String =
+    """SELECT user_id, t_us AS last_t_us, event_id AS last_event_id,
+       value AS last_value
+       FROM (
+         SELECT user_id, epoch_us(ts) AS t_us, event_id, value,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         FROM events)
+       WHERE rn = 1 ORDER BY user_id"""
+
+  /** Deterministic stratified sampling: keep 8/16 of English docs and 4/16
+    * of the rest, decided by the first md5 nibble of the content — same
+    * rows kept on every engine and every rerun (Sampling.scala).
+    */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedHashSample(documents(s, dir), col("text"),
+      col("lang"), cutoffs = Seq("en" -> 8), default = 4)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  val sampleStratifiedSql: String =
+    """SELECT doc_id, lang FROM documents
+       WHERE strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1
+         < CASE WHEN lang = 'en' THEN 8 ELSE 4 END
+       ORDER BY doc_id"""
+
+  /** Token-window chunking: 50-word training windows per document
+    * (Chunking.scala — narrow explode, no shuffle). Chunk text is output
+    * as md5 to keep the compare payload small.
+    */
+  def docChunking(s: SparkSession, dir: String): DataFrame =
+    Chunking.byWords(documents(s, dir).where(col("doc_id") < 200),
+      col("doc_id"), col("text"), chunkWords = 50)
+      .select(col("id").as("doc_id"), col("chunk_idx"), col("n_words"),
+        md5(col("chunk_text")).as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val docChunkingSql: String =
+    s"""SELECT doc_id, ci AS chunk_idx,
+       CAST(len(list_slice(w, ci * 50 + 1, ci * 50 + 50)) AS BIGINT)
+         AS n_words,
+       md5(array_to_string(list_slice(w, ci * 50 + 1, ci * 50 + 50), ' '))
+         AS chunk_fp
+       FROM (SELECT doc_id, string_split($normalizeSql, ' ') AS w
+             FROM documents WHERE doc_id < 200),
+         UNNEST(range(0, greatest(1, CAST(ceil(len(w) / 50.0) AS BIGINT))))
+           AS u(ci)
+       ORDER BY doc_id, chunk_idx"""
+
+  /** Quality banding: per-language ntile(4) over the quality score — the
+    * "keep the top quartile" curation cut, with a deterministic total
+    * order (score, doc_id).
+    */
+  def qualityBands(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").asc, col("doc_id").asc)
+    documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("score"))
+      .withColumn("band", ntile(4).over(w).cast("long"))
+      .select(col("doc_id"), col("lang"), col("band"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityBandsSql: String =
+    s"""SELECT doc_id, lang,
+       CAST(ntile(4) OVER (PARTITION BY lang
+         ORDER BY $qualityScoreExprSql ASC, doc_id ASC) AS BIGINT) AS band
+       FROM documents ORDER BY doc_id"""
 
   // -------------------------------------------------- L7 multimodal meta --
 

@@ -77,6 +77,12 @@ object SparkEntry {
     // L6 similarity search
     "ann_topk" -> (Queries.annTopk _),
     "ann_ivf" -> (Queries.annIvf _),
+    // corpus curation (incremental dedup, compaction, sampling, chunking)
+    "dedup_incremental" -> (Queries.dedupIncremental _),
+    "latest_by_key" -> (Queries.latestByKey _),
+    "sample_stratified" -> (Queries.sampleStratified _),
+    "doc_chunking" -> (Queries.docChunking _),
+    "quality_bands" -> (Queries.qualityBands _),
     // L7 multimodal
     "multimodal_meta" -> (Queries.multimodalMeta _),
     // L8-L11 text analysis
@@ -136,6 +142,11 @@ object SparkEntry {
     "dedup_levenshtein" -> Queries.dedupLevenshteinSql,
     "dedup_embedding" -> Queries.dedupEmbeddingSql,
     "ann_topk" -> Queries.annTopkSql,
+    "dedup_incremental" -> Queries.dedupIncrementalSql,
+    "latest_by_key" -> Queries.latestByKeySql,
+    "sample_stratified" -> Queries.sampleStratifiedSql,
+    "doc_chunking" -> Queries.docChunkingSql,
+    "quality_bands" -> Queries.qualityBandsSql,
     "multimodal_meta" -> Queries.multimodalMetaSql,
     "text_stats" -> Queries.textStatsSql,
     "text_tokens" -> Queries.textTokensSql,

@@ -31,6 +31,26 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col("id")).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Incremental dedup: deduplicate an incoming batch against an existing
+    * corpus — the shape of every recurring crawl/ingest. Both sides reduce
+    * to 16-byte content hashes BEFORE the anti-join, so at 100 TB the
+    * shuffle moves ~50 B/row no matter how large the documents are, and the
+    * corpus side is a pre-computable fingerprint table (at real scale: kept
+    * as a bucketed table or bloom-filter pushdown so only the incoming side
+    * shuffles).
+    *
+    * Output: one row per *new* content (not present in corpus), with the
+    * smallest incoming id and the within-batch duplicate count.
+    */
+  def incremental(incoming: DataFrame, corpus: DataFrame,
+      id: Column, text: Column): DataFrame = {
+    val corpusFps = corpus.select(md5(text).as("fp")).distinct()
+    incoming.select(md5(text).as("fp"), id.as("id"))
+      .join(corpusFps, Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("dup_count"))
+  }
+
   // ------------------------------------------------------------- shingles --
 
   /** Distinct word n-gram shingles of the normalized text — native one-pass

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.{Chunking, Compaction, Dedup, Sampling, TextAnalysis}
+
+/** Corpus-curation operators: incremental dedup, changelog compaction,
+  * deterministic sampling, token-window chunking.
+  */
+class CurationSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("incremental dedup keeps only content absent from the corpus") {
+    val corpus = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text")
+    val incoming = Seq((10L, "bb"), (11L, "cc"), (12L, "cc"), (13L, "dd"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incremental(incoming, corpus, $"doc_id", $"text")
+      .orderBy($"keep_id").collect()
+    // "bb" already in corpus; "cc" batch-dup keeps 11; "dd" new
+    assert(out.map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("dup_count")))
+      .toSeq === Seq((11L, 2L), (13L, 1L)))
+  }
+
+  test("latestByKey equals the window row_number formulation") {
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts").as("t_us"), $"event_id", $"value")
+    val viaAgg = Compaction.latestByKey(ev, $"user_id",
+        struct($"t_us", $"event_id"),
+        Seq("last_event_id" -> $"event_id", "last_value" -> $"value"))
+      .withColumnRenamed("key", "user_id")
+      .orderBy($"user_id").collect().toSeq
+    val w = Window.partitionBy($"user_id").orderBy($"t_us".desc, $"event_id".desc)
+    val viaWindow = ev.withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"user_id", $"event_id".as("last_event_id"),
+        $"value".as("last_value"))
+      .orderBy($"user_id").collect().toSeq
+    assert(viaAgg === viaWindow)
+  }
+
+  test("hash sampling is deterministic and stratum-ratio shaped") {
+    val docs = Tables.documents(spark, sf)
+    val s1 = Sampling.stratifiedHashSample(docs, $"text", $"lang",
+      Seq("en" -> 8), default = 4).select($"doc_id").collect().toSeq
+    val s2 = Sampling.stratifiedHashSample(docs, $"text", $"lang",
+      Seq("en" -> 8), default = 4).select($"doc_id").collect().toSeq
+    assert(s1 === s2)
+    // a 16/16 cutoff keeps everything; 0 keeps nothing
+    assert(Sampling.hashSample(docs, $"text", lit(16)).count() === docs.count())
+    assert(Sampling.hashSample(docs, $"text", lit(0)).count() === 0L)
+  }
+
+  test("chunking covers the document exactly, in order, with no shuffle") {
+    val docs = Seq((1L, ("w " * 120).trim), (2L, "a b c"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = Chunking.byWords(docs, $"doc_id", $"text", chunkWords = 50)
+    val rows = out.orderBy($"id", $"chunk_idx").collect()
+    // 120 words -> 3 chunks (50/50/20); 3 words -> 1; empty -> 1
+    assert(rows.map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_words")))
+      .toSeq === Seq((1L, 50L), (1L, 50L), (1L, 20L), (2L, 3L), (3L, 1L)))
+    // chunks reassemble to the normalized text
+    val reassembled = out.groupBy($"id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct($"chunk_idx", $"chunk_text"))),
+        s => s.getField("chunk_text")), " ").as("t"))
+      .orderBy($"id").collect().map(_.getString(1)).toSeq
+    val expected = docs.orderBy($"doc_id")
+      .select(TextAnalysis.normalize($"text")).collect().map(_.getString(0)).toSeq
+    assert(reassembled === expected)
+    // narrow plan: no exchange anywhere
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+}
