@@ -1053,6 +1053,82 @@ object Queries {
          ORDER BY $qualityScoreExprSql ASC, doc_id ASC) AS BIGINT) AS band
        FROM documents ORDER BY doc_id"""
 
+  /** TF-IDF-style top terms per language. The idf stays a log-free
+    * `n_docs / df` ratio so every score is an IEEE-exact int/int double —
+    * `ln` is libm-dependent and would break cross-engine bit equality
+    * (SURVEY §6). The corpus size joins in as a broadcast single-row agg,
+    * not a driver-side collect.
+    */
+  def tfidfTopterms(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir)
+      .select(col("lang"), col("doc_id"),
+        explode(TextAnalysis.tokens(TextAnalysis.normalize(col("text"))))
+          .as("term"))
+    val tf = toks.groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col("term"), col("doc_id")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val total = documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val score = col("tf").cast("double") *
+      (col("n_docs").cast("double") / col("df").cast("double"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term").crossJoin(broadcast(total))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 5)
+      .select(col("lang"), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  val tfidfToptermsSql: String =
+    s"""WITH toks AS (
+         SELECT lang, doc_id,
+           unnest(string_split($normalizeSql, ' ')) AS term
+         FROM documents),
+       tf AS (SELECT lang, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+         FROM toks GROUP BY 1),
+       n AS (SELECT COUNT(*) AS n_docs FROM documents)
+       SELECT lang, term, tf, df, score, rank FROM (
+         SELECT lang, term, tf, df,
+           CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+             AS score,
+           CAST(row_number() OVER (PARTITION BY lang
+             ORDER BY CAST(tf AS DOUBLE)
+               * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) DESC, term)
+             AS BIGINT) AS rank
+         FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+       WHERE rank <= 5 ORDER BY lang, rank"""
+
+  /** Bounded range join: clicks within ±5 min of each error event, same
+    * user. See RangeJoin.scala for why the bin-and-probe shape beats the
+    * naive |Δt| ≤ W join at scale; the oracle IS that naive join.
+    */
+  def rangeJoinCounts(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    RangeJoin.countWithin(
+        left = ev.where(col("event_type") === "error"),
+        lKey = col("user_id"), lTime = unix_micros(col("ts")),
+        lId = col("event_id"),
+        right = ev.where(col("event_type") === "click"),
+        rKey = col("user_id"), rTime = unix_micros(col("ts")),
+        windowUs = 300L * 1000000L)
+      .withColumnRenamed("id", "event_id")
+      .withColumnRenamed("n_matches", "n_clicks")
+      .orderBy(col("event_id"))
+  }
+
+  val rangeJoinCountsSql: String =
+    """SELECT e.event_id, CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks
+       FROM (SELECT event_id, user_id, epoch_us(ts) AS te FROM events
+             WHERE event_type = 'error') e
+       LEFT JOIN (SELECT user_id, event_id, epoch_us(ts) AS tc FROM events
+             WHERE event_type = 'click') c
+         ON e.user_id = c.user_id AND abs(e.te - c.tc) <= 300000000
+       GROUP BY 1 ORDER BY e.event_id"""
+
   // -------------------------------------------------- L7 multimodal meta --
 
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =

@@ -83,6 +83,8 @@ object SparkEntry {
     "sample_stratified" -> (Queries.sampleStratified _),
     "doc_chunking" -> (Queries.docChunking _),
     "quality_bands" -> (Queries.qualityBands _),
+    "tfidf_topterms" -> (Queries.tfidfTopterms _),
+    "range_join_counts" -> (Queries.rangeJoinCounts _),
     // L7 multimodal
     "multimodal_meta" -> (Queries.multimodalMeta _),
     // L8-L11 text analysis
@@ -147,6 +149,8 @@ object SparkEntry {
     "sample_stratified" -> Queries.sampleStratifiedSql,
     "doc_chunking" -> Queries.docChunkingSql,
     "quality_bands" -> Queries.qualityBandsSql,
+    "tfidf_topterms" -> Queries.tfidfToptermsSql,
+    "range_join_counts" -> Queries.rangeJoinCountsSql,
     "multimodal_meta" -> Queries.multimodalMetaSql,
     "text_stats" -> Queries.textStatsSql,
     "text_tokens" -> Queries.textTokensSql,
