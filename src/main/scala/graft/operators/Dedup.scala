@@ -87,39 +87,19 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash --
 
-  /** Fixed affine "permutations" h_i(x) = a_i*x + b_i over the xxhash64 token
-    * hash (64-bit wrap-around). Odd multipliers ⇒ bijective mod 2^64.
-    * Derived from splitmix64 so they are reproducible constants, not RNG.
-    */
-  private def mixers(k: Int): Seq[(Long, Long)] = {
-    var state = 0x9E3779B97F4A7C15L
-    def next(): Long = {
-      state += 0x9E3779B97F4A7C15L
-      var z = state
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
-    Seq.fill(k)((next() | 1L, next()))
-  }
-
-  /** MinHash signatures in the *exploded* shape: one row per (doc, shingle)
-    * → xxhash64 once → k affine maps as k tiny agg expressions in ONE
-    * groupBy(id). This is both the 100 TB shape (narrow shuffle rows, one
-    * aggregation) and the Catalyst-friendly shape — building the signature
-    * as 64 nested `transform` lambdas over an inlined shingle expression
-    * blows the optimizer up quadratically.
+  /** MinHash signatures via the native one-pass kernel
+    * ([[graft.functions.MinHashSlots]]): all k affine-map minima fold per
+    * document inside one narrow codegen'd expression — no explode, no
+    * groupBy shuffle, no k-column aggregation buffer. At 100 TB signature
+    * computation is a pure map over the scan.
     *
     * Output: (id, m0..m{k-1}) — one long column per signature slot.
     */
   def minhashSigs(shingled: DataFrame, k: Int): DataFrame = {
-    val exploded = shingled
-      .select(col("id"), explode(col("sh")).as("shingle"))
-      .select(col("id"), xxhash64(col("shingle")).as("h"))
-    val aggs = mixers(k).zipWithIndex.map { case ((a, b), i) =>
-      min(col("h") * lit(a) + lit(b)).as(s"m$i")
-    }
-    exploded.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val sig = graft.functions.MinhashFunctions.minhashSlots(col("sh"), k)
+    shingled.select(col("id"), sig.as("sig"))
+      .select(col("id") +:
+        (0 until k).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
   }
 
   /** MinHash+LSH near-dup pairs, exact-verified:
@@ -142,13 +122,21 @@ object Dedup {
     // the shingle table feeds banding AND both sides of the verify join —
     // cache it so the shingle/signature pipeline runs once, not four times
     val shingled = docs.select(id.as("id"), shingles(text, n).as("sh")).cache()
-    val sigs = minhashSigs(shingled, k)
+    // band keys straight off the signature array (no k-wide column fan-out:
+    // a 64-column projection on both sides of a self-join costs seconds of
+    // codegen alone), and the banded frame — b tiny rows per doc — cached
+    // so the self-join reads one InMemoryRelation instead of re-deriving
+    // the signature pipeline per side
+    val sigArr = shingled.select(col("id"),
+      graft.functions.MinhashFunctions.minhashSlots(col("sh"), k).as("sig"))
     val bandKeyCols = (0 until bands).map { b =>
-      val slots = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      val slots = (0 until rowsPerBand).map(r =>
+        element_at(col("sig"), b * rowsPerBand + r + 1))
       xxhash64((lit(b.toLong) +: slots): _*)
     }
-    val banded = sigs.select(col("id"),
+    val banded = sigArr.select(col("id"),
       posexplode(array(bandKeyCols: _*)).as(Seq("band_idx", "band_key")))
+      .cache()
     val candidates = banded.as("a")
       .join(banded.as("b"), Seq("band_idx", "band_key"))
       .where(col("a.id") < col("b.id"))
@@ -185,28 +173,18 @@ object Dedup {
 
   // -------------------------------------------------------------- simhash --
 
-  /** 64-bit SimHash per doc in the exploded shape: one row per (doc, token)
-    * → xxhash64 → 64 per-bit counting aggs in one groupBy(id); bit b of the
-    * result is 1 iff more token hashes have bit b set than clear. Same
-    * rationale as [[minhashSigs]]: k small agg expressions over narrow rows
-    * beat one giant nested-lambda expression.
+  /** 64-bit SimHash per doc via the native one-pass kernel
+    * ([[graft.functions.SimHash64]]): token xxhash64 → per-bit majority,
+    * all inside one narrow codegen'd expression — no explode, no shuffle,
+    * no 64-column aggregation buffer. At 100 TB the fingerprint stage is a
+    * pure map over the scan.
     *
     * Output: (id, sh64).
     */
-  def simhashTable(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val exploded = docs
-      .select(id.as("id"),
-        explode(TextAnalysis.tokens(TextAnalysis.normalize(text))).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("h"))
-    val bitCounts = (0 until 64).map(b =>
-      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"c$b"))
-    val counted = exploded.groupBy(col("id"))
-      .agg(count(lit(1)).as("n"), bitCounts: _*)
-    val sh64 = (0 until 64).map(b =>
-      when(col(s"c$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    counted.select(col("id"), sh64.as("sh64"))
-  }
+  def simhashTable(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("id"),
+      graft.functions.SimhashFunctions
+        .simhash64(TextAnalysis.normalize(text)).as("sh64"))
 
   /** SimHash candidate pairs with hamming distance ≤ maxDist.
     *
@@ -221,7 +199,10 @@ object Dedup {
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
       maxDist: Int = 15): DataFrame = {
     require(maxDist <= 15, "banding guarantees recall only for maxDist <= 15")
-    val s = simhashTable(docs, id, text)
+    // both join sides derive from the 64-agg simhash subtree; cache it so
+    // the plan holds one InMemoryRelation, not two inlined agg pipelines
+    // (which also bloats optimizer time quadratically)
+    val s = simhashTable(docs, id, text).cache()
     val bands = 8
     val chunkOf = (b: Int) =>
       shiftright(col("sh64"), b * 8).bitwiseAND(lit(0xFFL))
@@ -239,11 +220,28 @@ object Dedup {
       col("id").as("id_a"), col("sh64").as("h_a"))
     val bSide = probeSide.select(col("q_idx"), col("q_key"),
       col("id").as("id_b"), col("sh64").as("h_b"))
-    aSide.join(bSide, Seq("q_idx", "q_key"))
-      .where(col("id_a") < col("id_b"))
-      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
-      .where(col("hamming") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("hamming")).distinct()
+    // A pair within the hamming budget can collide in several bands (and,
+    // when its chunks are equal, via the exact key in each). Emitting it
+    // only from its *canonical* band — the lowest band where the two
+    // chunks differ by ≤ 1 bit — makes every pair surface exactly once,
+    // so no distinct pass over the (large) match stream is needed.
+    val x = col("h_a").bitwiseXOR(col("h_b"))
+    def chunkPop(b: Int): Column =
+      bit_count(shiftright(x, b * 8).bitwiseAND(lit(0xFFL)))
+    val canonicalBand = (0 until bands).foldRight(lit(bands): Column) {
+      (b, els) => when(chunkPop(b) <= 1, lit(b)).otherwise(els)
+    }
+    // clustered corpora make some chunk values corpus-hot; a sort-merge
+    // join would buffer each mega key-group and grind it on one core.
+    // A shuffled hash join streams probes against a per-partition hashmap
+    // and evaluates all predicates during the probe, so nothing wider
+    // than the qualifying pairs ever materializes.
+    aSide.hint("shuffle_hash").join(bSide,
+        aSide("q_idx") === bSide("q_idx") && aSide("q_key") === bSide("q_key")
+          && col("id_a") < col("id_b")
+          && bit_count(x) <= maxDist
+          && canonicalBand === aSide("q_idx"))
+      .select(col("id_a"), col("id_b"), bit_count(x).as("hamming"))
   }
 
   /** SimHash-LSH near-dup dedup, exact-verified: simhash candidates
@@ -278,11 +276,16 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
-    var labels = ids.select(col("id"), col("id").as("root")).localCheckpoint()
+    // only nodes that touch an edge can ever change label — iterate over
+    // that (near-dup-sized) subgraph and union the untouched majority back
+    // at the end. At 100 TB the iteration frames are |dup pairs|-sized, not
+    // corpus-sized.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("root")).localCheckpoint()
     // min-label propagation decreases sum(root) monotonically; an unchanged
     // sum means a fixpoint — a single-agg convergence probe, no self-join
     def rootSum(df: DataFrame): Long =
-      df.agg(sum(col("root"))).head().getLong(0)
+      df.agg(coalesce(sum(col("root")), lit(0L))).head().getLong(0)
     var prevSum = rootSum(labels)
     var iter = 0
     var converged = false
@@ -298,7 +301,9 @@ object Dedup {
       prevSum = s
       iter += 1
     }
-    labels
+    // untouched nodes are their own root
+    ids.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("root"))
   }
 
   // ---------------------------------------------------- embedding near-dup --

@@ -15,8 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  /** Assign each vector to its max-cosine centroid cell. `centroids` must be
-    * small (broadcast); returns (id, vec, cell).
+  /** Assign each vector to its max-cosine centroid cell (tie → lowest cell
+    * id). `centroids` must be small (broadcast); returns (id, vec, cell).
+    *
+    * The argmax is a hash aggregation (`max` of an ordering struct), not a
+    * window: no per-vector sort, map-side partial aggregation, and at
+    * 100 TB the corpus-wide assignment never shuffles more than one row
+    * per vector.
     */
   def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val scored = vectors.select(col("id"), col("vec"))
@@ -24,12 +29,9 @@ object IvfIndex {
         col("id").as("cell"), col("vec").as("c_vec"))))
       .select(col("id"), col("vec"), col("cell"),
         Similarity.cosine(col("vec"), col("c_vec")).as("aff"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("aff").desc, col("cell").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("id"), col("vec"), col("cell"))
+    scored.groupBy(col("id"), col("vec"))
+      .agg(max(struct(col("aff"), (lit(0L) - col("cell")).as("negc"))).as("m"))
+      .select(col("id"), col("vec"), (lit(0L) - col("m.negc")).as("cell"))
   }
 
   /** Deterministic coarse centroids: the `nCells` lowest-id vectors. */
