@@ -945,6 +945,58 @@ object Queries {
     s"""SELECT doc_id, md5($normalizeSql) AS fp
        FROM documents WHERE doc_id < 50 ORDER BY doc_id"""
 
+  /** 7-day moving average of daily order revenue — a ROWS-frame window over
+    * the *aggregated* daily series (bounded rows), so the global-ordered
+    * window is cheap; the decimal-exact running sum divides by the frame
+    * count only at the end.
+    */
+  def movingAvg(s: SparkSession, dir: String): DataFrame = {
+    val daily = orders(s, dir)
+      .groupBy(dayBucket(col("o_orderdate")).as("day"))
+      .agg(sum(dec2(col("o_totalprice"))).as("total_dec"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
+    daily.select(col("day"), col("total_dec").cast("double").as("total"),
+        (sum(col("total_dec")).over(w).cast("double")
+          / count(lit(1)).over(w).cast("double")).as("avg7"))
+      .orderBy(col("day"))
+  }
+
+  val movingAvgSql: String =
+    """SELECT day, CAST(total_dec AS DOUBLE) AS total,
+       CAST(SUM(total_dec) OVER w AS DOUBLE)
+         / CAST(COUNT(*) OVER w AS DOUBLE) AS avg7
+       FROM (
+         SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_dec
+         FROM orders GROUP BY 1)
+       WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+       ORDER BY day"""
+
+  /** ANSI set operations (EXCEPT / INTERSECT, both set-distinct). */
+  def exceptIntersect(s: SparkSession, dir: String): DataFrame = {
+    val urgent = orders(s, dir).where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val finished = orders(s, dir).where(col("o_orderstatus") === "F")
+      .select(col("o_custkey"))
+    urgent.except(finished).select(col("o_custkey"), lit("only_urgent").as("kind"))
+      .unionByName(urgent.intersect(finished)
+        .select(col("o_custkey"), lit("both").as("kind")))
+      .orderBy(col("o_custkey"), col("kind"))
+  }
+
+  val exceptIntersectSql: String =
+    """SELECT o_custkey, kind FROM (
+         SELECT o_custkey, 'only_urgent' AS kind FROM (
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+           EXCEPT
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+         UNION ALL
+         SELECT o_custkey, 'both' AS kind FROM (
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+           INTERSECT
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))
+       ORDER BY o_custkey, kind"""
+
   // ------------------------------------------- corpus curation operators --
 
   /** Incremental ingest dedup: the odd-id half of `documents` arrives as a
@@ -974,7 +1026,10 @@ object Queries {
     * not the plan).
     */
   def latestByKey(s: SparkSession, dir: String): DataFrame = {
-    val ord = struct(unix_micros(col("ts")).as("t_us"), col("event_id"))
+    // (t_us, event_id) packed into one decimal: keeps the max_by buffer
+    // hash-aggregable (a struct ordering would demote to SortAggregate)
+    val ord = Compaction.packedOrd(unix_micros(col("ts")), col("event_id"),
+      minorDigits = 12)
     Compaction.latestByKey(events(s, dir), col("user_id"), ord, Seq(
         "last_t_us" -> unix_micros(col("ts")),
         "last_event_id" -> col("event_id"),

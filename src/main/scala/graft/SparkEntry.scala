@@ -62,6 +62,8 @@ object SparkEntry {
     "pivot_event_values" -> (Queries.pivotEventValues _),
     "semi_anti_customers" -> (Queries.semiAntiCustomers _),
     "value_percentiles" -> (Queries.valuePercentiles _),
+    "moving_avg" -> (Queries.movingAvg _),
+    "except_intersect" -> (Queries.exceptIntersect _),
     "distinct_users_daily" -> (Queries.distinctUsersDaily _),
     "approx_distinct_users" -> (Queries.approxDistinctUsers _),
     // L1 exact dedup
@@ -135,6 +137,8 @@ object SparkEntry {
     "pivot_event_values" -> Queries.pivotEventValuesSql,
     "semi_anti_customers" -> Queries.semiAntiCustomersSql,
     "value_percentiles" -> Queries.valuePercentilesSql,
+    "moving_avg" -> Queries.movingAvgSql,
+    "except_intersect" -> Queries.exceptIntersectSql,
     "distinct_users_daily" -> Queries.distinctUsersDailySql,
     "dedup_exact" -> Queries.dedupExactSql,
     "dedup_exact_normalized" -> Queries.dedupExactNormalizedSql,

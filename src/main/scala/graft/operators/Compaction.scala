@@ -14,9 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object Compaction {
 
-  /** Latest row per key by `ord` (a struct column for compound orderings —
-    * make it total, e.g. include a unique id, so ties are impossible and
-    * results deterministic). `payload` columns are carried via max_by.
+  /** Latest row per key by `ord`. Make the ordering total (e.g. fold a
+    * unique id into it) so ties are impossible and results deterministic.
+    *
+    * `ord` should be a single fixed-width orderable column (long/decimal):
+    * those keep the max_by buffer hash-aggregable. A struct ordering works
+    * but silently demotes the whole aggregation to SortAggregate — local
+    * per-partition sorts of all data — which is the plan this operator
+    * exists to avoid; pack compound orderings into a decimal instead
+    * (exact up to 38 digits).
     */
   def latestByKey(df: DataFrame, key: Column, ord: Column,
       payload: Seq[(String, Column)]): DataFrame =
@@ -24,4 +30,12 @@ object Compaction {
       .agg(max(ord).as("_ord"),
         payload.map { case (n, c) => max_by(c, ord).as(n) }: _*)
       .drop("_ord")
+
+  /** Exact decimal packing for two-part orderings: `major * 10^minorDigits
+    * + minor`, both non-negative, `minor < 10^minorDigits`. Keeps max_by
+    * hash-aggregable where a struct would not be.
+    */
+  def packedOrd(major: Column, minor: Column, minorDigits: Int): Column =
+    major.cast("decimal(38,0)") * lit(math.pow(10, minorDigits).toLong)
+      .cast("decimal(38,0)") + minor.cast("decimal(38,0)")
 }

@@ -38,6 +38,36 @@ object IvfIndex {
   def seedCentroids(vectors: DataFrame, nCells: Int): DataFrame =
     vectors.select(col("id"), col("vec")).orderBy(col("id")).limit(nCells)
 
+  /** Deterministic Lloyd (k-means) refinement of the seed centroids:
+    * `rounds` iterations of assign → per-cell dimension means. Cells keep
+    * their seed ids; a cell that loses every member keeps its previous
+    * centroid. Refinement only moves cell *boundaries* — in-cell search
+    * stays exact — but balanced cells mean balanced probe work at scale.
+    * Each round is two shuffles (assignment agg + mean agg) over
+    * (cell, dim, value) triples; `localCheckpoint` truncates the
+    * per-round lineage.
+    */
+  def refine(vectors: DataFrame, nCells: Int, rounds: Int): DataFrame = {
+    // widen to double once so refined means coalesce type-cleanly
+    var cent = seedCentroids(vectors, nCells)
+      .select(col("id"), transform(col("vec"), x => x.cast("double")).as("vec"))
+      .localCheckpoint()
+    for (_ <- 0 until rounds) {
+      val means = assign(vectors, cent)
+        .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "v")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("sm"))
+        .select(col("cell").as("id"),
+          transform(col("sm"), s => s.getField("m")).as("mean_vec"))
+      cent = cent.join(means, Seq("id"), "left")
+        .select(col("id"), coalesce(col("mean_vec"), col("vec")).as("vec"))
+        .localCheckpoint()
+    }
+    cent
+  }
+
   /** Top-k neighbors searching only each query's `nprobe` best cells. */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCells: Int, nprobe: Int): DataFrame = {

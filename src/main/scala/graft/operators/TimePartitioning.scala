@@ -87,6 +87,24 @@ object TimePartitioning {
       aggs: Seq[Column]): DataFrame =
     df.groupBy(bucketCol.as("bucket")).agg(aggs.head, aggs.tail: _*)
 
+  /** Pick the skew split factor from the data instead of a static knob: one
+    * map-side-combined count per bucket (the cheapest possible statistic —
+    * its shuffle rows are one counter per bucket per task), then
+    * `split = ceil(maxBucketRows / targetRowsPerPartial)`. AQE splits
+    * skewed *join* partitions at runtime, but same-key aggregation rows
+    * must meet in one task unless the agg is staged — which is exactly
+    * what [[aggregateByBucketSalted]] does with this factor. The
+    * reference's `map_side_partition_split` is the same idea as a
+    * hand-tuned config (`TimestampPartitioning.java:45`).
+    */
+  def autoSplit(df: DataFrame, bucketCol: Column,
+      targetRowsPerPartial: Long = 2000000L): Int = {
+    val mx = df.groupBy(bucketCol.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
+    math.max(1L, (mx + targetRowsPerPartial - 1) / targetRowsPerPartial).toInt
+  }
+
   /** Skew-split variant of [[aggregateByBucket]]: partial agg per
     * (bucket, salt) then final agg per bucket. With `split = 1` this planwise
     * degenerates to the single-stage agg; results are identical for any

@@ -69,6 +69,48 @@ class ExtrasSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("IVF k-means refinement: deterministic, keeps cell ids, exact search") {
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val r1 = IvfIndex.refine(e, nCells = 8, rounds = 2)
+      .orderBy($"id").collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val r2 = IvfIndex.refine(e, nCells = 8, rounds = 2)
+      .orderBy($"id").collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    assert(r1.toSeq === r2.toSeq)                    // deterministic
+    assert(r1.map(_._1).toSeq === (0L until 8L))     // seed ids preserved
+    assert(r1.forall(_._2.length === 64))            // dimensionality kept
+    // refined centroids still drive an exact-in-cell search
+    val refined = IvfIndex.refine(e, nCells = 8, rounds = 1)
+    val assigned = IvfIndex.assign(e, refined)
+    assert(assigned.count() === e.count())
+    val brute = graft.operators.Similarity
+      .bruteForceTopK(e.where($"id" < 3), e, k = 50)
+      .select($"query_id", $"neighbor_id", $"cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val withRefined = {
+      val probes = e.where($"id" < 3)
+      // same search path as annTopK but against refined centroids
+      val idx = IvfIndex.assign(e, refined)
+      probes.select($"id".as("query_id"), $"vec".as("q_vec"))
+        .crossJoin(broadcast(refined.select($"id".as("cell"), $"vec".as("c_vec"))))
+        .select($"query_id", $"q_vec", $"cell",
+          graft.operators.Similarity.cosine($"q_vec", $"c_vec").as("aff"))
+        .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+          .Window.partitionBy($"query_id").orderBy($"aff".desc, $"cell")))
+        .where($"rn" <= 3).select($"query_id", $"q_vec", $"cell")
+        .join(idx, "cell").where($"query_id" =!= $"id")
+        .select($"query_id",
+          $"id".as("neighbor_id"),
+          graft.operators.Similarity.cosine($"q_vec", $"vec").as("cos"))
+        .collect()
+    }
+    assert(withRefined.nonEmpty)
+    withRefined.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(1)))
+        .foreach(want => assert(r.getDouble(2) === want))
+    }
+  }
+
   test("mapPartitions batch decode: deterministic, distributed, typed") {
     val payloads = Multimodal.withPayload(
       Tables.documents(spark, sf).limit(50), $"text", "image")

@@ -77,6 +77,26 @@ class TimePartitioningSpec extends AnyFunSuite with SparkFixture {
     assert(salted <= buckets * 4)
   }
 
+  test("autoSplit scales with the hottest bucket and never drops below 1") {
+    import spark.implicits._
+    val skewed = (1L to 1000L).map(i => (if (i <= 900) 0L else i, i))
+      .toDF("b", "v")
+    // hottest bucket holds 900 rows; 100-row partial target -> 9 splits
+    assert(TimePartitioning.autoSplit(skewed, $"b", 100L) === 9)
+    // uniform tiny data stays unsalted
+    assert(TimePartitioning.autoSplit(skewed, $"v", 100L) === 1)
+    assert(TimePartitioning.autoSplit(skewed.limit(0), $"b", 100L) === 1)
+    // the auto-picked split produces identical results to unsalted agg
+    val split = TimePartitioning.autoSplit(skewed, $"b", 100L)
+    val salted = TimePartitioning.aggregateByBucketSalted(skewed, $"b", $"v",
+        split, partial = Seq(sum($"v").as("ps")),
+        finalAggs = Seq(sum($"ps").as("s")))
+      .orderBy($"bucket").collect().toSeq
+    val plain = skewed.groupBy($"b".as("bucket")).agg(sum($"v").as("s"))
+      .orderBy($"bucket").collect().toSeq
+    assert(salted === plain)
+  }
+
   test("partitioned write produces one directory per bucket (reduce-side output)") {
     val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
     val ev = Tables.events(spark, sf)
