@@ -1087,6 +1087,36 @@ object Queries {
            AS u(ci)
        ORDER BY doc_id, chunk_idx"""
 
+  /** Sequence packing: chunks → fixed 512-word training sequences by
+    * contiguous fill. graft computes the global prefix sum two-level
+    * (per-range-partition cumsum + broadcast offsets); the oracle IS the
+    * single global window the two-level form provably equals.
+    */
+  def docPacking(s: SparkSession, dir: String): DataFrame = {
+    val chunks = Chunking.byWords(documents(s, dir).where(col("doc_id") < 200),
+      col("doc_id"), col("text"), chunkWords = 50)
+    Chunking.packByBudget(chunks, Seq(col("id"), col("chunk_idx")),
+        col("n_words"), budgetWords = 512L)
+      .select(col("id").as("doc_id"), col("chunk_idx"), col("n_words"),
+        col("pack_id"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val docPackingSql: String =
+    s"""SELECT doc_id, chunk_idx, n_words,
+       CAST(COALESCE(SUM(n_words) OVER (ORDER BY doc_id, chunk_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+         AS BIGINT) AS pack_id
+       FROM (
+         SELECT doc_id, ci AS chunk_idx,
+           CAST(len(list_slice(w, ci * 50 + 1, ci * 50 + 50)) AS BIGINT)
+             AS n_words
+         FROM (SELECT doc_id, string_split($normalizeSql, ' ') AS w
+               FROM documents WHERE doc_id < 200),
+           UNNEST(range(0, greatest(1, CAST(ceil(len(w) / 50.0) AS BIGINT))))
+             AS u(ci))
+       ORDER BY doc_id, chunk_idx"""
+
   /** Quality banding: per-language ntile(4) over the quality score — the
     * "keep the top quartile" curation cut, with a deterministic total
     * order (score, doc_id).

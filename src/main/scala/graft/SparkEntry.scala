@@ -84,6 +84,7 @@ object SparkEntry {
     "latest_by_key" -> (Queries.latestByKey _),
     "sample_stratified" -> (Queries.sampleStratified _),
     "doc_chunking" -> (Queries.docChunking _),
+    "doc_packing" -> (Queries.docPacking _),
     "quality_bands" -> (Queries.qualityBands _),
     "tfidf_topterms" -> (Queries.tfidfTopterms _),
     "range_join_counts" -> (Queries.rangeJoinCounts _),
@@ -152,6 +153,7 @@ object SparkEntry {
     "latest_by_key" -> Queries.latestByKeySql,
     "sample_stratified" -> Queries.sampleStratifiedSql,
     "doc_chunking" -> Queries.docChunkingSql,
+    "doc_packing" -> Queries.docPackingSql,
     "quality_bands" -> Queries.qualityBandsSql,
     "tfidf_topterms" -> Queries.tfidfToptermsSql,
     "range_join_counts" -> Queries.rangeJoinCountsSql,

@@ -14,6 +14,44 @@ import org.apache.spark.sql.functions._
   */
 object Chunking {
 
+  /** Assign chunks to fixed-budget training sequences ("packs") by
+    * contiguous fill in a deterministic global order:
+    * `pack_id = floor(exclusive_prefix_sum(words) / budget)`.
+    *
+    * The global prefix sum is computed two-level — per-range-partition
+    * window cumsum plus per-partition exclusive offsets — so no stage ever
+    * sees more than one partition's rows in one task, yet the assignment
+    * is exactly the single-ordered-window semantics and *independent* of
+    * partition boundaries (the oracle formulation IS the global window).
+    * The offsets are one scalar per partition (AQE-statistics-sized, not
+    * data-sized driver traffic).
+    */
+  def packByBudget(chunks: DataFrame, orderKeys: Seq[Column], words: Column,
+      budgetWords: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = chunks.repartitionByRange(orderKeys: _*)
+      .withColumn("_pid", spark_partition_id())
+    val wIn = Window.partitionBy(col("_pid")).orderBy(orderKeys.map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = ranged
+      .withColumn("_local_prior", coalesce(sum(words).over(wIn), lit(0L)))
+      .localCheckpoint()
+    val totals = withLocal.groupBy(col("_pid"))
+      .agg(sum(words).as("t")).orderBy(col("_pid"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
+      (pid, acc + t)
+    }.sliding(2).collect { case Array((_, acc), (pid, _)) => (pid, acc) }.toSeq
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    val offsetsDf = offsets.toDF("_pid", "_offset")
+    withLocal.join(broadcast(offsetsDf), "_pid")
+      .withColumn("pack_id",
+        call_function("div", col("_local_prior") + col("_offset"),
+          lit(budgetWords)))
+      .drop("_pid", "_local_prior", "_offset")
+  }
+
   /** Explode each document into chunks of `chunkWords` whitespace words.
     * Output: (id, chunk_idx, n_words, chunk_text).
     */

@@ -45,6 +45,39 @@ object StreamingIngest {
       .withWatermark(tsCol, watermark)
       .dropDuplicates(keyCols :+ tsCol)
 
+  /** Streaming incremental corpus dedup (`foreachBatch`) — the operational
+    * form of `Dedup.incremental` for a continuously-arriving corpus: each
+    * microbatch is content-hashed, deduplicated within the batch (keep the
+    * smallest id), anti-joined against the persistent fingerprint table,
+    * emitted to `outDir`, and its new fingerprints appended to `fpDir`.
+    * The fingerprint table holds 16-byte hashes only, so corpus state
+    * stays tiny no matter how large the documents are. Batch replays
+    * re-emit at most their own batch (fingerprint appends are
+    * content-keyed, so replayed fps dedupe on the next anti-join).
+    */
+  def incrementalDedupSink(docs: DataFrame, idCol: String, textCol: String,
+      fpDir: String, outDir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val hashed = batch
+          .select(md5(col(textCol)).as("fp"), col(idCol).as("id"))
+          .groupBy(col("fp")).agg(min(col("id")).as("keep_id"))
+        val corpus =
+          try spark.read.parquet(fpDir).select(col("fp"))
+          catch { case _: Exception =>
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              new StructType().add("fp", "string"))
+          }
+        val fresh = hashed.join(corpus, Seq("fp"), "left_anti")
+          .localCheckpoint() // two sinks below; don't recompute the anti-join
+        fresh.write.mode("append").parquet(outDir)
+        fresh.select(col("fp")).write.mode("append").parquet(fpDir)
+        ()
+      }
+      .start()
+
   /** Drain all currently-available input and stop (`Trigger.AvailableNow`) —
     * batch-equivalent processing of a static directory; complete-mode memory
     * sink for assertion in tests.

@@ -51,6 +51,31 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(Sampling.hashSample(docs, $"text", lit(0)).count() === 0L)
   }
 
+  test("packByBudget equals the global-window formulation, any partitioning") {
+    val docs = Tables.documents(spark, sf)
+    val chunks = Chunking.byWords(docs, $"doc_id", $"text", chunkWords = 50)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Chunking.packByBudget(df, Seq($"id", $"chunk_idx"), $"n_words", 512L)
+        .select($"id", $"chunk_idx", $"pack_id")
+        .orderBy($"id", $"chunk_idx").collect().toSeq
+    val base = run(chunks)
+    // partition-boundary independence: 1 and 7 partitions give identical packs
+    assert(run(chunks.repartition(7)) === base)
+    assert(run(chunks.coalesce(1)) === base)
+    // single global window spec
+    val w = Window.orderBy($"id", $"chunk_idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spec = chunks.withColumn("pack_id",
+        call_function("div", coalesce(sum($"n_words").over(w), lit(0L)), lit(512L)))
+      .select($"id", $"chunk_idx", $"pack_id")
+      .orderBy($"id", $"chunk_idx").collect().toSeq
+    assert(base === spec)
+    // packs are contiguous starting at 0
+    val packIds = base.map(_.getLong(2)).distinct
+    assert(packIds === (packIds.min to packIds.max))
+    assert(packIds.head === 0L)
+  }
+
   test("chunking covers the document exactly, in order, with no shuffle") {
     val docs = Seq((1L, ("w " * 120).trim), (2L, "a b c"), (3L, ""))
       .toDF("doc_id", "text")

@@ -29,4 +29,28 @@ class StreamingDedupSpec extends AnyFunSuite with SparkFixture {
       assert(keys.toSeq === Seq(1L, 2L, 3L))
     } finally q.stop()
   }
+
+  test("foreachBatch incremental dedup: corpus state carries across batches") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_incdedup_")
+    val fpDir = s"$tmp/fps"
+    val outDir = s"$tmp/out"
+    val input = MemoryStream[(Long, String)](spark)
+    val stream = input.toDS().toDF("doc_id", "text")
+    val q = StreamingIngest.incrementalDedupSink(
+      stream, "doc_id", "text", fpDir, outDir)
+    try {
+      input.addData((1L, "aa"), (2L, "bb"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(outDir).count() === 2)
+      // "bb" already in corpus; "cc" dups within batch -> keep id 3
+      input.addData((10L, "bb"), (3L, "cc"), (4L, "cc"), (5L, "dd"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(outDir)
+        .select($"keep_id").collect().map(_.getLong(0)).sorted
+      assert(out.toSeq === Seq(1L, 2L, 3L, 5L))
+      // fingerprint table holds exactly the distinct contents seen
+      assert(spark.read.parquet(fpDir).distinct().count() === 4)
+    } finally q.stop()
+  }
 }
