@@ -41,7 +41,9 @@ object ScaleSmoke {
     val flagships = Seq("q1_pricing", "q5_region_revenue", "partition_hour_ts",
       "partition_skew_split", "sessionize", "window_top_events",
       "dedup_exact", "dedup_minhash", "dedup_jaccard_exact",
-      "dedup_embedding", "ann_topk", "text_stats")
+      "dedup_embedding", "ann_topk", "text_stats",
+      "dedup_simhash", "dedup_incremental", "latest_by_key",
+      "range_join_counts", "doc_chunking", "doc_packing", "tfidf_topterms")
     spark.range(1000000L).selectExpr("sum(id)").collect() // warm
     val results = flagships.map { name =>
       val t0 = System.nanoTime()

@@ -44,6 +44,30 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(lsh === truth)
   }
 
+  test("text-group collapse: verbatim-dup corpus expands to all true pairs") {
+    // base corpus + 2 extra verbatim copies of every doc, re-keyed
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val amplified = (0 until 3).map(r =>
+      docs.withColumn("doc_id", $"doc_id" + lit(r * 1000000L)))
+      .reduce(_ unionByName _)
+    val got = Dedup.minhashPairs(amplified, $"doc_id", $"text", 0.5)
+      .select($"id_a", $"id_b", $"jac")
+      .orderBy($"id_a", $"id_b").collect().toSeq
+    // truth: exact blocked Jaccard over the same amplified corpus
+    val truth = Dedup.jaccardPairs(amplified, $"doc_id", $"text",
+        block = lit(1), threshold = 0.5)
+      .select($"id_a", $"id_b", $"jac")
+      .orderBy($"id_a", $"id_b").collect().toSeq
+    assert(got === truth)
+    // each original doc now pairs with its 2 verbatim copies at jac = 1
+    val nDocs = docs.count()
+    assert(got.count(_.getDouble(2) == 1.0) >= nDocs * 3)
+    val sim = Dedup.simhashNearDup(amplified, $"doc_id", $"text", 0.5)
+      .select($"id_a", $"id_b", $"jac")
+      .orderBy($"id_a", $"id_b").collect().toSeq
+    assert(sim === truth)
+  }
+
   test("clusters: min-label propagation closes transitive chains") {
     val ids = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
     // chain 1-2-3-4 (diameter 3) + isolated 5 and 9
