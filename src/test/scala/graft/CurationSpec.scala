@@ -22,6 +22,23 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
       .toSeq === Seq((11L, 2L), (13L, 1L)))
   }
 
+  test("bloom-pruned incremental dedup equals the plain anti-join") {
+    import graft.operators.BloomPrune
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val corpus = docs.where(pmod($"doc_id", lit(2)) === 0)
+    val incoming = docs.where(pmod($"doc_id", lit(2)) === 1)
+    val plain = Dedup.incremental(incoming, corpus, $"doc_id", $"text")
+      .orderBy($"fp").collect().toSeq
+    val pruned = BloomPrune.incrementalPruned(incoming, corpus,
+        $"doc_id", $"text", expectedCorpus = 10000L)
+      .orderBy($"fp").collect().toSeq
+    assert(pruned === plain)
+    // no false negatives: every corpus fp passes its own filter
+    val fps = corpus.select(md5($"text").as("fp"))
+    val bf = BloomPrune.buildFilter(fps, $"fp", 10000L)
+    assert(fps.where(!BloomPrune.mightContain(bf, $"fp")).count() === 0L)
+  }
+
   test("latestByKey equals the window row_number formulation") {
     val ev = Tables.events(spark, sf)
       .select($"user_id", unix_micros($"ts").as("t_us"), $"event_id", $"value")
