@@ -972,6 +972,68 @@ object Queries {
        WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
        ORDER BY day"""
 
+  /** Full-outer join: every customer and every order bucket survives,
+    * unmatched sides null-filled — the remaining join-type surface after
+    * inner/left/semi/anti/asof/range.
+    */
+  def joinFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val perCust = orders(s, dir).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("sum_total"))
+    customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_mktsegment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        col("sum_total"))
+      .orderBy(col("custkey"))
+  }
+
+  val joinFullOuterSql: String =
+    """SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_mktsegment,
+       COALESCE(n_orders, 0) AS n_orders, sum_total
+       FROM customer
+       FULL OUTER JOIN (
+         SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_total
+         FROM orders GROUP BY 1) o
+       ON c_custkey = o_custkey
+       ORDER BY custkey"""
+
+  /** Time-series gap filling: materialize every day between the corpus min
+    * and max and zero-fill days with no events. The day spine is a
+    * `sequence` explode off a single min/max agg row — no driver-side
+    * enumeration of keys, so the spine scales to any range on any
+    * executor.
+    */
+  def gapfillDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(dayBucket(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+    val spine = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy(col("day"))
+  }
+
+  val gapfillDailySql: String =
+    """WITH daily AS (
+         SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1),
+       spine AS (
+         SELECT UNNEST(range((SELECT MIN(day) FROM daily),
+                             (SELECT MAX(day) FROM daily) + 1)) AS day)
+       SELECT spine.day, COALESCE(n_events, 0) AS n_events,
+         COALESCE(sum_value, 0.0) AS sum_value
+       FROM spine LEFT JOIN daily ON spine.day = daily.day
+       ORDER BY spine.day"""
+
   /** ANSI set operations (EXCEPT / INTERSECT, both set-distinct). */
   def exceptIntersect(s: SparkSession, dir: String): DataFrame = {
     val urgent = orders(s, dir).where(col("o_orderpriority") === "1-URGENT")

@@ -64,6 +64,8 @@ object SparkEntry {
     "value_percentiles" -> (Queries.valuePercentiles _),
     "moving_avg" -> (Queries.movingAvg _),
     "except_intersect" -> (Queries.exceptIntersect _),
+    "join_full_outer" -> (Queries.joinFullOuter _),
+    "gapfill_daily" -> (Queries.gapfillDaily _),
     "distinct_users_daily" -> (Queries.distinctUsersDaily _),
     "approx_distinct_users" -> (Queries.approxDistinctUsers _),
     // L1 exact dedup
@@ -140,6 +142,8 @@ object SparkEntry {
     "value_percentiles" -> Queries.valuePercentilesSql,
     "moving_avg" -> Queries.movingAvgSql,
     "except_intersect" -> Queries.exceptIntersectSql,
+    "join_full_outer" -> Queries.joinFullOuterSql,
+    "gapfill_daily" -> Queries.gapfillDailySql,
     "distinct_users_daily" -> Queries.distinctUsersDailySql,
     "dedup_exact" -> Queries.dedupExactSql,
     "dedup_exact_normalized" -> Queries.dedupExactNormalizedSql,
