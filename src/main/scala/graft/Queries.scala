@@ -479,6 +479,28 @@ object Queries {
        COUNT(DISTINCT user_id) AS exact_users, true AS approx_ok
        FROM events GROUP BY 1 ORDER BY 1"""
 
+  /** Sketch-based percentiles (Greenwald-Khanna via `percentile_approx`).
+    * Like the HLL query, the sketch itself is engine-specific, so the
+    * oracle checks the *rank-error contract*: the approximate p-quantile
+    * must lie within the exact [p−ε, p+ε] quantile band (ε = 1/accuracy
+    * ≪ the 0.05 band used here).
+    */
+  def approxPercentiles(s: SparkSession, dir: String): DataFrame = {
+    def exact(p: Double) = expr(s"percentile(value, $p)")
+    def approxP(p: Double) = expr(s"percentile_approx(value, $p, 1000)")
+    def okFlag(p: Double) =
+      approxP(p) >= exact(p - 0.05) && approxP(p) <= exact(p + 0.05)
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), okFlag(0.5).as("p50_ok"),
+        okFlag(0.9).as("p90_ok"))
+      .orderBy(col("event_type"))
+  }
+
+  val approxPercentilesSql: String =
+    """SELECT event_type, COUNT(*) AS n, true AS p50_ok, true AS p90_ok
+       FROM events GROUP BY 1 ORDER BY 1"""
+
   /** Exact interpolated percentiles — Spark `percentile` and DuckDB
     * `quantile_cont` share the (p·(n−1)) linear-interpolation definition;
     * bit-equality verified by the oracle compare.
@@ -971,6 +993,30 @@ object Queries {
          FROM orders GROUP BY 1)
        WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
        ORDER BY day"""
+
+  /** Sliding event-time windows (1 h window, 30 min slide) in batch —
+    * Spark's `window()` assigns each event to duration/slide = 2 windows;
+    * the oracle replays the same assignment as an explicit 2-start
+    * explode. The streaming twin is `StreamingIngest.hourlyCounts`'s
+    * shape with a slide.
+    */
+  def slidingHourCounts(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+      .select(unix_micros(col("window.start")).as("w_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("w_start_us"), col("event_type"))
+
+  val slidingHourCountsSql: String =
+    """SELECT w_start_us, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM (
+         SELECT (epoch_us(ts) // 1800000000 - k) * 1800000000 AS w_start_us,
+           event_type, value
+         FROM events, UNNEST(range(0, 2)) AS u(k))
+       GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** Full-outer join: every customer and every order bucket survives,
     * unmatched sides null-filled — the remaining join-type surface after

@@ -66,6 +66,8 @@ object SparkEntry {
     "except_intersect" -> (Queries.exceptIntersect _),
     "join_full_outer" -> (Queries.joinFullOuter _),
     "gapfill_daily" -> (Queries.gapfillDaily _),
+    "approx_percentiles" -> (Queries.approxPercentiles _),
+    "sliding_hour_counts" -> (Queries.slidingHourCounts _),
     "distinct_users_daily" -> (Queries.distinctUsersDaily _),
     "approx_distinct_users" -> (Queries.approxDistinctUsers _),
     // L1 exact dedup
@@ -144,6 +146,8 @@ object SparkEntry {
     "except_intersect" -> Queries.exceptIntersectSql,
     "join_full_outer" -> Queries.joinFullOuterSql,
     "gapfill_daily" -> Queries.gapfillDailySql,
+    "approx_percentiles" -> Queries.approxPercentilesSql,
+    "sliding_hour_counts" -> Queries.slidingHourCountsSql,
     "distinct_users_daily" -> Queries.distinctUsersDailySql,
     "dedup_exact" -> Queries.dedupExactSql,
     "dedup_exact_normalized" -> Queries.dedupExactNormalizedSql,

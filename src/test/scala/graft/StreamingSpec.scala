@@ -33,4 +33,38 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(got.nonEmpty)
     assert(got.toSeq === want.toSeq)
   }
+
+  test("streaming partitioned parquet sink: one directory per time bucket") {
+    import spark.implicits._
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val landing = java.nio.file.Files.createTempDirectory("graft_psink_in_")
+    raw.write.mode("overwrite").parquet(landing.toString)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_psink_out_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_psink_ck_")
+    val stream = StreamingIngest.readParquetStream(
+        spark, landing.toString, raw.schema)
+      .withColumn("ts", timestamp_micros(
+        call_function("div", col("ts"), lit(1000L))))
+      .withColumn("bucket", graft.operators.TimePartitioning
+        .bucket($"ts", graft.operators.TimePartitioning.Day))
+    // the reference's signature map -> shuffle-by-bucket -> reduce-side
+    // files contract, continuously: partitionBy on the streaming sink
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .partitionBy("bucket")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val dirs = new java.io.File(outDir.toString).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("bucket="))
+      .sorted
+    val expected = Tables.events(spark, sf)
+      .select(graft.operators.TimePartitioning
+        .bucket($"ts", graft.operators.TimePartitioning.Day).as("b"))
+      .distinct().collect().map(r => s"bucket=${r.getLong(0)}").sorted
+    assert(dirs.toSeq === expected.toSeq)
+    assert(spark.read.parquet(outDir.toString).count() === raw.count())
+  }
 }
