@@ -1322,6 +1322,43 @@ object Queries {
          ON e.user_id = c.user_id AND abs(e.te - c.tc) <= 300000000
        GROUP BY 1 ORDER BY e.event_id"""
 
+  /** Benchmark decontamination: flag training docs sharing any 8-gram with
+    * the benchmark set (here: the 50 lowest-id docs stand in for an eval
+    * suite). Both sides reduce to 16-byte gram hashes before the join, so
+    * the shuffle is gram-hash-bucket-local and ~50 B/row — the standard
+    * n-gram-overlap decontamination pass of an LLM training pipeline.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    def grams(df: DataFrame) = df
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), 8)).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("gh"))
+    val benchGrams = grams(docs.where(col("doc_id") < 50))
+      .select(col("gh")).distinct()
+    grams(docs.where(col("doc_id") >= 50))
+      .join(benchGrams, "gh")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gh")).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB 8-gram shingles mirroring Dedup.shingles(n=8). */
+  private val shingle8Sql: String =
+    """list_distinct(CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+        ELSE [array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]
+        END)"""
+
+  val decontaminateSql: String =
+    s"""WITH g AS (
+         SELECT doc_id, unnest($shingle8Sql) AS gram
+         FROM (SELECT doc_id, string_split($normalizeSql, ' ') AS w
+               FROM documents)),
+       bench AS (SELECT DISTINCT md5(gram) AS gh FROM g WHERE doc_id < 50),
+       corp AS (SELECT doc_id, md5(gram) AS gh FROM g WHERE doc_id >= 50)
+       SELECT doc_id, COUNT(DISTINCT gh) AS n_hits
+       FROM corp JOIN bench USING (gh)
+       GROUP BY 1 ORDER BY 1"""
+
   // -------------------------------------------------- L7 multimodal meta --
 
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =

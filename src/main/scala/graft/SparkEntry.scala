@@ -91,6 +91,7 @@ object SparkEntry {
     "doc_packing" -> (Queries.docPacking _),
     "quality_bands" -> (Queries.qualityBands _),
     "tfidf_topterms" -> (Queries.tfidfTopterms _),
+    "decontaminate" -> (Queries.decontaminate _),
     "range_join_counts" -> (Queries.rangeJoinCounts _),
     // L7 multimodal
     "multimodal_meta" -> (Queries.multimodalMeta _),
@@ -164,6 +165,7 @@ object SparkEntry {
     "doc_packing" -> Queries.docPackingSql,
     "quality_bands" -> Queries.qualityBandsSql,
     "tfidf_topterms" -> Queries.tfidfToptermsSql,
+    "decontaminate" -> Queries.decontaminateSql,
     "range_join_counts" -> Queries.rangeJoinCountsSql,
     "multimodal_meta" -> Queries.multimodalMetaSql,
     "text_stats" -> Queries.textStatsSql,
