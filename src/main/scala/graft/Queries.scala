@@ -229,10 +229,12 @@ object Queries {
         sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
     out.write.format("noop").mode("overwrite").save()
     import s.implicits._
+    // sum over zero rows observes as null — keep it null (Option) so the
+    // report matches the oracle's NULL instead of NPE-ing on unboxing
     Seq(
-      ("records_in", obsIn.get("n").asInstanceOf[Long].toDouble),
-      ("records_out", obsOut.get("n").asInstanceOf[Long].toDouble),
-      ("sum_qty_out", obsOut.get("sum_qty").asInstanceOf[Double]))
+      ("records_in", Option(obsIn.get("n")).map(_.asInstanceOf[Long].toDouble)),
+      ("records_out", Option(obsOut.get("n")).map(_.asInstanceOf[Long].toDouble)),
+      ("sum_qty_out", Option(obsOut.get("sum_qty")).map(_.asInstanceOf[Double])))
       .toDF("metric", "value").orderBy(col("metric"))
   }
 
@@ -1203,7 +1205,7 @@ object Queries {
   def docPacking(s: SparkSession, dir: String): DataFrame = {
     val chunks = Chunking.byWords(documents(s, dir).where(col("doc_id") < 200),
       col("doc_id"), col("text"), chunkWords = 50)
-    Chunking.packByBudget(chunks, Seq(col("id"), col("chunk_idx")),
+    Chunking.packByBudget(chunks, Seq("id", "chunk_idx"),
         col("n_words"), budgetWords = 512L)
       .select(col("id").as("doc_id"), col("chunk_idx"), col("n_words"),
         col("pack_id"))
@@ -1257,6 +1259,7 @@ object Queries {
       .select(col("lang"), col("doc_id"),
         explode(TextAnalysis.tokens(TextAnalysis.normalize(col("text"))))
           .as("term"))
+      .cache() // feeds both the tf and the document-frequency aggregations
     val tf = toks.groupBy(col("lang"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = toks.select(col("term"), col("doc_id")).distinct()

@@ -53,9 +53,16 @@ object BloomPrune {
     val corpusFps = corpus.select(md5(text).as("fp")).distinct()
     val bf = buildFilter(corpusFps, col("fp"), expectedCorpus)
     val hashed = incoming.select(md5(text).as("fp"), id.as("id"))
-    val definitelyNew = hashed.where(!mightContain(bf, col("fp")))
-    val maybeSeen = hashed.where(mightContain(bf, col("fp")))
-      .join(corpusFps, Seq("fp"), "left_anti")
+    // an empty build side yields a null sketch (BloomFilterAggregate over
+    // zero rows); might_contain(null) is NULL, which a where-filter would
+    // treat as false on BOTH branches — dropping the whole batch. With no
+    // corpus there is nothing to prune: every row goes to the anti-join,
+    // which correctly passes everything through.
+    val (definitelyNew, candidates) =
+      if (bf == null) (hashed.limit(0), hashed)
+      else (hashed.where(!mightContain(bf, col("fp"))),
+        hashed.where(mightContain(bf, col("fp"))))
+    val maybeSeen = candidates.join(corpusFps, Seq("fp"), "left_anti")
     definitelyNew.unionByName(maybeSeen)
       .groupBy(col("fp"))
       .agg(min(col("id")).as("keep_id"), count(lit(1)).as("dup_count"))

@@ -26,18 +26,22 @@ object Chunking {
     * The offsets are one scalar per partition (AQE-statistics-sized, not
     * data-sized driver traffic).
     */
-  def packByBudget(chunks: DataFrame, orderKeys: Seq[Column], words: Column,
+  def packByBudget(chunks: DataFrame, orderKeys: Seq[String], words: Column,
       budgetWords: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ranged = chunks.repartitionByRange(orderKeys: _*)
+    val keyCols = orderKeys.map(col)
+    // only the order keys + weight ride the prefix-sum shuffles; the full
+    // payload (chunk text etc.) joins its pack id back exactly once
+    val narrow = chunks.select(keyCols :+ words.as("_w"): _*)
+    val ranged = narrow.repartitionByRange(keyCols: _*)
       .withColumn("_pid", spark_partition_id())
-    val wIn = Window.partitionBy(col("_pid")).orderBy(orderKeys.map(_.asc): _*)
+    val wIn = Window.partitionBy(col("_pid")).orderBy(keyCols.map(_.asc): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val withLocal = ranged
-      .withColumn("_local_prior", coalesce(sum(words).over(wIn), lit(0L)))
+      .withColumn("_local_prior", coalesce(sum(col("_w")).over(wIn), lit(0L)))
       .localCheckpoint()
     val totals = withLocal.groupBy(col("_pid"))
-      .agg(sum(words).as("t")).orderBy(col("_pid"))
+      .agg(sum(col("_w")).as("t")).orderBy(col("_pid"))
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
       (pid, acc + t)
@@ -45,11 +49,12 @@ object Chunking {
     val spark = chunks.sparkSession
     import spark.implicits._
     val offsetsDf = offsets.toDF("_pid", "_offset")
-    withLocal.join(broadcast(offsetsDf), "_pid")
+    val assignment = withLocal.join(broadcast(offsetsDf), "_pid")
       .withColumn("pack_id",
         call_function("div", col("_local_prior") + col("_offset"),
           lit(budgetWords)))
-      .drop("_pid", "_local_prior", "_offset")
+      .select(keyCols :+ col("pack_id"): _*)
+    chunks.join(assignment, orderKeys)
   }
 
   /** Explode each document into chunks of `chunkWords` whitespace words.

@@ -25,11 +25,11 @@ object Compaction {
     * (exact up to 38 digits).
     */
   def latestByKey(df: DataFrame, key: Column, ord: Column,
-      payload: Seq[(String, Column)]): DataFrame =
-    df.groupBy(key.as("key"))
-      .agg(max(ord).as("_ord"),
-        payload.map { case (n, c) => max_by(c, ord).as(n) }: _*)
-      .drop("_ord")
+      payload: Seq[(String, Column)]): DataFrame = {
+    require(payload.nonEmpty, "latestByKey needs at least one payload column")
+    val aggs = payload.map { case (n, c) => max_by(c, ord).as(n) }
+    df.groupBy(key.as("key")).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Exact decimal packing for two-part orderings: `major * 10^minorDigits
     * + minor`, both non-negative, `minor < 10^minorDigits`. Keeps max_by

@@ -18,20 +18,26 @@ object IvfIndex {
   /** Assign each vector to its max-cosine centroid cell (tie → lowest cell
     * id). `centroids` must be small (broadcast); returns (id, vec, cell).
     *
-    * The argmax is a hash aggregation (`max` of an ordering struct), not a
-    * window: no per-vector sort, map-side partial aggregation, and at
-    * 100 TB the corpus-wide assignment never shuffles more than one row
-    * per vector.
+    * The argmax runs as two narrow HashAggregates over (id, cell, aff)
+    * triples — a `max(struct)` formulation would silently demote to
+    * SortAggregate (struct buffers aren't hash-aggregable, see
+    * Compaction.scala), and a window would sort. The equality re-join on
+    * the max is exact: the max is one of the compared double values, so
+    * no epsilon is involved. The wide `vec` column never rides through
+    * the ×nCells cross join — it joins back once at the end.
     */
   def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val scored = vectors.select(col("id"), col("vec"))
       .crossJoin(broadcast(centroids.select(
         col("id").as("cell"), col("vec").as("c_vec"))))
-      .select(col("id"), col("vec"), col("cell"),
+      .select(col("id"), col("cell"),
         Similarity.cosine(col("vec"), col("c_vec")).as("aff"))
-    scored.groupBy(col("id"), col("vec"))
-      .agg(max(struct(col("aff"), (lit(0L) - col("cell")).as("negc"))).as("m"))
-      .select(col("id"), col("vec"), (lit(0L) - col("m.negc")).as("cell"))
+      .cache() // feeds both the max agg and the equality re-join
+    val best = scored.groupBy(col("id")).agg(max(col("aff")).as("best"))
+    val cellOf = scored.join(best, "id")
+      .where(col("aff") === col("best"))
+      .groupBy(col("id")).agg(min(col("cell")).as("cell"))
+    vectors.select(col("id"), col("vec")).join(cellOf, "id")
   }
 
   /** Deterministic coarse centroids: the `nCells` lowest-id vectors. */

@@ -63,13 +63,17 @@ object StreamingIngest {
         val hashed = batch
           .select(md5(col(textCol)).as("fp"), col(idCol).as("id"))
           .groupBy(col("fp")).agg(min(col("id")).as("keep_id"))
+        // only a missing table means "first batch / empty corpus" — any
+        // other read failure (corrupt footer, FS hiccup) must FAIL the
+        // batch, or previously-seen documents would silently re-emit as
+        // fresh against an accidentally-empty corpus
+        val fpPath = new org.apache.hadoop.fs.Path(fpDir)
+        val fs = fpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val corpus =
-          try spark.read.parquet(fpDir).select(col("fp"))
-          catch { case _: Exception =>
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              new StructType().add("fp", "string"))
-          }
+          if (fs.exists(fpPath)) spark.read.parquet(fpDir).select(col("fp"))
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            new StructType().add("fp", "string"))
         val fresh = hashed.join(corpus, Seq("fp"), "left_anti")
           .localCheckpoint() // two sinks below; don't recompute the anti-join
         fresh.write.mode("append").parquet(outDir)

@@ -37,6 +37,15 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     val fps = corpus.select(md5($"text").as("fp"))
     val bf = BloomPrune.buildFilter(fps, $"fp", 10000L)
     assert(fps.where(!BloomPrune.mightContain(bf, $"fp")).count() === 0L)
+    // empty corpus (null sketch): nothing may be dropped — first-batch case
+    val emptyCorpus = corpus.limit(0)
+    val firstBatch = BloomPrune.incrementalPruned(incoming, emptyCorpus,
+      $"doc_id", $"text", expectedCorpus = 10000L)
+    val plainFirst = Dedup.incremental(incoming, emptyCorpus,
+      $"doc_id", $"text")
+    assert(firstBatch.orderBy($"fp").collect().toSeq ===
+      plainFirst.orderBy($"fp").collect().toSeq)
+    assert(firstBatch.count() > 0)
   }
 
   test("latestByKey equals the window row_number formulation") {
@@ -72,7 +81,7 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     val docs = Tables.documents(spark, sf)
     val chunks = Chunking.byWords(docs, $"doc_id", $"text", chunkWords = 50)
     def run(df: org.apache.spark.sql.DataFrame) =
-      Chunking.packByBudget(df, Seq($"id", $"chunk_idx"), $"n_words", 512L)
+      Chunking.packByBudget(df, Seq("id", "chunk_idx"), $"n_words", 512L)
         .select($"id", $"chunk_idx", $"pack_id")
         .orderBy($"id", $"chunk_idx").collect().toSeq
     val base = run(chunks)
