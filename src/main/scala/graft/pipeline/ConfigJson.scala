@@ -37,6 +37,11 @@ object ConfigJson {
             case JArray(cs) => cs.flatMap(str)
             case _ => Nil
           })
+          case "dedup" => Pipeline.DedupRows(
+            idCol = str(f \ "id").get, textCol = str(f \ "column").get,
+            normalized = (f \ "normalized") match {
+              case JBool(b) => b; case _ => false
+            })
           case other =>
             throw new IllegalArgumentException(s"config: unknown filter '$other'")
         }

@@ -28,6 +28,13 @@ object Pipeline {
   final case class Cast(col: String, to: String) extends Transform
   final case class Where(predicate: String) extends Transform
   final case class Derive(name: String, expression: String) extends Transform
+  /** Row-level exact dedup: keep the lowest-`idCol` row per distinct
+    * (optionally normalized) `textCol` content — `Dedup.exact` as a
+    * config step. Hash-agg + left-semi join on ids; the shuffle carries
+    * 16-byte hashes and ids, never the rows themselves.
+    */
+  final case class DedupRows(idCol: String, textCol: String,
+    normalized: Boolean = false) extends Transform
 
   final case class Partitioning(column: String, unit: String,
     unixTimestampUnit: Option[String] = None, mapSidePartitionSplit: Int = 1)
@@ -51,6 +58,14 @@ object Pipeline {
         case Cast(c, to)     => df.withColumn(c, col(c).cast(to))
         case Where(p)        => df.where(p)
         case Derive(n, e)    => df.withColumn(n, expr(e))
+        case DedupRows(idCol, textCol, normalized) =>
+          val fp =
+            if (normalized) graft.operators.TextAnalysis.fingerprint(col(textCol))
+            else md5(col(textCol))
+          val keep = df.select(fp.as("_fp"), col(idCol).as("_id"))
+            .groupBy(col("_fp")).agg(min(col("_id")).as("_keep"))
+            .select(col("_keep"))
+          df.join(keep, df(idCol) === keep("_keep"), "left_semi")
       }
     }
     config.localModeMaxTasks match {

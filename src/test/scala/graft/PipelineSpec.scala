@@ -28,6 +28,26 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(df.count() > 0)
   }
 
+  test("dedup filter step keeps the lowest-id row per content") {
+    val cfg = Pipeline.Config(
+      inputPath = s"$sf/documents.parquet",
+      transforms = Seq(Pipeline.DedupRows("doc_id", "text")))
+    val df = Pipeline.plan(spark, cfg)
+    // schema unchanged (row-level filter, not a hash-group projection)
+    assert(df.columns.toSeq ===
+      spark.read.parquet(s"$sf/documents.parquet").columns.toSeq)
+    val viaOperator = graft.operators.Dedup.exact(
+      spark.read.parquet(s"$sf/documents.parquet"),
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text"))
+    assert(df.count() === viaOperator.count())
+    // the JSON front-end parses the same step
+    val json = s"""{"in": {"path": "$sf/documents.parquet"},
+      "filters": [{"type": "dedup", "id": "doc_id", "column": "text"}]}"""
+    assert(Pipeline.plan(spark,
+      graft.pipeline.ConfigJson.parse(json)).count() === df.count())
+  }
+
   test("partitioned config writes bucket directories and reports tasks") {
     val out = java.nio.file.Files.createTempDirectory("graft_pipe_").toString
     val cfg = Pipeline.Config(
