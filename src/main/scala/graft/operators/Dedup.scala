@@ -74,7 +74,12 @@ object Dedup {
     * Output: (id_a, id_b, jac) with id_a < id_b, jac ≥ threshold.
     */
   def jaccardPairs(docs: DataFrame, id: Column, text: Column, block: Column,
-      threshold: Double, n: Int = 3): DataFrame = {
+      threshold: Double, n: Int = 3): DataFrame =
+    overTextGroups(docs, id, text, extras = Seq("blk" -> block))(reps =>
+      jaccardPairsRaw(reps, col("id"), col("text"), col("blk"), threshold, n))
+
+  private def jaccardPairsRaw(docs: DataFrame, id: Column, text: Column,
+      block: Column, threshold: Double, n: Int): DataFrame = {
     // four consumers (candidate a/b sides + verify a/b sides): cache once
     val s = docs.select(id.as("id"), block.as("blk"), shingles(text, n).as("sh"))
       .cache()
@@ -102,34 +107,42 @@ object Dedup {
     * exactly 1. The expanded output is identical to running the generator
     * on the raw corpus.
     */
-  private def overTextGroups(docs: DataFrame, id: Column, text: Column)(
+  private def overTextGroups(docs: DataFrame, id: Column, text: Column,
+      extras: Seq[(String, Column)] = Nil)(
       pairsOfReps: DataFrame => DataFrame): DataFrame = {
-    val members = docs
-      .select(TextAnalysis.fingerprint(text).as("fp"), id.as("id")).cache()
-    val groups = members.groupBy(col("fp")).agg(min(col("id")).as("rid"))
+    // group key = content fingerprint (+ any blocking columns the pair
+    // generator keys on — identical texts in different blocks must NOT
+    // collapse together, or block semantics would leak)
+    val fpCol = TextAnalysis.fingerprint(text)
+    val gk =
+      if (extras.isEmpty) fpCol
+      else struct(fpCol.as("fp") +: extras.map { case (n, c) => c.as(n) }: _*)
+    val members = docs.select(gk.as("gk"), id.as("id")).cache()
+    val groups = members.groupBy(col("gk")).agg(min(col("id")).as("rid"))
     // adaptive: a corpus with no verbatim dups needs no collapse — two
     // scalar counts on the cached fingerprint frame decide (AQE-style
     // runtime statistic), and the duplicate-free path skips the group
     // join/expansion machinery entirely
     val counts = members.agg(count(lit(1)).as("n"),
-      countDistinct(col("fp")).as("d")).head()
+      countDistinct(col("gk")).as("d")).head()
+    val passThrough = docs.select(
+      id.as("id") +: text.as("text") +: extras.map { case (n, c) => c.as(n) }: _*)
     if (counts.getLong(0) == counts.getLong(1)) {
       members.unpersist()
-      return pairsOfReps(docs.select(id.as("id"), text.as("text")))
+      return pairsOfReps(passThrough)
     }
-    val reps = docs.select(id.as("id"), text.as("text"))
-      .join(groups.select(col("rid").as("id"), col("fp")), "id")
-    val repPairs = pairsOfReps(reps.select(col("id"), col("text")))
-    val fpOf = groups.select(col("rid"), col("fp"))
+    val reps = passThrough.join(groups.select(col("rid").as("id")), "id")
+    val repPairs = pairsOfReps(reps)
+    val gkOf = groups.select(col("rid"), col("gk"))
     val cross = repPairs
-      .join(fpOf.select(col("rid").as("id_a"), col("fp").as("fp_a")), "id_a")
-      .join(fpOf.select(col("rid").as("id_b"), col("fp").as("fp_b")), "id_b")
-      .join(members.select(col("fp").as("fp_a"), col("id").as("ma")), "fp_a")
-      .join(members.select(col("fp").as("fp_b"), col("id").as("mb")), "fp_b")
+      .join(gkOf.select(col("rid").as("id_a"), col("gk").as("gk_a")), "id_a")
+      .join(gkOf.select(col("rid").as("id_b"), col("gk").as("gk_b")), "id_b")
+      .join(members.select(col("gk").as("gk_a"), col("id").as("ma")), "gk_a")
+      .join(members.select(col("gk").as("gk_b"), col("id").as("mb")), "gk_b")
       .select(least(col("ma"), col("mb")).as("id_a"),
         greatest(col("ma"), col("mb")).as("id_b"), col("jac"))
-    val intra = members.select(col("fp"), col("id").as("id_a"))
-      .join(members.select(col("fp"), col("id").as("id_b")), "fp")
+    val intra = members.select(col("gk"), col("id").as("id_a"))
+      .join(members.select(col("gk"), col("id").as("id_b")), "gk")
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), lit(1.0).as("jac"))
     cross.unionByName(intra)

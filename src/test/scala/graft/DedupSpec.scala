@@ -53,12 +53,22 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     val got = Dedup.minhashPairs(amplified, $"doc_id", $"text", 0.5)
       .select($"id_a", $"id_b", $"jac")
       .orderBy($"id_a", $"id_b").collect().toSeq
-    // truth: exact blocked Jaccard over the same amplified corpus
-    val truth = Dedup.jaccardPairs(amplified, $"doc_id", $"text",
-        block = lit(1), threshold = 0.5)
+    // truth: naive all-pairs Jaccard, independent of any collapse machinery
+    val sh = amplified.select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+    val truth = sh.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
+      .crossJoin(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")))
+      .where($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", Dedup.jaccard($"sh_a", $"sh_b").as("jac"))
+      .where($"jac" >= 0.5)
       .select($"id_a", $"id_b", $"jac")
       .orderBy($"id_a", $"id_b").collect().toSeq
     assert(got === truth)
+    // the (also-collapsed) exact blocked formulation agrees with the naive one
+    val blocked = Dedup.jaccardPairs(amplified, $"doc_id", $"text",
+        block = lit(1), threshold = 0.5)
+      .select($"id_a", $"id_b", $"jac")
+      .orderBy($"id_a", $"id_b").collect().toSeq
+    assert(blocked === truth)
     // each original doc now pairs with its 2 verbatim copies at jac = 1
     val nDocs = docs.count()
     assert(got.count(_.getDouble(2) == 1.0) >= nDocs * 3)
