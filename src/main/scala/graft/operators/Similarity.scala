@@ -33,12 +33,51 @@ object Similarity {
     graft.functions.VectorFunctions.cosineSim(a, b)
 
   /** All-pairs cosine ≥ threshold (id_a < id_b). Exact; at scale use
-    * [[lshCosinePairs]]. Norms are computed once per row before the join so
-    * the join compares pre-normalized vectors.
+    * [[lshCosinePairs]].
+    *
+    * Like the text near-dup family (Dedup.overTextGroups), identical
+    * vectors collapse to one representative before the quadratic compare —
+    * embedding corpora deduplicate exactly when documents do, and every
+    * member of an identical-vector group scores the same cosine against
+    * everything (intra-group pairs score cosine(v, v), computed once per
+    * group — NOT assumed 1.0: the float norm product rounds). A two-count
+    * statistic skips the collapse on duplicate-free input.
     */
   def cosinePairs(vectors: DataFrame, id: Column, vec: Column,
       threshold: Double): DataFrame = {
     val v = vectors.select(id.as("id"), vec.as("v"))
+    val members = v.select(xxhash64(col("v")).as("gk"), col("id"), col("v"))
+      .cache()
+    val counts = members.agg(count(lit(1)).as("n"),
+      countDistinct(col("gk")).as("d")).head()
+    if (counts.getLong(0) == counts.getLong(1)) {
+      members.unpersist()
+      return cosinePairsRaw(v, threshold)
+    }
+    val groups = members.groupBy(col("gk")).agg(min(col("id")).as("rid"))
+    val reps = members.join(groups.select(col("rid").as("id")), "id")
+    val repPairs = cosinePairsRaw(reps.select(col("id"), col("v")), threshold)
+    val gkOf = groups.select(col("rid"), col("gk"))
+    val cross = repPairs
+      .join(gkOf.select(col("rid").as("id_a"), col("gk").as("gk_a")), "id_a")
+      .join(gkOf.select(col("rid").as("id_b"), col("gk").as("gk_b")), "id_b")
+      .join(members.select(col("gk").as("gk_a"), col("id").as("ma")), "gk_a")
+      .join(members.select(col("gk").as("gk_b"), col("id").as("mb")), "gk_b")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("cos"))
+    val selfCos = reps.select(col("id").as("rid"),
+      cosine(col("v"), col("v")).as("cos"))
+    val intra = members.select(col("gk"), col("id").as("id_a"))
+      .join(members.select(col("gk"), col("id").as("id_b")), "gk")
+      .where(col("id_a") < col("id_b"))
+      .join(gkOf, "gk")
+      .join(selfCos, "rid")
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+    cross.unionByName(intra)
+  }
+
+  private def cosinePairsRaw(v: DataFrame, threshold: Double): DataFrame = {
     val a = v.select(col("id").as("id_a"), col("v").as("v_a"))
     val b = v.select(col("id").as("id_b"), col("v").as("v_b"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))

@@ -50,6 +50,27 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("duplicate-vector collapse: amplified corpus equals the naive pairs") {
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding")
+    val amplified = (0 until 3).map(r =>
+      e.withColumn("vec_id", $"vec_id" + lit(r * 1000000L)))
+      .reduce(_ unionByName _)
+    val got = Similarity.cosinePairs(amplified, $"vec_id", $"embedding", 0.46)
+      .orderBy($"id_a", $"id_b").collect().toSeq
+    // naive truth, independent of the collapse machinery
+    val v = amplified.select($"vec_id".as("id"), $"embedding".as("v"))
+    val naive = v.select($"id".as("id_a"), $"v".as("v_a"))
+      .crossJoin(v.select($"id".as("id_b"), $"v".as("v_b")))
+      .where($"id_a" < $"id_b")
+      .select($"id_a", $"id_b",
+        Similarity.cosine($"v_a", $"v_b").as("cos"))
+      .where($"cos" >= 0.46)
+      .orderBy($"id_a", $"id_b").collect().toSeq
+    assert(got === naive)
+    assert(got.size > e.count()) // the verbatim copies pair up
+  }
+
   test("lshCosinePairs finds the high-cosine pairs cosinePairs finds") {
     val e = Tables.embeddings(spark, sf)
     val exact = Similarity.cosinePairs(e, $"vec_id", $"embedding", 0.45)
