@@ -1259,17 +1259,25 @@ object Queries {
       .select(col("lang"), col("doc_id"),
         explode(TextAnalysis.tokens(TextAnalysis.normalize(col("text"))))
           .as("term"))
-      .cache() // feeds both the tf and the document-frequency aggregations
-    val tf = toks.groupBy(col("lang"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dfreq = toks.select(col("term"), col("doc_id")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // ONE aggregation pass over the exploded tokens computes tf and the
+    // per-(lang,term) distinct-doc count together; since every doc has
+    // exactly one lang, the per-term document frequency is the sum of the
+    // per-lang distinct counts — derived from the tiny lang×term frame,
+    // never a second pass over the corpus. The corpus-sized exploded
+    // token table is never cached (round-3 version pinned it in storage
+    // memory for the rest of the session); only the lang×term aggregate
+    // (KBs) is materialized, so the df agg doesn't re-run the explode.
+    val lt = toks.groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("dcount"))
+      .localCheckpoint(true)
+    val dfreq = lt.groupBy(col("term")).agg(sum(col("dcount")).as("df"))
     val total = documents(s, dir).agg(count(lit(1)).as("n_docs"))
     val score = col("tf").cast("double") *
       (col("n_docs").cast("double") / col("df").cast("double"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("score").desc, col("term").asc)
-    tf.join(dfreq, "term").crossJoin(broadcast(total))
+    lt.select(col("lang"), col("term"), col("tf"))
+      .join(dfreq, "term").crossJoin(broadcast(total))
       .withColumn("score", score)
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= 5)

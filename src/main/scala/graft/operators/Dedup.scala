@@ -80,14 +80,16 @@ object Dedup {
 
   private def jaccardPairsRaw(docs: DataFrame, id: Column, text: Column,
       block: Column, threshold: Double, n: Int): DataFrame = {
-    // four consumers (candidate a/b sides + verify a/b sides): cache once
+    // four consumers (candidate a/b sides + verify a/b sides): cache once,
+    // scoped to this call (Caching.withCached unpersists on return)
     val s = docs.select(id.as("id"), block.as("blk"), shingles(text, n).as("sh"))
-      .cache()
-    val a = s.select(col("id").as("id_a"), col("blk"))
-    val b = s.select(col("id").as("id_b"), col("blk"))
-    val candidates = a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-    verifyJaccard(candidates, s.select(col("id"), col("sh")), threshold)
+    Caching.withCached(s) {
+      val a = s.select(col("id").as("id_a"), col("blk"))
+      val b = s.select(col("id").as("id_b"), col("blk"))
+      val candidates = a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      verifyJaccard(candidates, s.select(col("id"), col("sh")), threshold)
+    }
   }
 
   // ------------------------------------------------- text-group collapse --
@@ -117,35 +119,38 @@ object Dedup {
     val gk =
       if (extras.isEmpty) fpCol
       else struct(fpCol.as("fp") +: extras.map { case (n, c) => c.as(n) }: _*)
+    // cached for the duration of this call only: the counts probe, the
+    // group/rep joins, and the member expansion all read it, and the
+    // eager localCheckpoint below guarantees they have all run before the
+    // finally-unpersist releases the memory
     val members = docs.select(gk.as("gk"), id.as("id")).cache()
-    val groups = members.groupBy(col("gk")).agg(min(col("id")).as("rid"))
-    // adaptive: a corpus with no verbatim dups needs no collapse — two
-    // scalar counts on the cached fingerprint frame decide (AQE-style
-    // runtime statistic), and the duplicate-free path skips the group
-    // join/expansion machinery entirely
-    val counts = members.agg(count(lit(1)).as("n"),
-      countDistinct(col("gk")).as("d")).head()
-    val passThrough = docs.select(
-      id.as("id") +: text.as("text") +: extras.map { case (n, c) => c.as(n) }: _*)
-    if (counts.getLong(0) == counts.getLong(1)) {
-      members.unpersist()
-      return pairsOfReps(passThrough)
-    }
-    val reps = passThrough.join(groups.select(col("rid").as("id")), "id")
-    val repPairs = pairsOfReps(reps)
-    val gkOf = groups.select(col("rid"), col("gk"))
-    val cross = repPairs
-      .join(gkOf.select(col("rid").as("id_a"), col("gk").as("gk_a")), "id_a")
-      .join(gkOf.select(col("rid").as("id_b"), col("gk").as("gk_b")), "id_b")
-      .join(members.select(col("gk").as("gk_a"), col("id").as("ma")), "gk_a")
-      .join(members.select(col("gk").as("gk_b"), col("id").as("mb")), "gk_b")
-      .select(least(col("ma"), col("mb")).as("id_a"),
-        greatest(col("ma"), col("mb")).as("id_b"), col("jac"))
-    val intra = members.select(col("gk"), col("id").as("id_a"))
-      .join(members.select(col("gk"), col("id").as("id_b")), "gk")
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), lit(1.0).as("jac"))
-    cross.unionByName(intra)
+    try {
+      val groups = members.groupBy(col("gk")).agg(min(col("id")).as("rid"))
+      // adaptive: a corpus with no verbatim dups needs no collapse — two
+      // scalar counts on the cached fingerprint frame decide (AQE-style
+      // runtime statistic), and the duplicate-free path skips the group
+      // join/expansion machinery entirely
+      val counts = members.agg(count(lit(1)).as("n"),
+        countDistinct(col("gk")).as("d")).head()
+      val passThrough = docs.select(
+        id.as("id") +: text.as("text") +: extras.map { case (n, c) => c.as(n) }: _*)
+      if (counts.getLong(0) == counts.getLong(1)) return pairsOfReps(passThrough)
+      val reps = passThrough.join(groups.select(col("rid").as("id")), "id")
+      val repPairs = pairsOfReps(reps)
+      val gkOf = groups.select(col("rid"), col("gk"))
+      val cross = repPairs
+        .join(gkOf.select(col("rid").as("id_a"), col("gk").as("gk_a")), "id_a")
+        .join(gkOf.select(col("rid").as("id_b"), col("gk").as("gk_b")), "id_b")
+        .join(members.select(col("gk").as("gk_a"), col("id").as("ma")), "gk_a")
+        .join(members.select(col("gk").as("gk_b"), col("id").as("mb")), "gk_b")
+        .select(least(col("ma"), col("mb")).as("id_a"),
+          greatest(col("ma"), col("mb")).as("id_b"), col("jac"))
+      val intra = members.select(col("gk"), col("id").as("id_a"))
+        .join(members.select(col("gk"), col("id").as("id_b")), "gk")
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(1.0).as("jac"))
+      cross.unionByName(intra).localCheckpoint(true)
+    } finally members.unpersist(false)
   }
 
   // -------------------------------------------------------------- minhash --
@@ -190,8 +195,10 @@ object Dedup {
       bands: Int, rowsPerBand: Int): DataFrame = {
     require(bands * rowsPerBand <= k, "bands*rowsPerBand must be <= k")
     // the shingle table feeds banding AND both sides of the verify join —
-    // cache it so the shingle/signature pipeline runs once, not four times
-    val shingled = docs.select(id.as("id"), shingles(text, n).as("sh")).cache()
+    // cache it so the shingle/signature pipeline runs once, not four times;
+    // withCached unpersists both frames once the verified pairs have
+    // materialized
+    val shingled = docs.select(id.as("id"), shingles(text, n).as("sh"))
     // band keys straight off the signature array (no k-wide column fan-out:
     // a 64-column projection on both sides of a self-join costs seconds of
     // codegen alone), and the banded frame — b tiny rows per doc — cached
@@ -206,13 +213,14 @@ object Dedup {
     }
     val banded = sigArr.select(col("id"),
       posexplode(array(bandKeyCols: _*)).as(Seq("band_idx", "band_key")))
-      .cache()
-    val candidates = banded.as("a")
-      .join(banded.as("b"), Seq("band_idx", "band_key"))
-      .where(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    verifyJaccard(candidates, shingled, threshold)
+    Caching.withCached(shingled, banded) {
+      val candidates = banded.as("a")
+        .join(banded.as("b"), Seq("band_idx", "band_key"))
+        .where(col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      verifyJaccard(candidates, shingled, threshold)
+    }
   }
 
   /** Exact-Jaccard verification of candidate id pairs against the shingle
@@ -268,11 +276,17 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, id: Column, text: Column,
       maxDist: Int = 15): DataFrame = {
+    val s = simhashTable(docs, id, text)
+    Caching.withCached(s)(simhashCandidates(s, maxDist))
+  }
+
+  /** Candidate pairs from a precomputed (id, sh64) table. The caller is
+    * responsible for caching `s` — both join sides derive from the simhash
+    * subtree, and an uncached frame would inline that pipeline twice (which
+    * also bloats optimizer time quadratically).
+    */
+  private def simhashCandidates(s: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist <= 15, "banding guarantees recall only for maxDist <= 15")
-    // both join sides derive from the 64-agg simhash subtree; cache it so
-    // the plan holds one InMemoryRelation, not two inlined agg pipelines
-    // (which also bloats optimizer time quadratically)
-    val s = simhashTable(docs, id, text).cache()
     val bands = 8
     val chunkOf = (b: Int) =>
       shiftright(col("sh64"), b * 8).bitwiseAND(lit(0xFFL))
@@ -324,11 +338,13 @@ object Dedup {
   def simhashNearDup(docs: DataFrame, id: Column, text: Column,
       threshold: Double, maxDist: Int = 15, n: Int = 3): DataFrame =
     overTextGroups(docs, id, text) { reps =>
-      val shingled = reps
-        .select(col("id"), shingles(col("text"), n).as("sh")).cache()
-      val candidates = simhashPairs(reps, col("id"), col("text"), maxDist)
-        .select(col("id_a"), col("id_b"))
-      verifyJaccard(candidates, shingled, threshold)
+      val shingled = reps.select(col("id"), shingles(col("text"), n).as("sh"))
+      val sh64 = simhashTable(reps, col("id"), col("text"))
+      Caching.withCached(shingled, sh64) {
+        val candidates = simhashCandidates(sh64, maxDist)
+          .select(col("id_a"), col("id_b"))
+        verifyJaccard(candidates, shingled, threshold)
+      }
     }
 
   // ------------------------------------------------------------- clusters --

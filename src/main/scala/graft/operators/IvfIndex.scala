@@ -27,17 +27,22 @@ object IvfIndex {
     * the ×nCells cross join — it joins back once at the end.
     */
   def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    // the ×nCells affinity cross-join feeds both the max agg and the
+    // equality re-join — cached for this call only (withCached
+    // materializes the assignment, then unpersists; a bare cache here
+    // would pin one corpus×nCells frame per refine() round)
     val scored = vectors.select(col("id"), col("vec"))
       .crossJoin(broadcast(centroids.select(
         col("id").as("cell"), col("vec").as("c_vec"))))
       .select(col("id"), col("cell"),
         Similarity.cosine(col("vec"), col("c_vec")).as("aff"))
-      .cache() // feeds both the max agg and the equality re-join
-    val best = scored.groupBy(col("id")).agg(max(col("aff")).as("best"))
-    val cellOf = scored.join(best, "id")
-      .where(col("aff") === col("best"))
-      .groupBy(col("id")).agg(min(col("cell")).as("cell"))
-    vectors.select(col("id"), col("vec")).join(cellOf, "id")
+    Caching.withCached(scored) {
+      val best = scored.groupBy(col("id")).agg(max(col("aff")).as("best"))
+      val cellOf = scored.join(best, "id")
+        .where(col("aff") === col("best"))
+        .groupBy(col("id")).agg(min(col("cell")).as("cell"))
+      vectors.select(col("id"), col("vec")).join(cellOf, "id")
+    }
   }
 
   /** Deterministic coarse centroids: the `nCells` lowest-id vectors. */
