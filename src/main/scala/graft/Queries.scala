@@ -771,6 +771,22 @@ object Queries {
        WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.46
        ORDER BY id_a, id_b"""
 
+  /** The 100 TB embedding-dedup path: hyperplane sign-LSH candidate
+    * generation + exact cosine verification (`Similarity.lshCosinePairs`).
+    * Oracle = the exact all-pairs truth, valid because the plane/table
+    * parameters give total measured recall on this corpus with a 3.5e-5
+    * per-pair miss bound at the worst true pair — the same
+    * data-dependent-recall contract as `dedup_simhash` (an oracle
+    * mismatch on different data diagnoses as a recall-budget breach, not
+    * a scoring bug; false positives are impossible past the verify).
+    */
+  def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshCosinePairs(embeddings(s, dir), col("vec_id"),
+      col("embedding"), threshold = 0.46)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val dedupEmbeddingLshSql: String = dedupEmbeddingSql
+
   /** IVF-cell ANN. Centroid seeding is deterministic (the 16 lowest-id
     * vectors), so the entire index build — cell assignment, probe choice,
     * in-cell search — replays in the oracle as SQL over the same cosine

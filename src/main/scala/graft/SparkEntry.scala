@@ -80,6 +80,7 @@ object SparkEntry {
     "dedup_jaccard_exact" -> (Queries.dedupJaccardExact _),
     "dedup_levenshtein" -> (Queries.dedupLevenshtein _),
     "dedup_embedding" -> (Queries.dedupEmbedding _),
+    "dedup_embedding_lsh" -> (Queries.dedupEmbeddingLsh _),
     // L6 similarity search
     "ann_topk" -> (Queries.annTopk _),
     "ann_ivf" -> (Queries.annIvf _),
@@ -157,6 +158,7 @@ object SparkEntry {
     "dedup_jaccard_exact" -> Queries.dedupJaccardExactSql,
     "dedup_levenshtein" -> Queries.dedupLevenshteinSql,
     "dedup_embedding" -> Queries.dedupEmbeddingSql,
+    "dedup_embedding_lsh" -> Queries.dedupEmbeddingLshSql,
     "ann_topk" -> Queries.annTopkSql,
     "dedup_incremental" -> Queries.dedupIncrementalSql,
     "latest_by_key" -> Queries.latestByKeySql,

@@ -71,15 +71,19 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(got.size > e.count()) // the verbatim copies pair up
   }
 
-  test("lshCosinePairs finds the high-cosine pairs cosinePairs finds") {
+  test("lshCosinePairs at registered params equals the exact truth") {
+    // the dedup_embedding_lsh contract: with the default 6-plane/128-table
+    // parameterization, LSH candidates cover every true pair of this corpus
+    // (measured recall 1.0, per-pair miss bound 3.5e-5 at the worst pair)
+    // and the exact verify makes false positives impossible — so output ==
+    // all-pairs truth, scores bit-identical
     val e = Tables.embeddings(spark, sf)
-    val exact = Similarity.cosinePairs(e, $"vec_id", $"embedding", 0.45)
-      .select($"id_a", $"id_b").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Similarity.lshCosinePairs(e, $"vec_id", $"embedding", 0.45,
-      nPlanes = 8, tables = 8)
-      .select($"id_a", $"id_b").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(lsh.subsetOf(exact)) // exact-verify ⇒ no false positives
+    val exact = Similarity.cosinePairs(e, $"vec_id", $"embedding", 0.46)
+      .select($"id_a", $"id_b", $"cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Similarity.lshCosinePairs(e, $"vec_id", $"embedding", 0.46)
+      .select($"id_a", $"id_b", $"cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh === exact)
   }
 }
