@@ -520,29 +520,26 @@ object Queries {
        quantile_cont(value, 0.9) AS p90, COUNT(*) AS n
        FROM events GROUP BY 1 ORDER BY 1"""
 
-  /** Edit-distance near-dup pairs (bounded block: lang × doc_id<100).
-    * `levenshtein` is the same integer DP in both engines.
+  /** Edit-distance near-dup pairs over the FULL corpus, lang-blocked —
+    * `Dedup.levenshteinPairs`: length-banded candidates (structural recall:
+    * dist ≤ d ⇒ |Δlen| ≤ d ⇒ same/adjacent band) verified by the native
+    * banded-DP kernel. The distance is byte-level UTF-8 — exactly the
+    * oracle engine's `levenshtein` semantics (measured there:
+    * `levenshtein('a','ä') = 2`), identical to character distance on
+    * ASCII; the oracle's all-pairs formulation carries the implied
+    * |Δbytes| ≤ d prefilter so it stays tractable.
     */
-  def dedupLevenshtein(s: SparkSession, dir: String): DataFrame = {
-    val d = documents(s, dir).where(col("doc_id") < 100)
-      .select(col("doc_id"), col("lang"), col("text"))
-    val a = d.select(col("doc_id").as("id_a"), col("lang"),
-      col("text").as("t_a"))
-    val b = d.select(col("doc_id").as("id_b"), col("lang"),
-      col("text").as("t_b"))
-    a.join(b, Seq("lang")).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("t_a"), col("t_b")).cast("long").as("dist"))
-      .where(col("dist") <= 60)
+  def dedupLevenshtein(s: SparkSession, dir: String): DataFrame =
+    Dedup.levenshteinPairs(documents(s, dir), col("doc_id"), col("text"),
+      block = col("lang"), maxDist = 60)
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   val dedupLevenshteinSql: String =
     """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
-       FROM (SELECT * FROM documents WHERE doc_id < 100) a
-       JOIN (SELECT * FROM documents WHERE doc_id < 100) b
+       FROM documents a JOIN documents b
          ON a.lang = b.lang AND a.doc_id < b.doc_id
+         AND abs(strlen(a.text) - strlen(b.text)) <= 60
        WHERE levenshtein(a.text, b.text) <= 60
        ORDER BY id_a, id_b"""
 

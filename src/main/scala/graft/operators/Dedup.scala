@@ -106,11 +106,13 @@ object Dedup {
     * group are interchangeable: pair generation runs on one representative
     * per group, cross-group pairs expand members × members with the
     * representative pair's score, and intra-group pairs have Jaccard
-    * exactly 1. The expanded output is identical to running the generator
-    * on the raw corpus.
+    * exactly 1 (edit distance exactly 0 — `scoreCol`/`intraScore`
+    * parameterize the score contract per generator). The expanded output
+    * is identical to running the generator on the raw corpus.
     */
   private def overTextGroups(docs: DataFrame, id: Column, text: Column,
-      extras: Seq[(String, Column)] = Nil)(
+      extras: Seq[(String, Column)] = Nil, scoreCol: String = "jac",
+      intraScore: Column = lit(1.0))(
       pairsOfReps: DataFrame => DataFrame): DataFrame = {
     // group key = content fingerprint (+ any blocking columns the pair
     // generator keys on — identical texts in different blocks must NOT
@@ -144,11 +146,11 @@ object Dedup {
         .join(members.select(col("gk").as("gk_a"), col("id").as("ma")), "gk_a")
         .join(members.select(col("gk").as("gk_b"), col("id").as("mb")), "gk_b")
         .select(least(col("ma"), col("mb")).as("id_a"),
-          greatest(col("ma"), col("mb")).as("id_b"), col("jac"))
+          greatest(col("ma"), col("mb")).as("id_b"), col(scoreCol))
       val intra = members.select(col("gk"), col("id").as("id_a"))
         .join(members.select(col("gk"), col("id").as("id_b")), "gk")
         .where(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), lit(1.0).as("jac"))
+        .select(col("id_a"), col("id_b"), intraScore.as(scoreCol))
       cross.unionByName(intra).localCheckpoint(true)
     } finally members.unpersist(false)
   }
@@ -247,6 +249,66 @@ object Dedup {
         graft.functions.JaccardFunctions
           .sortedJaccard(col("sh_a"), col("sh_b")).as("jac"))
       .where(col("jac") >= threshold)
+  }
+
+  // --------------------------------------------------------- edit distance --
+
+  /** Edit-distance near-dup pairs (edit distance ≤ maxDist) within a
+    * block, never all-pairs: candidate generation is LENGTH-BANDED, and
+    * the recall guarantee is *structural* — dist(a,b) ≥ |len(a) − len(b)|,
+    * so every true pair has length difference ≤ maxDist, and with band
+    * width maxDist+1 the probe side's ≤3 neighbor bands provably cover
+    * every such pair. The index side emits one band per doc (so each
+    * unordered pair collides exactly once — no distinct pass);
+    * verification is the native banded-DP kernel
+    * ([[graft.functions.BoundedLevenshtein]]): O(len·maxDist) per pair
+    * with early budget exit, byte-level UTF-8 semantics chosen to match
+    * the oracle engine exactly (Spark's built-in counts codepoints and
+    * silently disagrees cross-engine on non-ASCII text). Verbatim
+    * duplicates collapse through [[overTextGroups]] (identical texts have
+    * distance 0 to each other and equal distance to everything else), so
+    * a dup-heavy corpus never re-verifies its copies.
+    *
+    * Output: (id_a, id_b, dist) with id_a < id_b, dist ≤ maxDist.
+    */
+  def levenshteinPairs(docs: DataFrame, id: Column, text: Column,
+      block: Column, maxDist: Int): DataFrame =
+    overTextGroups(docs, id, text, extras = Seq("blk" -> block),
+      scoreCol = "dist", intraScore = lit(0L))(reps =>
+      levenshteinPairsRaw(reps, maxDist))
+
+  private def levenshteinPairsRaw(docs: DataFrame, maxDist: Int): DataFrame = {
+    val bandW = (maxDist + 1).toLong
+    def bandOf(c: Column) = call_function("div", c, lit(bandW))
+    // byte lengths, not char lengths — the distance is byte-level
+    val d = docs.select(col("id"), col("blk"), col("text"),
+      call_function("octet_length", col("text")).cast("long").as("len"))
+    val idx = d.select(col("id").as("id_b"), col("blk"),
+      col("text").as("t_b"), col("len").as("len_b"),
+      bandOf(col("len")).as("band"))
+    val probe = d.select(col("id").as("id_a"), col("blk"),
+      col("text").as("t_a"), col("len").as("len_a"),
+      explode(sequence(
+        greatest(lit(0L), bandOf(col("len") - lit(maxDist.toLong))),
+        bandOf(col("len") + lit(maxDist.toLong)))).as("band"))
+    // length bands can be corpus-hot (doc lengths cluster): a shuffled hash
+    // join streams probes against per-partition maps with every predicate
+    // (incl. the length prefilter) evaluated at probe time, instead of an
+    // SMJ buffering mega key-groups
+    probe.hint("shuffle_hash").join(idx,
+        probe("blk") === idx("blk") && probe("band") === idx("band")
+          && col("id_a") < col("id_b")
+          && abs(col("len_a") - col("len_b")) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        graft.functions.LevenshteinFunctions
+          .boundedLevenshtein(col("t_a"), col("t_b"), maxDist)
+          .cast("long").as("dist"))
+      // materialization barrier: predicate pushdown would otherwise
+      // substitute the dist alias below the projection and evaluate the
+      // DP twice per pair (measured 2x); the checkpointed frame is
+      // candidate-pair-sized (~tens of MB per million candidates)
+      .localCheckpoint(true)
+      .where(col("dist") >= 0) // the kernel returns -1 past the budget
   }
 
   // -------------------------------------------------------------- simhash --

@@ -88,6 +88,72 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       5L -> 5L, 9L -> 9L))
   }
 
+  test("bounded levenshtein kernel: known values, budget sentinel, unicode bytes") {
+    import graft.functions.LevenshteinFunctions.boundedLevenshtein
+    val cases = Seq(
+      ("kitten", "sitting", 3, 3L), ("abc", "abc", 5, 0L),
+      ("", "ab", 5, 2L), ("abc", "abd", 0, -1L), // over budget -> -1
+      ("abcdefgh", "xbcdefgi", 1, -1L),
+      // byte-level UTF-8 semantics (the oracle engine's): 'ä' is 2 bytes
+      ("a", "ä", 5, 2L), ("你好", "你坏", 5, 2L))
+    cases.foreach { case (a, b, d, want) =>
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(boundedLevenshtein($"a", $"b", d).cast("long")).head().getLong(0)
+      assert(got === want, s"lev($a, $b, $d)")
+    }
+    // on pure-ASCII text the kernel agrees with Spark's codepoint builtin
+    val docs = Tables.documents(spark, sf).where($"lang" === "en")
+      .limit(40).select($"doc_id", $"text")
+    val pairs = docs.select($"doc_id".as("ia"), $"text".as("ta"))
+      .crossJoin(docs.select($"doc_id".as("ib"), $"text".as("tb")))
+      .where($"ia" < $"ib")
+    val diff = pairs.select(
+        boundedLevenshtein($"ta", $"tb", 100).cast("long").as("k"),
+        levenshtein($"ta", $"tb", 100).cast("long").as("s"))
+      .where($"k" =!= $"s").count()
+    assert(diff === 0)
+  }
+
+  test("levenshtein length banding equals the naive blocked all-pairs truth") {
+    val docs = Tables.documents(spark, sf)
+    val banded = Dedup.levenshteinPairs(docs, $"doc_id", $"text",
+        block = $"lang", maxDist = 60)
+      .select($"id_a", $"id_b", $"dist")
+      .orderBy($"id_a", $"id_b").collect().toSeq
+    // naive truth: per-lang all-pairs with the same bounded-DP verify, no
+    // banding and no collapse machinery
+    val d = docs.select($"doc_id", $"lang", $"text")
+    val naive = d.select($"doc_id".as("id_a"), $"lang", $"text".as("t_a"))
+      .join(d.select($"doc_id".as("id_b"), $"lang", $"text".as("t_b")), "lang")
+      .where($"id_a" < $"id_b")
+      .select($"id_a", $"id_b",
+        graft.functions.LevenshteinFunctions
+          .boundedLevenshtein($"t_a", $"t_b", 60).cast("long").as("dist"))
+      .where($"dist" >= 0)
+      .orderBy($"id_a", $"id_b").collect().toSeq
+    assert(banded.nonEmpty)
+    assert(banded === naive)
+  }
+
+  test("simhash recall budget: every true J>=0.5 pair sits within hamming 15") {
+    // the dedup_simhash oracle equates LSH output with the exact-Jaccard
+    // truth; that equation is DATA-dependent — it holds iff every true
+    // pair's fingerprints differ by <= 15 bits (the structural multiprobe
+    // budget). This assertion measures the corpus so an oracle mismatch
+    // on future data diagnoses as a recall-budget breach, not a query bug.
+    val docs = Tables.documents(spark, sf)
+    val truth = Dedup.jaccardPairs(docs, $"doc_id", $"text",
+        block = lit(1), threshold = 0.5)
+      .select($"id_a", $"id_b")
+    val sh = Dedup.simhashTable(docs, $"doc_id", $"text")
+    val maxHam = truth
+      .join(sh.select($"id".as("id_a"), $"sh64".as("h_a")), "id_a")
+      .join(sh.select($"id".as("id_b"), $"sh64".as("h_b")), "id_b")
+      .select(bit_count($"h_a".bitwiseXOR($"h_b")).as("ham"))
+      .agg(max($"ham")).head().getInt(0)
+    assert(maxHam <= 15, s"true-pair hamming $maxHam exceeds the multiprobe budget")
+  }
+
   test("simhash: duplicate docs collide, near-dups within small hamming") {
     val docs = Seq((1L, "the quick brown fox jumps over a lazy dog tonight"),
       (2L, "the quick brown fox jumps over a lazy dog tonight"),
