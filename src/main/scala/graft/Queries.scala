@@ -736,7 +736,11 @@ object Queries {
     * multiprobe candidate generation guarantees recall for hamming ≤ 15
     * (pigeonhole), and every true J≥0.5 pair in the corpus sits well inside
     * that budget (measured max: 5 at sf0.01) — so the exact-Jaccard truth
-    * is the oracle, exactly as for `dedup_minhash`.
+    * is the oracle, exactly as for `dedup_minhash`. That equivalence is
+    * DATA-dependent (the hamming budget is measured, not structural, for
+    * true pairs): DedupSpec's "simhash recall budget" test asserts the
+    * measured bound per corpus, so an oracle mismatch on future data
+    * diagnoses as a recall-budget breach rather than a query bug.
     */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDup(documents(s, dir), col("doc_id"), col("text"),
@@ -982,19 +986,56 @@ object Queries {
     s"""SELECT doc_id, md5($normalizeSql) AS fp
        FROM documents WHERE doc_id < 50 ORDER BY doc_id"""
 
-  /** 7-day moving average of daily order revenue — a ROWS-frame window over
-    * the *aggregated* daily series (bounded rows), so the global-ordered
-    * window is cheap; the decimal-exact running sum divides by the frame
-    * count only at the end.
+  /** 7-day moving average of daily order revenue. The ROWS-frame spec —
+    * avg over the 6 preceding + current rows of the day-ordered daily
+    * series — is computed WITHOUT a single-partition global window (the
+    * r3 version planned `WindowExec: No Partition Defined`, serializing
+    * the whole series through one task): moving_sum(i) = P(i) − P(i−7)
+    * over inclusive prefix sums, and P is two-level exactly like
+    * `Chunking.packByBudget` — a parallel per-chunk cumulative window
+    * (chunk = day div 64, a STATIC key: no sampling, deterministic) plus
+    * exclusive chunk offsets scanned on the driver from one (count, sum)
+    * row per chunk (AQE-statistic-sized traffic, 1/64th of the series).
+    * All sums stay decimal-exact until the final double division, and
+    * the rn−7 self-join reproduces the frame without any global sort.
     */
   def movingAvg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val daily = orders(s, dir)
       .groupBy(dayBucket(col("o_orderdate")).as("day"))
       .agg(sum(dec2(col("o_totalprice"))).as("total_dec"))
-    val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
-    daily.select(col("day"), col("total_dec").cast("double").as("total"),
-        (sum(col("total_dec")).over(w).cast("double")
-          / count(lit(1)).over(w).cast("double")).as("avg7"))
+    val wChunk = Window.partitionBy(col("ck")).orderBy(col("day"))
+    val local = daily
+      .withColumn("ck", call_function("div", col("day"), lit(64L)))
+      .withColumn("lrn", row_number().over(wChunk).cast("long"))
+      .withColumn("lsum", sum(col("total_dec")).over(
+        wChunk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint() // feeds the totals collect AND the offset join
+    val totals = local.groupBy(col("ck"))
+      .agg(count(lit(1)).as("c"), sum(col("total_dec")).as("t"))
+      .orderBy(col("ck")).collect()
+    var accC = 0L
+    var accS = java.math.BigDecimal.ZERO
+    val offs = totals.toSeq.map { r =>
+      val row = (r.getLong(0), accC, accS.toPlainString)
+      accC += r.getLong(1)
+      accS = accS.add(r.getDecimal(2))
+      row
+    }
+    // offsets ride as strings → decimal(38,2): exact, no inference quirks
+    val offsDf = offs.toDF("ck", "rn_off", "sum_off_s")
+      .select(col("ck"), col("rn_off"),
+        col("sum_off_s").cast("decimal(38,2)").as("sum_off"))
+    val g = local.join(broadcast(offsDf), "ck")
+      .select(col("day"), col("total_dec"),
+        (col("lrn") + col("rn_off")).as("rn"),
+        (col("lsum") + col("sum_off")).as("p"))
+    val prev = g.select((col("rn") + lit(7L)).as("rn"), col("p").as("p_prev"))
+    g.join(prev, Seq("rn"), "left")
+      .select(col("day"), col("total_dec").cast("double").as("total"),
+        ((col("p") - coalesce(col("p_prev"), lit(0).cast("decimal(38,2)")))
+          .cast("double")
+          / least(col("rn"), lit(7L)).cast("double")).as("avg7"))
       .orderBy(col("day"))
   }
 

@@ -57,11 +57,14 @@ object BloomPrune {
     // zero rows); might_contain(null) is NULL, which a where-filter would
     // treat as false on BOTH branches — dropping the whole batch. With no
     // corpus there is nothing to prune: every row goes to the anti-join,
-    // which correctly passes everything through.
+    // which correctly passes everything through. Likewise a null text ⇒
+    // null fp makes might_contain NULL: coalesce routes those rows to the
+    // definitely-new branch, matching Dedup.incremental's left_anti (a
+    // null join key never matches, so the anti-join keeps the row).
     val (definitelyNew, candidates) =
       if (bf == null) (hashed.limit(0), hashed)
-      else (hashed.where(!mightContain(bf, col("fp"))),
-        hashed.where(mightContain(bf, col("fp"))))
+      else (hashed.where(!coalesce(mightContain(bf, col("fp")), lit(false))),
+        hashed.where(coalesce(mightContain(bf, col("fp")), lit(false))))
     val maybeSeen = candidates.join(corpusFps, Seq("fp"), "left_anti")
     definitelyNew.unionByName(maybeSeen)
       .groupBy(col("fp"))

@@ -69,7 +69,12 @@ object Pipeline {
       }
     }
     config.localModeMaxTasks match {
-      case Some(n) if transformed.rdd.getNumPartitions > n => transformed.coalesce(n)
+      // the reference's local-mode decision counts INPUT tasks
+      // (`MapReduceExecutor.java:87`); the input file count is that
+      // statistic without forcing physical planning of the whole query
+      // (the r3 probe read `.rdd.getNumPartitions`, instantiating the
+      // physical plan outside AQE just to read a number)
+      case Some(n) if in.inputFiles.length > n => transformed.coalesce(n)
       case _ => transformed
     }
   }
