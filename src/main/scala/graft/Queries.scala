@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.operators._
-import graft.pipeline.{Pipeline, TaskReport}
+import graft.pipeline.{ConfigJson, Pipeline, TaskReport}
 import graft.multimodal.Multimodal
 
 /** Registered engine queries (SURVEY §2) + their DuckDB oracle SQL.
@@ -269,6 +269,44 @@ object Queries {
     s"""SELECT l_orderkey, l_linenumber, CAST($sqlRev AS DOUBLE) AS revenue,
        l_returnflag AS flag
        FROM lineitem WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber"""
+
+  /** Config-driven run through the reference's full in → filters → OUT
+    * shape (`MapReduceExecutorTask.java:32-75`): the JSON config carries
+    * an `out` section (csv + header), `Pipeline.run` writes through
+    * `Sinks.write`, and the query returns the sink read back — so the
+    * oracle gates the whole pipeline INCLUDING the sink format round-trip
+    * (long/string/double columns; Spark's double formatting round-trips
+    * exactly, so the CSV re-parse is lossless).
+    */
+  def pipelineConfigOut(s: SparkSession, dir: String): DataFrame = {
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft_cfg_out_").toString
+    val json = s"""{
+      "in": {"path": "$dir/orders.parquet"},
+      "filters": [
+        {"type": "where", "predicate": "o_totalprice > 100000.0"},
+        {"type": "derive", "name": "order_date",
+         "expression": "date_format(o_orderdate, 'yyyy-MM-dd')"},
+        {"type": "derive", "name": "total",
+         "expression": "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)"},
+        {"type": "rename", "from": "o_orderkey", "to": "order_id"},
+        {"type": "select",
+         "cols": ["order_id", "order_date", "o_orderstatus", "total"]}
+      ],
+      "out": {"format": "csv", "options": {"header": "true"}}
+    }"""
+    Pipeline.run(s, ConfigJson.parse(json), outDir)
+    s.read.option("header", "true")
+      .schema("order_id LONG, order_date STRING, o_orderstatus STRING, total DOUBLE")
+      .csv(outDir)
+      .orderBy(col("order_id"))
+  }
+
+  val pipelineConfigOutSql: String =
+    s"""SELECT o_orderkey AS order_id,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderstatus,
+       CAST(${sqlDec2("o_totalprice")} AS DOUBLE) AS total
+       FROM orders WHERE o_totalprice > 100000.0 ORDER BY order_id"""
 
   // --------------------------------------------------- E1/E2 core SQL ----
 

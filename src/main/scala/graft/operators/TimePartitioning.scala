@@ -128,16 +128,8 @@ object TimePartitioning {
     * reducer-side output plugin. `maxRecordsPerFile` caps file size at scale.
     */
   def writePartitioned(df: DataFrame, bucketCol: Column, outDir: String,
-      reducers: Option[Int] = None, maxRecordsPerFile: Long = 5000000L): Unit = {
-    val withBucket = df.withColumn("bucket", bucketCol)
-    val shuffled = reducers match {
-      case Some(n) => withBucket.repartition(n, col("bucket"))
-      case None    => withBucket.repartition(col("bucket"))
-    }
-    shuffled.write
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy("bucket")
-      .mode("overwrite")
-      .parquet(outDir)
-  }
+      reducers: Option[Int] = None, maxRecordsPerFile: Long = 5000000L,
+      split: Int = 1): Unit =
+    graft.sources.Sinks.write(df, outDir, "parquet", Some(bucketCol),
+      reducers, maxRecordsPerFile, Map.empty, splitHotBuckets = split)
 }

@@ -56,7 +56,24 @@ object ConfigJson {
           throw new IllegalArgumentException("config: partitioning.column is required")),
         unit = str(p \ "unit").getOrElse("hour"),
         unixTimestampUnit = str(p \ "unix_timestamp_unit"),
-        mapSidePartitionSplit = int(p \ "map_side_partition_split").getOrElse(1)))
+        mapSidePartitionSplit = int(p \ "map_side_partition_split").getOrElse(1),
+        // the reference's type-name dispatch (Partitioning.java:16-30);
+        // "timestamp" is the default exactly as there
+        ptype = str(p \ "type").getOrElse("timestamp"),
+        hashBuckets = int(p \ "buckets").getOrElse(32)))
+    }
+
+    // output stage (the reference config's `out:` section): format +
+    // free-form writer options (header, delimiter, compression, ...)
+    val out = (root \ "out") match {
+      case JNothing | JNull => Pipeline.Out()
+      case o => Pipeline.Out(
+        format = str(o \ "format").getOrElse("parquet"),
+        options = (o \ "options") match {
+          case JObject(fields) =>
+            fields.collect { case (k, JString(v)) => k -> v }.toMap
+          case _ => Map.empty[String, String]
+        })
     }
 
     Pipeline.Config(
@@ -68,6 +85,7 @@ object ConfigJson {
       localModeMaxTasks = int(root \ "local_mode_input_tasks"),
       stopOnInvalidRecord = (root \ "stop_on_invalid_record") match {
         case JBool(b) => b; case _ => false
-      })
+      },
+      out = out)
   }
 }

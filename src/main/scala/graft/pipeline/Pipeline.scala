@@ -14,10 +14,18 @@ import graft.operators.{ErrorPolicy, TimePartitioning}
   *  - no partitioning ⇒ map-only: scan → narrow transforms → write, no
   *    shuffle (`EmbulkMapReduce.java:295` analogue);
   *  - partitioning ⇒ one `repartition(bucket)` shuffle then a partitioned
-  *    write (`EmbulkPartitioningMapReduce.java:39` analogue);
+  *    write (`EmbulkPartitioningMapReduce.java:39` analogue), with the
+  *    partitioner dispatched by config type name exactly like
+  *    `Partitioning.java:16-30` ("timestamp" built in, "column_hash" the
+  *    second type proving the dispatch is an extension point);
   *  - `reducers` ⇒ shuffle partition count (`MapReduceExecutorTask.java:44`);
+  *  - `map_side_partition_split` ⇒ hot buckets salted across N reducer
+  *    tasks in the partitioned write (`TimestampPartitioning.java:273-289`);
+  *  - `stop_on_invalid_record` ⇒ cast-parse failures abort the run
+  *    (`embulk_mapred_stop_on_invalid_record_config.yml` failfast);
   *  - `localModeMaxTasks` ⇒ coalesce tiny inputs, the analogue of
-  *    `local_mode_input_tasks` (`MapReduceExecutorTask.java:56`).
+  *    `local_mode_input_tasks` (`MapReduceExecutorTask.java:56`);
+  *  - `out` ⇒ sink format/options (the reference's output plugin stage).
   */
 object Pipeline {
 
@@ -36,8 +44,22 @@ object Pipeline {
   final case class DedupRows(idCol: String, textCol: String,
     normalized: Boolean = false) extends Transform
 
-  final case class Partitioning(column: String, unit: String,
-    unixTimestampUnit: Option[String] = None, mapSidePartitionSplit: Int = 1)
+  /** Partitioning config. `ptype` is the reference's type-name dispatch
+    * (`Partitioning.java:16-30`): "timestamp" buckets a time column by
+    * unit (the reference's only built-in), "column_hash" buckets any
+    * column by `pmod(xxhash64(col), hashBuckets)` — the second registered
+    * type that proves the dispatch is pluggable. Unknown types are
+    * rejected like `embulk_mapred_invalid_partitioning_config.yml`.
+    */
+  final case class Partitioning(column: String, unit: String = "hour",
+    unixTimestampUnit: Option[String] = None, mapSidePartitionSplit: Int = 1,
+    ptype: String = "timestamp", hashBuckets: Int = 32)
+
+  /** Output stage (the reference config's `out:` section): sink format and
+    * writer options; the target path comes from `run`'s argument.
+    */
+  final case class Out(format: String = "parquet",
+    options: Map[String, String] = Map.empty)
 
   final case class Config(
     inputPath: String,
@@ -46,16 +68,32 @@ object Pipeline {
     partitioning: Option[Partitioning] = None,
     reducers: Option[Int] = None,
     localModeMaxTasks: Option[Int] = None,
-    stopOnInvalidRecord: Boolean = false)
+    stopOnInvalidRecord: Boolean = false,
+    out: Out = Out())
 
-  /** Build the logical plan for a config (no execution). */
+  /** Build the logical plan for a config. With `stopOnInvalidRecord` set,
+    * every Cast step gates eagerly: a row whose source value is non-null but
+    * fails the cast is an invalid record and aborts the run
+    * (`ErrorPolicy.Fail`, the reference's failfast) — so planning a
+    * failfast config performs the validation action.
+    */
   def plan(spark: SparkSession, config: Config): DataFrame = {
     val in = spark.read.format(config.format).load(config.inputPath)
     val transformed = config.transforms.foldLeft(in) { (df, t) =>
       t match {
         case Select(cs)      => df.select(cs.map(col): _*)
         case Rename(f, to)   => df.withColumnRenamed(f, to)
-        case Cast(c, to)     => df.withColumn(c, col(c).cast(to))
+        case Cast(c, to)     =>
+          val casted = col(c).cast(to)
+          // validity must be judged BEFORE the column is replaced: source
+          // null stays valid (null in, null out), source non-null with a
+          // null cast result is a parse failure
+          val gated =
+            if (config.stopOnInvalidRecord)
+              ErrorPolicy(df, Nil,
+                valid = col(c).isNull || casted.isNotNull, ErrorPolicy.Fail)
+            else df
+          gated.withColumn(c, casted)
         case Where(p)        => df.where(p)
         case Derive(n, e)    => df.withColumn(n, expr(e))
         case DedupRows(idCol, textCol, normalized) =>
@@ -79,33 +117,47 @@ object Pipeline {
     }
   }
 
-  /** Bucket expression for a partitioning config — timestamp column or long
-    * column via unix_timestamp_unit, exactly the reference's two partitioner
-    * variants (`TimestampPartitioning.java:163-185`).
+  /** Bucket expression for a partitioning config — dispatched by type name
+    * (`Partitioning.java:16-30`). "timestamp": timestamp column or long
+    * column via unix_timestamp_unit, exactly the reference's two variants
+    * (`TimestampPartitioning.java:163-185`); "column_hash": deterministic
+    * hash bucket of any column.
     */
-  def bucketExpr(df: DataFrame, p: Partitioning): Column = {
-    val c = col(p.column)
-    val unit = TimePartitioning.BucketUnit.of(p.unit)
-    val isLong = df.schema(p.column).dataType ==
-      org.apache.spark.sql.types.LongType
-    if (isLong)
-      TimePartitioning.bucketOfLong(c,
-        TimePartitioning.UnixUnit.of(p.unixTimestampUnit.getOrElse("sec")), unit)
-    else TimePartitioning.bucket(c, unit)
+  def bucketExpr(df: DataFrame, p: Partitioning): Column = p.ptype match {
+    case "timestamp" =>
+      val c = col(p.column)
+      val unit = TimePartitioning.BucketUnit.of(p.unit)
+      val isLong = df.schema(p.column).dataType ==
+        org.apache.spark.sql.types.LongType
+      if (isLong)
+        TimePartitioning.bucketOfLong(c,
+          TimePartitioning.UnixUnit.of(p.unixTimestampUnit.getOrElse("sec")), unit)
+      else TimePartitioning.bucket(c, unit)
+    case "column_hash" =>
+      pmod(xxhash64(col(p.column)), lit(p.hashBuckets.toLong))
+    case other => throw new IllegalArgumentException(
+      s"Unknown partitioning type '$other'. Supported types are timestamp and column_hash")
   }
 
-  /** Execute: plan → (optional invalid-record gate) → write. Returns the
-    * task report for the run (the reference's job report surface).
+  /** Execute: plan (incl. the failfast gate) → sink. Partitioned configs
+    * write one directory per bucket through `Sinks.write`, with
+    * `map_side_partition_split` salting hot buckets across that many
+    * reducer tasks; map-only configs write directly in the configured
+    * output format. Returns the task report for the run (the reference's
+    * job report surface).
     */
   def run(spark: SparkSession, config: Config, outPath: String): TaskReport = {
     val report = TaskReport.attach(spark)
     val df = plan(spark, config)
     config.partitioning match {
       case Some(p) =>
-        TimePartitioning.writePartitioned(
-          df, bucketExpr(df, p), outPath, config.reducers)
+        graft.sources.Sinks.write(df, outPath, config.out.format,
+          bucket = Some(bucketExpr(df, p)), reducers = config.reducers,
+          options = config.out.options,
+          splitHotBuckets = p.mapSidePartitionSplit)
       case None =>
-        df.write.mode("overwrite").parquet(outPath)
+        graft.sources.Sinks.write(df, outPath, config.out.format,
+          options = config.out.options)
     }
     report
   }

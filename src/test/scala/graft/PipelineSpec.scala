@@ -80,6 +80,80 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(Pipeline.plan(spark, cfg).rdd.getNumPartitions === 1)
   }
 
+  test("stop_on_invalid_record flows from the JSON config through the plan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_soir_").toString
+    Seq(("1", 1L), ("xx", 2L), ("3", 3L)).toDF("raw", "i")
+      .write.mode("overwrite").parquet(dir)
+    def json(stop: Boolean) = s"""{
+      "in": {"path": "$dir"},
+      "filters": [{"type": "cast", "col": "raw", "to": "long"}],
+      "stop_on_invalid_record": $stop}"""
+    // failfast: 'xx' fails the long cast and aborts the run (reference
+    // embulk_mapred_stop_on_invalid_record_config.yml semantics)
+    val e = intercept[graft.operators.ErrorPolicy.InvalidRecordException] {
+      Pipeline.plan(spark, graft.pipeline.ConfigJson.parse(json(true)))
+    }
+    assert(e.count === 1)
+    // default: the failed cast becomes null, rows survive
+    val relaxed = Pipeline.plan(spark, graft.pipeline.ConfigJson.parse(json(false)))
+    assert(relaxed.count() === 3)
+    assert(relaxed.where($"raw".isNull).count() === 1)
+  }
+
+  test("map_side_partition_split salts the partitioned write through run()") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_split_").toString
+    def run(split: Int): org.apache.spark.sql.DataFrame = {
+      val out = s"$dir/out_$split"
+      val json = s"""{
+        "in": {"path": "$sf/events.parquet"},
+        "partitioning": {"column": "ts", "unit": "hour",
+                         "map_side_partition_split": $split},
+        "reducers": 4}"""
+      Pipeline.run(spark, graft.pipeline.ConfigJson.parse(json), out)
+      spark.read.parquet(out)
+    }
+    val salted = run(2)
+    val plain = run(1)
+    // the salt widens reducer parallelism only: layout and content equal
+    assert(salted.count() === plain.count())
+    assert(salted.select("bucket").distinct().count() ===
+      plain.select("bucket").distinct().count())
+    assert(salted.select($"event_id").except(plain.select($"event_id")).count() === 0)
+  }
+
+  test("partitioning type dispatch: column_hash buckets, unknown rejected") {
+    val out = java.nio.file.Files.createTempDirectory("graft_chash_").toString
+    val json = s"""{
+      "in": {"path": "$sf/orders.parquet"},
+      "partitioning": {"type": "column_hash", "column": "o_custkey",
+                       "buckets": 8}}"""
+    Pipeline.run(spark, graft.pipeline.ConfigJson.parse(json), out)
+    val buckets = new java.io.File(out).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
+      .map(_.getName.stripPrefix("bucket=").toLong)
+    assert(buckets.nonEmpty && buckets.forall(b => b >= 0 && b < 8))
+    assert(spark.read.parquet(out).count() ===
+      spark.read.parquet(s"$sf/orders.parquet").count())
+    val bad = intercept[IllegalArgumentException] {
+      Pipeline.bucketExpr(Tables.orders(spark, sf),
+        Pipeline.Partitioning("o_custkey", ptype = "zorder"))
+    }
+    assert(bad.getMessage.contains("Supported types are timestamp and column_hash"))
+  }
+
+  test("config out section writes csv through run() (in -> filters -> out)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cfgout_").toString
+    val json = s"""{
+      "in": {"path": "$sf/orders.parquet"},
+      "filters": [{"type": "select", "cols": ["o_orderkey", "o_orderstatus"]}],
+      "out": {"format": "csv", "options": {"header": "true"}}}"""
+    Pipeline.run(spark, graft.pipeline.ConfigJson.parse(json), out)
+    val back = spark.read.option("header", "true")
+      .schema("o_orderkey LONG, o_orderstatus STRING").csv(out)
+    assert(back.count() === spark.read.parquet(s"$sf/orders.parquet").count())
+    assert(back.columns.toSeq === Seq("o_orderkey", "o_orderstatus"))
+  }
+
   test("ErrorPolicy: Drop filters, Permissive marks, Fail throws") {
     val df = Seq(("1", 1), ("x", 2), ("3", 3)).toDF("raw", "i")
     val parsed = Seq("v" -> $"raw".cast("long"))
