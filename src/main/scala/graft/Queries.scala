@@ -1223,6 +1223,50 @@ object Queries {
            SELECT DISTINCT md5(text) FROM documents WHERE doc_id % 2 = 0)
        GROUP BY 1 ORDER BY fp"""
 
+  /** Batch-replayable correctness surface for the STREAMING incremental
+    * corpus dedup (E8c, `StreamingIngest.incrementalDedupSink`): the
+    * documents table is split into two parquet drops (even ids, then odd
+    * ids) in a temp landing dir; an availableNow file-stream run drains
+    * drop 1 (building the fingerprint corpus), a second run on the same
+    * checkpoint processes only drop 2 against that corpus. The union of
+    * the batch outputs must equal "exact-dedup of the evens" ∪ "odd
+    * contents never seen in the evens" — the truth the oracle computes —
+    * which puts the streaming twin under the same hash gate as the batch
+    * operators instead of test-only coverage.
+    */
+  def dedupIncrementalStream(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_").toString
+    val landing = s"$tmp/landing"; val fpDir = s"$tmp/fps"
+    val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val d = documents(s, dir).select(col("doc_id"), col("text"))
+    d.where(pmod(col("doc_id"), lit(2)) === 0)
+      .write.mode("overwrite").parquet(landing)
+    def drain(): Unit =
+      graft.streaming.StreamingIngest.incrementalDedupSink(
+        s.readStream.schema(d.schema).parquet(landing), "doc_id", "text",
+        fpDir, outDir, checkpointDir = Some(ckpt), availableNow = true)
+        .awaitTermination()
+    drain()
+    d.where(pmod(col("doc_id"), lit(2)) === 1)
+      .write.mode("append").parquet(landing)
+    drain()
+    s.read.parquet(outDir).select(col("fp"), col("keep_id"))
+      .orderBy(col("fp"))
+  }
+
+  val dedupIncrementalStreamSql: String =
+    """SELECT fp, keep_id FROM (
+         SELECT md5(text) AS fp, MIN(doc_id) AS keep_id
+         FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+         UNION ALL
+         SELECT md5(text) AS fp, MIN(doc_id) AS keep_id
+         FROM documents
+         WHERE doc_id % 2 = 1
+           AND md5(text) NOT IN (
+             SELECT DISTINCT md5(text) FROM documents WHERE doc_id % 2 = 0)
+         GROUP BY 1)
+       ORDER BY fp"""
+
   /** Changelog compaction: latest event per user via max_by hash-agg (no
     * per-key sort — the oracle's window formulation is the semantic spec,
     * not the plan).

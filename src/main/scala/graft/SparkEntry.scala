@@ -87,6 +87,7 @@ object SparkEntry {
     "ann_ivf" -> (Queries.annIvf _),
     // corpus curation (incremental dedup, compaction, sampling, chunking)
     "dedup_incremental" -> (Queries.dedupIncremental _),
+    "dedup_incremental_stream" -> (Queries.dedupIncrementalStream _),
     "latest_by_key" -> (Queries.latestByKey _),
     "sample_stratified" -> (Queries.sampleStratified _),
     "doc_chunking" -> (Queries.docChunking _),
@@ -163,6 +164,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> Queries.dedupEmbeddingLshSql,
     "ann_topk" -> Queries.annTopkSql,
     "dedup_incremental" -> Queries.dedupIncrementalSql,
+    "dedup_incremental_stream" -> Queries.dedupIncrementalStreamSql,
     "latest_by_key" -> Queries.latestByKeySql,
     "sample_stratified" -> Queries.sampleStratifiedSql,
     "doc_chunking" -> Queries.docChunkingSql,

@@ -49,16 +49,24 @@ object StreamingIngest {
     * form of `Dedup.incremental` for a continuously-arriving corpus: each
     * microbatch is content-hashed, deduplicated within the batch (keep the
     * smallest id), anti-joined against the persistent fingerprint table,
-    * emitted to `outDir`, and its new fingerprints appended to `fpDir`.
-    * The fingerprint table holds 16-byte hashes only, so corpus state
-    * stays tiny no matter how large the documents are. Batch replays
-    * re-emit at most their own batch (fingerprint appends are
-    * content-keyed, so replayed fps dedupe on the next anti-join).
+    * emitted to `outDir/batch_id=N`, and its new fingerprints written to
+    * `fpDir/batch_id=N`. The fingerprint table holds 16-byte hashes only,
+    * so corpus state stays tiny no matter how large the documents are.
+    *
+    * Exactly-once on replay: both sinks are keyed by batch id and written
+    * with overwrite, so a batch re-run after a failure between the two
+    * writes REPLACES its own directories instead of appending duplicate
+    * rows (plain parquet append has no exactly-once story). The corpus
+    * read excludes partitions with batch_id ≥ the current batch — a
+    * replayed batch must not anti-join against its own half-written
+    * fingerprints, which would emit an empty batch and lose the rows.
     */
   def incrementalDedupSink(docs: DataFrame, idCol: String, textCol: String,
-      fpDir: String, outDir: String): StreamingQuery =
-    docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      fpDir: String, outDir: String,
+      checkpointDir: Option[String] = None,
+      availableNow: Boolean = false): StreamingQuery = {
+    val writer = docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val hashed = batch
           .select(md5(col(textCol)).as("fp"), col(idCol).as("id"))
@@ -70,17 +78,24 @@ object StreamingIngest {
         val fpPath = new org.apache.hadoop.fs.Path(fpDir)
         val fs = fpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val corpus =
-          if (fs.exists(fpPath)) spark.read.parquet(fpDir).select(col("fp"))
+          if (fs.exists(fpPath))
+            spark.read.parquet(fpDir)
+              .where(col("batch_id") < batchId).select(col("fp"))
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             new StructType().add("fp", "string"))
         val fresh = hashed.join(corpus, Seq("fp"), "left_anti")
           .localCheckpoint() // two sinks below; don't recompute the anti-join
-        fresh.write.mode("append").parquet(outDir)
-        fresh.select(col("fp")).write.mode("append").parquet(fpDir)
+        fresh.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        fresh.select(col("fp"))
+          .write.mode("overwrite").parquet(s"$fpDir/batch_id=$batchId")
         ()
       }
+    val withCkpt =
+      checkpointDir.fold(writer)(c => writer.option("checkpointLocation", c))
+    (if (availableNow) withCkpt.trigger(Trigger.AvailableNow()) else withCkpt)
       .start()
+  }
 
   /** Drain all currently-available input and stop (`Trigger.AvailableNow`) —
     * batch-equivalent processing of a static directory; complete-mode memory
