@@ -52,6 +52,21 @@ object Similarity {
   def cosinePairs(vectors: DataFrame, id: Column, vec: Column,
       threshold: Double): DataFrame = {
     val v = vectors.select(id.as("id"), vec.as("v"))
+    overVectorGroups(v, threshold)(reps => cosinePairsRaw(reps, threshold))
+  }
+
+  /** Run a pair generator over distinct vectors only, expanding results
+    * back through identical-vector groups — the embedding twin of
+    * `Dedup.overTextGroups`, shared by the exact and the LSH generators
+    * (verbatim duplicates are quadratic poison for BOTH: all-pairs compute
+    * and LSH bucket collisions alike grow as dup_factor²; with the
+    * collapse, compute runs on distinct vectors and only the *output*
+    * expansion is dup-sized). Adaptive: a two-count statistic skips the
+    * machinery on duplicate-free input. Intra-group pairs score
+    * cosine(v,v) computed once per group, not an assumed 1.0.
+    */
+  private def overVectorGroups(v: DataFrame, threshold: Double)(
+      pairsOfReps: DataFrame => DataFrame): DataFrame = {
     // cached for this call only: the counts probe, the group/rep joins and
     // the member expansion read it; the eager localCheckpoint below runs
     // them all before the finally-unpersist releases the memory
@@ -60,10 +75,10 @@ object Similarity {
       val counts = members.agg(count(lit(1)).as("n"),
         countDistinct(col("gk")).as("d")).head()
       if (counts.getLong(0) == counts.getLong(1))
-        return cosinePairsRaw(v, threshold)
+        return pairsOfReps(v)
       val groups = members.groupBy(col("gk")).agg(min(col("id")).as("rid"))
       val reps = v.join(groups.select(col("rid").as("id")), "id")
-      val repPairs = cosinePairsRaw(reps.select(col("id"), col("v")), threshold)
+      val repPairs = pairsOfReps(reps.select(col("id"), col("v")))
       val gkOf = groups.select(col("rid"), col("gk"))
       val cross = repPairs
         .join(gkOf.select(col("rid").as("id_a"), col("gk").as("gk_a")), "id_a")
@@ -145,7 +160,15 @@ object Similarity {
   def lshCosinePairs(vectors: DataFrame, id: Column, vec: Column,
       threshold: Double, nPlanes: Int = 6, tables: Int = 128,
       dims: Int = 64): DataFrame = {
-    val v = vectors.select(id.as("id"), vec.as("v"))
+    val v0 = vectors.select(id.as("id"), vec.as("v"))
+    // identical-vector collapse first: verbatim copies share every bucket
+    // in every table, so LSH candidates would grow as dup_factor² without it
+    overVectorGroups(v0, threshold)(v =>
+      lshCosinePairsRaw(v, threshold, nPlanes, tables, dims))
+  }
+
+  private def lshCosinePairsRaw(v: DataFrame, threshold: Double,
+      nPlanes: Int, tables: Int, dims: Int): DataFrame = {
     val banded = v.select(col("id"),
       posexplode(lshBucketTables(col("v"), nPlanes, tables, dims))
         .as(Seq("tbl", "bucket")))

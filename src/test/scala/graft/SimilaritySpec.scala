@@ -69,6 +69,11 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       .orderBy($"id_a", $"id_b").collect().toSeq
     assert(got === naive)
     assert(got.size > e.count()) // the verbatim copies pair up
+    // the LSH path collapses identical vectors too (bucket collisions
+    // would otherwise grow as dup_factor²) and still equals the truth
+    val lsh = Similarity.lshCosinePairs(amplified, $"vec_id", $"embedding", 0.46)
+      .orderBy($"id_a", $"id_b").collect().toSeq
+    assert(lsh === naive)
   }
 
   test("lshCosinePairs at registered params equals the exact truth") {
