@@ -870,6 +870,55 @@ object Queries {
          FROM cand)
        WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** The L6 ANN scale path, oracle-gated: `Similarity.annTopKLsh` bucket
+    * candidates + exact re-rank. Like `ann_ivf`, the deterministic index
+    * (splitmix64 Rademacher planes) makes the WHOLE algorithm replayable
+    * as SQL — the oracle embeds the 60 plane weight vectors as literals,
+    * recomputes every table's sign-bucket per vector, joins on any-table
+    * bucket equality, and re-ranks with the identical left-fold cosine.
+    * So the compare gates the candidate structure exactly, independent of
+    * recall (both engines see the same candidate set by construction).
+    */
+  def annTopkLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.annTopKLsh(e.where(col("id") < 10), e, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annTopkLshSql: String = {
+    val nPlanes = 10; val tables = 6; val dims = 64
+    val w = graft.functions.LshPlanes.weights(nPlanes * tables, dims)
+    def proj(vec: String, p: Int): String = {
+      val lits = (0 until dims)
+        .map(d => if (w(p * dims + d) > 0) "1.0" else "-1.0").mkString(",")
+      s"""list_reduce(list_transform(range(1, ${dims + 1}),
+          i -> CAST($vec[i] AS DOUBLE) * ([$lits])[i]), (x, y) -> x + y)"""
+    }
+    def bucket(vec: String, t: Int): String =
+      (0 until nPlanes).map(p =>
+        s"(CASE WHEN ${proj(vec, t * nPlanes + p)} >= 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString(" + ")
+    val bCols = (0 until tables)
+      .map(t => s"(${bucket("embedding", t)}) AS bk$t").mkString(",\n         ")
+    val orCond = (0 until tables).map(t => s"q.bk$t = c.bk$t").mkString(" OR ")
+    s"""WITH b AS (
+         SELECT vec_id, embedding,
+         $bCols
+         FROM embeddings),
+       cand AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ${cosSql("q.embedding", "c.embedding")} AS cos
+         FROM b q JOIN b c ON c.vec_id != q.vec_id AND ($orCond)
+         WHERE q.vec_id < 10)
+       SELECT query_id, neighbor_id, cos, rank FROM (
+         SELECT query_id, neighbor_id, cos,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         FROM cand)
+       WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
   def annTopk(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -1112,6 +1161,45 @@ object Queries {
          FROM events, UNNEST(range(0, 2)) AS u(k))
        GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Batch-replayable correctness surface for the STREAMING hourly ingest
+    * (E7, `StreamingIngest.hourlyCounts`): an availableNow file-stream
+    * drains the static events table through the watermarked windowed agg
+    * into a complete-mode memory sink; the final table must equal the
+    * batch truth the oracle computes (window start = hour-aligned epoch).
+    * Decimal partial sums keep the result independent of microbatch and
+    * partition merge order.
+    */
+  def streamingHourlyCounts(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    // file-stream sources need a directory: stage the table into a temp
+    // landing dir (the continuous-ingest layout this operator serves)
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val landing =
+      java.nio.file.Files.createTempDirectory("graft_hourly_land_").toString
+    raw.write.mode("overwrite").parquet(landing)
+    val staged = s.read.parquet(landing)
+    val stream0 = s.readStream.schema(staged.schema).parquet(landing)
+    val stream =
+      if (staged.schema("ts").dataType == LongType)
+        stream0.withColumn("ts",
+          timestamp_micros(call_function("div", col("ts"), lit(1000L))))
+      else stream0
+    val name = s"graft_stream_hourly_${System.nanoTime()}"
+    graft.streaming.StreamingIngest
+      .runAvailableNow(graft.streaming.StreamingIngest.hourlyCounts(stream), name)
+      .awaitTermination()
+    s.table(name)
+      .select(unix_micros(col("hour_start")).as("h_us"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("h_us"), col("event_type"))
+  }
+
+  val streamingHourlyCountsSql: String =
+    """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS h_us, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** Full-outer join: every customer and every order bucket survives,
     * unmatched sides null-filled — the remaining join-type surface after
     * inner/left/semi/anti/asof/range.
@@ -1266,6 +1354,23 @@ object Queries {
              SELECT DISTINCT md5(text) FROM documents WHERE doc_id % 2 = 0)
          GROUP BY 1)
        ORDER BY fp"""
+
+  /** Bloom-pruned incremental dedup — the registered scale path for L12
+    * (`BloomPrune.incrementalPruned`): rows whose content hash definitely
+    * isn't in the corpus sketch skip the anti-join shuffle entirely; the
+    * result is contractually identical to `Dedup.incremental`, so the
+    * same oracle gates both.
+    */
+  def dedupIncrementalBloom(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    BloomPrune.incrementalPruned(
+      incoming = d.where(pmod(col("doc_id"), lit(2)) === 1),
+      corpus = d.where(pmod(col("doc_id"), lit(2)) === 0),
+      col("doc_id"), col("text"), expectedCorpus = 100000L)
+      .orderBy(col("fp"))
+  }
+
+  val dedupIncrementalBloomSql: String = dedupIncrementalSql
 
   /** Changelog compaction: latest event per user via max_by hash-agg (no
     * per-key sort — the oracle's window formulation is the semantic spec,

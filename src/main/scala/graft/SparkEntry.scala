@@ -69,6 +69,7 @@ object SparkEntry {
     "gapfill_daily" -> (Queries.gapfillDaily _),
     "approx_percentiles" -> (Queries.approxPercentiles _),
     "sliding_hour_counts" -> (Queries.slidingHourCounts _),
+    "streaming_hourly_counts" -> (Queries.streamingHourlyCounts _),
     "distinct_users_daily" -> (Queries.distinctUsersDaily _),
     "approx_distinct_users" -> (Queries.approxDistinctUsers _),
     // L1 exact dedup
@@ -84,10 +85,12 @@ object SparkEntry {
     "dedup_embedding_lsh" -> (Queries.dedupEmbeddingLsh _),
     // L6 similarity search
     "ann_topk" -> (Queries.annTopk _),
+    "ann_topk_lsh" -> (Queries.annTopkLsh _),
     "ann_ivf" -> (Queries.annIvf _),
     // corpus curation (incremental dedup, compaction, sampling, chunking)
     "dedup_incremental" -> (Queries.dedupIncremental _),
     "dedup_incremental_stream" -> (Queries.dedupIncrementalStream _),
+    "dedup_incremental_bloom" -> (Queries.dedupIncrementalBloom _),
     "latest_by_key" -> (Queries.latestByKey _),
     "sample_stratified" -> (Queries.sampleStratified _),
     "doc_chunking" -> (Queries.docChunking _),
@@ -165,6 +168,9 @@ object SparkEntry {
     "ann_topk" -> Queries.annTopkSql,
     "dedup_incremental" -> Queries.dedupIncrementalSql,
     "dedup_incremental_stream" -> Queries.dedupIncrementalStreamSql,
+    "dedup_incremental_bloom" -> Queries.dedupIncrementalBloomSql,
+    "ann_topk_lsh" -> Queries.annTopkLshSql,
+    "streaming_hourly_counts" -> Queries.streamingHourlyCountsSql,
     "latest_by_key" -> Queries.latestByKeySql,
     "sample_stratified" -> Queries.sampleStratifiedSql,
     "doc_chunking" -> Queries.docChunkingSql,

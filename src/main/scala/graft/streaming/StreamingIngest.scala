@@ -31,7 +31,10 @@ object StreamingIngest {
     events
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      // decimal partial sums (engine determinism contract, SURVEY §6):
+      // double sums would depend on microbatch/partition merge order
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 
