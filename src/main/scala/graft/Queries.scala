@@ -1626,4 +1626,105 @@ object Queries {
     """SELECT doc_id, 'text' AS modality,
        CAST(octet_length(encode(text)) AS BIGINT) AS num_bytes, md5(text) AS content_md5
        FROM documents WHERE doc_id < 50 ORDER BY doc_id"""
+
+  // ------------------------------------------- E8/E8b streaming gates ----
+
+  /** Batch-replayable correctness surface for the STREAMING stateful
+    * sessionizer (E8, `StatefulSessionize`): drain 1 processes the full
+    * event history (emitting every gap-closed session), then a sentinel
+    * event per user — beyond any real timestamp plus the gap — lands and
+    * drain 2 resumes the same checkpoint, closing and emitting every
+    * still-open session. The sentinel's own session stays open and is
+    * never emitted, so the union of batch outputs is exactly the batch
+    * `sessionize` truth — same oracle SQL gates both.
+    */
+  def streamingSessionize(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StatefulSessionize
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sess_stream_").toString
+    val landing = s"$tmp/landing"; val ckpt = s"$tmp/ckpt"
+    val outDir = s"$tmp/out"
+    val ev = events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t_us"))
+    // one file per drop → one deterministic microbatch per drain (the state
+    // fn orders within a batch; cross-batch order is the landing order)
+    ev.coalesce(1).write.mode("overwrite").parquet(landing)
+    StatefulSessionize.drainToDir(s, landing, ev.schema, ckpt, outDir)
+    ev.groupBy(col("user_id"))
+      .agg((max(col("t_us")) + lit(2L * StatefulSessionize.GapUs)).as("t_us"))
+      .select(col("user_id"), lit(-1L).as("event_id"), col("t_us"))
+      .coalesce(1).write.mode("append").parquet(landing)
+    StatefulSessionize.drainToDir(s, landing, ev.schema, ckpt, outDir)
+    s.read.parquet(outDir)
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("start_us"), col("end_us"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  val streamingSessionizeSql: String = sessionizeSql
+
+  /** Streaming exact dedup (E8b, `StreamingIngest.dedupStream`): the same
+    * event drop lands twice; the watermarked `dropDuplicates` stream must
+    * emit each distinct (user_id, event_type, ts) exactly once — the
+    * DISTINCT truth the oracle computes. (Whether the second drop dies by
+    * dedup state or by the watermark's late filter, the contract is the
+    * same distinct set.)
+    */
+  def dedupStreamExact(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dstream_").toString
+    val landing = s"$tmp/landing"
+    val ev = events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    ev.coalesce(1).write.mode("overwrite").parquet(landing)
+    ev.coalesce(1).write.mode("append").parquet(landing)
+    val stream = s.readStream.schema(ev.schema).parquet(landing)
+    val name = s"graft_stream_dedup_${System.nanoTime()}"
+    graft.streaming.StreamingIngest.runAvailableNowAppend(
+      graft.streaming.StreamingIngest.dedupStream(
+        stream, Seq("user_id", "event_type")), name)
+      .awaitTermination()
+    s.table(name)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
+      .orderBy(col("user_id"), col("event_type"), col("t_us"))
+  }
+
+  val dedupStreamExactSql: String =
+    """SELECT DISTINCT user_id, event_type, epoch_us(ts) AS t_us
+       FROM events ORDER BY user_id, event_type, t_us"""
+
+  // ----------------------------------------------- L21 PII redaction ----
+
+  /** PII redaction (L21): deterministic PII is spliced into each document
+    * (the synthetic corpus carries none), then masked by the shared
+    * RE2-compatible patterns; the oracle replays the identical splice +
+    * patterns in DuckDB. Output is (count, md5-of-redacted-text) so the
+    * gate checks exact textual equality without shipping the corpus.
+    */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val salted = documents(s, dir).where(col("doc_id") < 200)
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com from 10.0."),
+          pmod(col("doc_id"), lit(256)), lit(".7 call +1 555-012-3456.")
+        ).as("text"))
+    salted.select(col("doc_id"),
+      TextAnalysis.piiCount(col("text")).cast("long").as("n_pii"),
+      md5(TextAnalysis.redactPii(col("text"))).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val piiRedactSql: String = {
+    val Seq(email, ipv4, phone) = TextAnalysis.piiPatterns.map(_._2)
+    def count(p: String) = s"len(regexp_extract_all(text, '$p'))"
+    s"""SELECT doc_id,
+         CAST(${count(email)} + ${count(ipv4)} + ${count(phone)} AS BIGINT)
+           AS n_pii,
+         md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '$email', '[EMAIL]', 'g'),
+           '$ipv4', '[IPV4]', 'g'),
+           '$phone', '[PHONE]', 'g')) AS redacted_md5
+       FROM (SELECT doc_id,
+               text || ' contact user' || doc_id || '@example.com from 10.0.'
+                 || (doc_id % 256) || '.7 call +1 555-012-3456.' AS text
+             FROM documents WHERE doc_id < 200)
+       ORDER BY doc_id"""
+  }
 }

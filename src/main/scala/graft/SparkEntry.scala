@@ -58,6 +58,8 @@ object SparkEntry {
     "window_top_events" -> (Queries.windowTopEvents _),
     "topk_per_key" -> (Queries.topkPerKey _),
     "sessionize" -> (Queries.sessionize _),
+    "streaming_sessionize" -> (Queries.streamingSessionize _),
+    "dedup_stream_exact" -> (Queries.dedupStreamExact _),
     "rollup_orders" -> (Queries.rollupOrders _),
     "cube_orders" -> (Queries.cubeOrders _),
     "pivot_event_values" -> (Queries.pivotEventValues _),
@@ -108,6 +110,8 @@ object SparkEntry {
     "quality_score" -> (Queries.qualityScore _),
     "text_repetition" -> (Queries.textRepetition _),
     "fingerprint" -> (Queries.fingerprintQ _),
+    // L21 PII redaction
+    "pii_redact" -> (Queries.piiRedact _),
   )
 
   /** DuckDB oracle SQL per query — every registered query has one.
@@ -145,6 +149,8 @@ object SparkEntry {
     "window_top_events" -> Queries.windowTopEventsSql,
     "topk_per_key" -> Queries.topkPerKeySql,
     "sessionize" -> Queries.sessionizeSql,
+    "streaming_sessionize" -> Queries.streamingSessionizeSql,
+    "dedup_stream_exact" -> Queries.dedupStreamExactSql,
     "rollup_orders" -> Queries.rollupOrdersSql,
     "cube_orders" -> Queries.cubeOrdersSql,
     "pivot_event_values" -> Queries.pivotEventValuesSql,
@@ -186,5 +192,6 @@ object SparkEntry {
     "quality_score" -> Queries.qualityScoreSql,
     "text_repetition" -> Queries.textRepetitionSql,
     "fingerprint" -> Queries.fingerprintSql,
+    "pii_redact" -> Queries.piiRedactSql,
   )
 }

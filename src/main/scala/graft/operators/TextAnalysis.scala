@@ -99,4 +99,33 @@ object TextAnalysis {
     * Spark and DuckDB so the oracle can replay it.
     */
   def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** PII redaction patterns (the C4/Dolma-style masking stage every
+    * training-data pipeline runs before release). Deliberately
+    * RE2-compatible — no backreferences or lookaround — so the exact same
+    * pattern strings run in Java regex (Spark) and RE2 (DuckDB oracle),
+    * and redaction is a pure narrow map (codegen'd, zero shuffle, scales
+    * linearly to any corpus size).
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "EMAIL" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "IPV4" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+    "PHONE" -> "\\+?[0-9]{1,3}[- .]\\(?[0-9]{3}\\)?[- .][0-9]{3}[- .][0-9]{4}\\b")
+
+  /** Replace every PII match with its `[TAG]`, applied in declaration order
+    * (emails first, so an address is one `[EMAIL]`, not an `[EMAIL]` with a
+    * phone-shaped tail).
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (tag, pat)) =>
+      regexp_replace(c, pat, s"[$tag]")
+    }
+
+  /** Per-pattern match counts summed over the ORIGINAL text (audit metric:
+    * how much PII a document carried, independent of redaction order).
+    */
+  def piiCount(text: Column): Column =
+    piiPatterns.map { case (_, pat) =>
+      size(regexp_extract_all(text, lit(pat), lit(0)))
+    }.reduce(_ + _)
 }

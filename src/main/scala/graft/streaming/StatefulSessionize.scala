@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
 
 /** Custom streaming state: gap-based sessionization via
   * `flatMapGroupsWithState` — the engine's arbitrary-state surface (the
@@ -50,5 +51,24 @@ object StatefulSessionize {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout())(updateUser)
+  }
+
+  /** availableNow drain of the sessionizer over a parquet landing dir into
+    * batch-id-keyed parquet (overwrite per batch — replay-idempotent, same
+    * sink contract as `StreamingIngest.incrementalDedupSink`). Successive
+    * drains over one checkpoint resume the per-user open-session state, so
+    * a caller can land more files and drain again.
+    */
+  def drainToDir(spark: SparkSession, landing: String, schema: StructType,
+      ckpt: String, outDir: String): Unit = {
+    import spark.implicits._
+    val stream = spark.readStream.schema(schema).parquet(landing).as[Event]
+    sessions(stream)(spark).writeStream
+      .foreachBatch { (batch: Dataset[SessionOut], id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$id"); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
   }
 }

@@ -111,4 +111,15 @@ object StreamingIngest {
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Append-mode twin of [[runAvailableNow]] for row-emitting streams
+    * (dedup, sessionize) whose sinks receive each result row exactly once.
+    */
+  def runAvailableNowAppend(rows: DataFrame, queryName: String): StreamingQuery =
+    rows.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

@@ -56,4 +56,16 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
       .select(TextAnalysis.fingerprint($"text")).collect().map(_.getString(0))
     assert(fp(0) === fp(1))
   }
+
+  test("redactPii masks emails, IPv4s, and phone numbers; counts match") {
+    val text = "mail a.b+c@ex-1.org or admin@x.io, host 192.168.0.1, " +
+      "call +1 555-012-3456; clean text stays."
+    assert(one(TextAnalysis.redactPii($"text"), text).getString(0) ===
+      "mail [EMAIL] or [EMAIL], host [IPV4], call [PHONE]; clean text stays.")
+    assert(one(TextAnalysis.piiCount($"text"), text).getInt(0) === 4)
+    // no PII → identity, zero count
+    val clean = "version 1.2 costs 3 dollars at 5pm"
+    assert(one(TextAnalysis.redactPii($"text"), clean).getString(0) === clean)
+    assert(one(TextAnalysis.piiCount($"text"), clean).getInt(0) === 0)
+  }
 }
