@@ -1690,6 +1690,52 @@ object Queries {
     """SELECT DISTINCT user_id, event_type, epoch_us(ts) AS t_us
        FROM events ORDER BY user_id, event_type, t_us"""
 
+  // -------------------------------------------- L22 line-level dedup ----
+
+  /** Line-level dedup (the C4/RefinedWeb boilerplate-removal stage):
+    * segment each document into aligned 10-word lines, drop every line
+    * that appears in ≥ 3 distinct documents (shared boilerplate), and
+    * reassemble the survivors in order. Scale shape: the segmentation is
+    * a narrow explode; the document-frequency pass is one map-side-
+    * combining hash agg on 16-byte line hashes; the common-line set is
+    * tiny by construction (only lines crossing the df threshold), so the
+    * anti-join broadcasts under AQE; reassembly is one shuffle on doc_id
+    * with per-doc-bounded state. Nothing is corpus-quadratic.
+    */
+  def lineDedup(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val nLines = ceil(size(words) / lit(10.0)).cast("int")
+    val lines = documents(s, dir)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), nLines - 1),
+          i => array_join(slice(words, i * 10 + 1, lit(10)), " ")))
+        .as(Seq("pos", "line")))
+      .select(col("doc_id"), col("pos"), col("line"), md5(col("line")).as("lh"))
+    val common = lines.groupBy(col("lh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") >= 3).select(col("lh"))
+    lines.join(common, Seq("lh"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), " ")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lineDedupSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       l AS (SELECT doc_id, i AS pos,
+               array_to_string(ws[(i-1)*10+1:i*10], ' ') AS line
+             FROM w, unnest(range(1,
+               CAST(ceil(len(ws)/10.0) AS BIGINT) + 1)) AS t(i)),
+       common AS (SELECT md5(line) AS lh FROM l
+                  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3)
+       SELECT doc_id, COUNT(*) AS n_kept,
+         md5(string_agg(line, ' ' ORDER BY pos)) AS clean_md5
+       FROM l WHERE md5(line) NOT IN (SELECT lh FROM common)
+       GROUP BY doc_id ORDER BY doc_id"""
+
   // ----------------------------------------------- L21 PII redaction ----
 
   /** PII redaction (L21): deterministic PII is spliced into each document

@@ -112,6 +112,8 @@ object SparkEntry {
     "fingerprint" -> (Queries.fingerprintQ _),
     // L21 PII redaction
     "pii_redact" -> (Queries.piiRedact _),
+    // L22 line-level dedup
+    "line_dedup" -> (Queries.lineDedup _),
   )
 
   /** DuckDB oracle SQL per query — every registered query has one.
@@ -193,5 +195,6 @@ object SparkEntry {
     "text_repetition" -> Queries.textRepetitionSql,
     "fingerprint" -> Queries.fingerprintSql,
     "pii_redact" -> Queries.piiRedactSql,
+    "line_dedup" -> Queries.lineDedupSql,
   )
 }
