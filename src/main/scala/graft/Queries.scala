@@ -308,6 +308,46 @@ object Queries {
        CAST(${sqlDec2("o_totalprice")} AS DOUBLE) AS total
        FROM orders WHERE o_totalprice > 100000.0 ORDER BY order_id"""
 
+  /** A full training-data CURATION pipeline driven by one JSON config —
+    * the reference's in → filters → out shape carrying the LLM-pipeline
+    * stages as filter steps: exact dedup → language filter → quality
+    * filter → PII redaction. The oracle replays every stage in DuckDB
+    * (shared lang/quality SQL fragments, identical RE2 patterns), so the
+    * gate covers the config front-end AND each curation operator's
+    * composition.
+    */
+  def pipelineConfigCuration(s: SparkSession, dir: String): DataFrame = {
+    val json = s"""{
+      "in": {"path": "$dir/documents.parquet"},
+      "filters": [
+        {"type": "dedup", "id": "doc_id", "column": "text"},
+        {"type": "lang_filter", "column": "text", "keep": ["en", "de"]},
+        {"type": "quality_filter", "column": "text", "min_score": 0.8},
+        {"type": "pii_redact", "column": "text"},
+        {"type": "derive", "name": "text_md5", "expression": "md5(text)"},
+        {"type": "select", "cols": ["doc_id", "text_md5"]}
+      ]
+    }"""
+    Pipeline.plan(s, ConfigJson.parse(json)).orderBy(col("doc_id"))
+  }
+
+  // lazy: langExprSql / qualityScoreExprSql are declared later in this
+  // object, and object vals initialize in declaration order
+  lazy val pipelineConfigCurationSql: String = {
+    val redacted = TextAnalysis.piiPatterns.foldLeft("text") {
+      case (c, (tag, pat)) => s"regexp_replace($c, '$pat', '[$tag]', 'g')"
+    }
+    s"""WITH keepids AS (
+         SELECT MIN(doc_id) AS k FROM documents GROUP BY md5(text)),
+       base AS (
+         SELECT doc_id, text FROM documents
+         WHERE doc_id IN (SELECT k FROM keepids)),
+       langkept AS (SELECT * FROM base WHERE ($langExprSql) IN ('en', 'de')),
+       qkept AS (SELECT * FROM langkept WHERE ($qualityScoreExprSql) >= 0.8)
+       SELECT doc_id, md5($redacted) AS text_md5
+       FROM qkept ORDER BY doc_id"""
+  }
+
   // --------------------------------------------------- E1/E2 core SQL ----
 
   def q1Pricing(s: SparkSession, dir: String): DataFrame =
@@ -979,7 +1019,8 @@ object Queries {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("predicted"))
 
-  val langIdSql: String = {
+  /** DuckDB twin of TextAnalysis.langId over a `text` column. */
+  private val langExprSql: String = {
     def score(markers: Seq[String]) =
       raw"""len(list_filter(string_split_regex(text, '\s+'),
           x -> list_contains([${markers.map("'" + _ + "'").mkString(",")}], x)))"""
@@ -987,21 +1028,23 @@ object Queries {
     val sDe = score(Seq("der", "und", "die", "ist"))
     val sFr = score(Seq("le", "et", "les", "est"))
     val sEs = score(Seq("el", "y", "los", "es"))
+    s"""CASE
+         WHEN $sEn = greatest($sEn, $sDe, $sFr, $sEs)
+           AND greatest($sEn, $sDe, $sFr, $sEs) > 0 THEN 'en'
+         WHEN $sDe = greatest($sEn, $sDe, $sFr, $sEs)
+           AND greatest($sEn, $sDe, $sFr, $sEs) > 0 THEN 'de'
+         WHEN $sFr = greatest($sEn, $sDe, $sFr, $sEs)
+           AND greatest($sEn, $sDe, $sFr, $sEs) > 0 THEN 'fr'
+         WHEN $sEs = greatest($sEn, $sDe, $sFr, $sEs)
+           AND greatest($sEn, $sDe, $sFr, $sEs) > 0 THEN 'es'
+         ELSE 'und' END"""
+  }
+
+  val langIdSql: String =
     s"""SELECT lang, predicted, COUNT(*) AS n FROM (
-         SELECT lang,
-           CASE
-             WHEN $sEn = greatest($sEn, $sDe, $sFr, $sEs)
-               AND greatest($sEn, $sDe, $sFr, $sEs) > 0 THEN 'en'
-             WHEN $sDe = greatest($sEn, $sDe, $sFr, $sEs)
-               AND greatest($sEn, $sDe, $sFr, $sEs) > 0 THEN 'de'
-             WHEN $sFr = greatest($sEn, $sDe, $sFr, $sEs)
-               AND greatest($sEn, $sDe, $sFr, $sEs) > 0 THEN 'fr'
-             WHEN $sEs = greatest($sEn, $sDe, $sFr, $sEs)
-               AND greatest($sEn, $sDe, $sFr, $sEs) > 0 THEN 'es'
-             ELSE 'und' END AS predicted
+         SELECT lang, $langExprSql AS predicted
          FROM documents)
        GROUP BY lang, predicted ORDER BY lang, predicted"""
-  }
 
   def qualityScore(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).where(col("doc_id") < 100)

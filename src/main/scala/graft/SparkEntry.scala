@@ -47,6 +47,7 @@ object SparkEntry {
     // R14 config-driven pipeline
     "pipeline_config_run" -> (Queries.pipelineConfigRun _),
     "pipeline_config_out" -> (Queries.pipelineConfigOut _),
+    "pipeline_config_curation" -> (Queries.pipelineConfigCuration _),
     // E1/E2 core joins + aggs
     "q1_pricing" -> (Queries.q1Pricing _),
     "q3_top_orders" -> (Queries.q3TopOrders _),
@@ -143,6 +144,7 @@ object SparkEntry {
     "invalid_record_permissive" -> Queries.invalidRecordPermissiveSql,
     "pipeline_config_run" -> Queries.pipelineConfigRunSql,
     "pipeline_config_out" -> Queries.pipelineConfigOutSql,
+    "pipeline_config_curation" -> Queries.pipelineConfigCurationSql,
     "q1_pricing" -> Queries.q1PricingSql,
     "q3_top_orders" -> Queries.q3TopOrdersSql,
     "q5_region_revenue" -> Queries.q5RegionRevenueSql,

@@ -42,6 +42,21 @@ object ConfigJson {
             normalized = (f \ "normalized") match {
               case JBool(b) => b; case _ => false
             })
+          case "lang_filter" => Pipeline.LangFilter(
+            textCol = str(f \ "column").get,
+            keep = (f \ "keep") match {
+              case JArray(ls) => ls.flatMap(str); case _ => Nil
+            })
+          case "quality_filter" => Pipeline.QualityFilter(
+            textCol = str(f \ "column").get,
+            minScore = (f \ "min_score") match {
+              case JDouble(d) => d
+              case JInt(i) => i.toDouble
+              case JDecimal(d) => d.toDouble
+              case _ => 0.0
+            })
+          case "pii_redact" =>
+            Pipeline.RedactPii(textCol = str(f \ "column").get)
           case other =>
             throw new IllegalArgumentException(s"config: unknown filter '$other'")
         }

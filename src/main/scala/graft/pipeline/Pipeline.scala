@@ -43,6 +43,16 @@ object Pipeline {
     */
   final case class DedupRows(idCol: String, textCol: String,
     normalized: Boolean = false) extends Transform
+  /** Curation filters (the LLM-pipeline stages as config steps — all pure
+    * narrow maps over `textCol`, zero shuffle): keep rows whose predicted
+    * language is in `keep`; keep rows whose quality score clears
+    * `minScore`; mask PII in place.
+    */
+  final case class LangFilter(textCol: String, keep: Seq[String])
+    extends Transform
+  final case class QualityFilter(textCol: String, minScore: Double)
+    extends Transform
+  final case class RedactPii(textCol: String) extends Transform
 
   /** Partitioning config. `ptype` is the reference's type-name dispatch
     * (`Partitioning.java:16-30`): "timestamp" buckets a time column by
@@ -104,6 +114,13 @@ object Pipeline {
             .groupBy(col("_fp")).agg(min(col("_id")).as("_keep"))
             .select(col("_keep"))
           df.join(keep, df(idCol) === keep("_keep"), "left_semi")
+        case LangFilter(c, keep) =>
+          df.where(graft.operators.TextAnalysis.langId(col(c))
+            .isin(keep.map(lit(_)): _*))
+        case QualityFilter(c, minScore) =>
+          df.where(graft.operators.TextAnalysis.qualityScore(col(c)) >= minScore)
+        case RedactPii(c) =>
+          df.withColumn(c, graft.operators.TextAnalysis.redactPii(col(c)))
       }
     }
     config.localModeMaxTasks match {

@@ -167,6 +167,28 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(e.count === 1)
   }
 
+  test("curation filters parse from JSON and compose in the plan") {
+    val cfg = graft.pipeline.ConfigJson.parse(s"""{
+      "in": {"path": "$sf/documents.parquet"},
+      "filters": [
+        {"type": "dedup", "id": "doc_id", "column": "text"},
+        {"type": "lang_filter", "column": "text", "keep": ["en"]},
+        {"type": "quality_filter", "column": "text", "min_score": 0.8},
+        {"type": "pii_redact", "column": "text"}
+      ]
+    }""")
+    assert(cfg.transforms(1) === Pipeline.LangFilter("text", Seq("en")))
+    assert(cfg.transforms(2) === Pipeline.QualityFilter("text", 0.8))
+    assert(cfg.transforms(3) === Pipeline.RedactPii("text"))
+    val out = Pipeline.plan(spark, cfg)
+    val n = out.count()
+    assert(n > 0) // survivors exist: en docs above the quality bar
+    // every survivor is predicted en and clears the bar (filters applied)
+    import graft.operators.TextAnalysis
+    assert(out.where(TextAnalysis.langId($"text") =!= "en").count() === 0)
+    assert(out.where(TextAnalysis.qualityScore($"text") < 0.8).count() === 0)
+  }
+
   test("task report aggregates per-stage records (AttemptState surface)") {
     val report = TaskReport.attach(spark)
     Tables.lineitem(spark, sf).groupBy($"l_returnflag").count().collect()
