@@ -866,6 +866,36 @@ object Queries {
 
   val dedupEmbeddingLshSql: String = dedupEmbeddingSql
 
+  /** Cluster assignment over the EMBEDDING near-dup graph — the LSH scale
+    * path's pairs fed through the same min-label-propagation components as
+    * the text `dedup_clusters`, proving the two scale paths compose
+    * ("keep one per semantic cluster" = `where id = root`). Oracle =
+    * recursive-CTE components over the exact-cosine pair truth.
+    */
+  def dedupEmbeddingClusters(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val pairs = Similarity.lshCosinePairs(e, col("vec_id"), col("embedding"),
+      threshold = 0.46).select(col("id_a"), col("id_b"))
+    Dedup.clusters(e.select(col("vec_id").as("id")), pairs)
+      .orderBy(col("id"))
+  }
+
+  val dedupEmbeddingClustersSql: String =
+    s"""WITH RECURSIVE
+       pairs AS (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.46),
+       edges AS (
+         SELECT id_a AS src, id_b AS dst FROM pairs
+         UNION ALL
+         SELECT id_b AS src, id_a AS dst FROM pairs),
+       reach(id, root) AS (
+         SELECT vec_id, vec_id FROM embeddings
+         UNION
+         SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id)
+       SELECT id, MIN(root) AS root FROM reach GROUP BY id ORDER BY id"""
+
   /** IVF-cell ANN. Centroid seeding is deterministic (the 16 lowest-id
     * vectors), so the entire index build — cell assignment, probe choice,
     * in-cell search — replays in the oracle as SQL over the same cosine

@@ -86,6 +86,7 @@ object SparkEntry {
     "dedup_levenshtein" -> (Queries.dedupLevenshtein _),
     "dedup_embedding" -> (Queries.dedupEmbedding _),
     "dedup_embedding_lsh" -> (Queries.dedupEmbeddingLsh _),
+    "dedup_embedding_clusters" -> (Queries.dedupEmbeddingClusters _),
     // L6 similarity search
     "ann_topk" -> (Queries.annTopk _),
     "ann_topk_lsh" -> (Queries.annTopkLsh _),
@@ -175,6 +176,7 @@ object SparkEntry {
     "dedup_levenshtein" -> Queries.dedupLevenshteinSql,
     "dedup_embedding" -> Queries.dedupEmbeddingSql,
     "dedup_embedding_lsh" -> Queries.dedupEmbeddingLshSql,
+    "dedup_embedding_clusters" -> Queries.dedupEmbeddingClustersSql,
     "ann_topk" -> Queries.annTopkSql,
     "dedup_incremental" -> Queries.dedupIncrementalSql,
     "dedup_incremental_stream" -> Queries.dedupIncrementalStreamSql,
