@@ -413,18 +413,53 @@ object Dedup {
 
   /** Connected components over near-dup pairs: every doc gets the minimum
     * id reachable through the pair graph (`root`), so "keep one per
-    * cluster" = `where id = root`. Iterative min-label propagation — each
-    * round is two shuffles (join + agg), and rounds needed = graph diameter
-    * (near-dup clusters are shallow; `maxIter` bounds pathological chains).
-    * The driver loop only checks a convergence count per round; labels
-    * never leave the cluster.
+    * cluster" = `where id = root`.
+    *
+    * Size-adaptive strategy (the same runtime-statistic dispatch AQE uses
+    * for broadcast joins): the EDGE set is near-dup-sized, not
+    * corpus-sized, so when it fits under `driverEdgeLimit` (16-byte rows;
+    * the default cap is ~64 MB) an exact union-find on the driver replaces
+    * the iterative job — every label-propagation round otherwise costs a
+    * fixed join+agg+checkpoint cycle regardless of graph size. Above the
+    * cap: iterative min-label propagation, two shuffles per round, rounds
+    * = graph diameter (near-dup clusters are shallow; `maxIter` bounds
+    * pathological chains). Both paths produce the identical min-reachable
+    * labeling.
     */
-  def clusters(ids: DataFrame, pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def clusters(ids: DataFrame, pairs: DataFrame, maxIter: Int = 10,
+      driverEdgeLimit: Long = 1L << 22): DataFrame = {
+    val spark = ids.sparkSession
+    val edgePairs = pairs
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+      .localCheckpoint()
+    if (edgePairs.count() <= driverEdgeLimit) {
+      // union by min root, path-compressed find: each tree's root is the
+      // component minimum, which IS the min-reachable label
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edgePairs.collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      import spark.implicits._
+      val mapping = parent.keys.toSeq.map(k => (k, find(k))).toDF("id", "root")
+      return ids.join(broadcast(mapping), Seq("id"), "left")
+        .select(col("id"), coalesce(col("root"), col("id")).as("root"))
+    }
     // undirected edge list, both directions; localCheckpoint truncates the
     // per-iteration lineage (otherwise every round replans the whole
     // history) and materializes the reused frame
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val edges = edgePairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edgePairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
     // only nodes that touch an edge can ever change label — iterate over
     // that (near-dup-sized) subgraph and union the untouched majority back

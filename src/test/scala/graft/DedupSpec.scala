@@ -94,14 +94,21 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       }
   }
 
-  test("clusters: min-label propagation closes transitive chains") {
+  test("clusters: both strategy paths close transitive chains identically") {
     val ids = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
     // chain 1-2-3-4 (diameter 3) + isolated 5 and 9
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
-    val out = Dedup.clusters(ids, pairs).orderBy($"id").collect()
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 9L -> 9L)
+    // driver union-find fast path (default: edge set under the cap)
+    val fast = Dedup.clusters(ids, pairs).orderBy($"id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      5L -> 5L, 9L -> 9L))
+    assert(fast === want)
+    // distributed min-label propagation (force with a zero edge cap)
+    val dist = Dedup.clusters(ids, pairs, driverEdgeLimit = 0L)
+      .orderBy($"id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === want)
   }
 
   test("bounded levenshtein kernel: known values, budget sentinel, unicode bytes") {
