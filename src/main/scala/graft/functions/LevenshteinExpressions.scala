@@ -28,6 +28,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    ~300-byte documents at d=60. Per-thread scratch buffers keep the
   *    per-call allocation at zero for documents up to 4 KiB.
   *
+  * Cost is O(⌈m/64⌉·n) word ops — full columns, not a diagonal band —
+  * plus an **early abandon**: the bottom-row score moves by at most ±1
+  * per column, so once `score − columnsRemaining > maxDist` no suffix can
+  * bring the distance back under budget and the kernel returns −1
+  * immediately. On non-matching candidate pairs (the common case after
+  * length banding) that exit fires roughly `maxDist` columns in.
+  *
   * Returns −1 when the distance exceeds `maxDist` (the built-in's sentinel
   * convention).
   */
@@ -77,7 +84,8 @@ object BoundedLevKernel {
     val topBit = 1L << ((m - 1) & 63)
     val lastW = w - 1
     var j = 0
-    while (j < n) {
+    var abandoned = false
+    while (j < n && !abandoned) {
       val base = (y(j) & 0xFF) * w
       var carryAdd = 0L  // carry of the (Eq & VP) + VP addition
       var hpCarry = 1L   // global-distance variant: D[0][j] = j
@@ -107,6 +115,10 @@ object BoundedLevKernel {
         k += 1
       }
       j += 1
+      // early abandon: the bottom-row score changes by at most 1 per
+      // column, so if even n−j consecutive decrements can't reach the
+      // budget, no suffix of y can either
+      if (score - (n - j) > maxDist) abandoned = true
     }
     // clear only the Peq rows this pattern touched
     i = 0
@@ -116,7 +128,7 @@ object BoundedLevKernel {
       while (k < w) { peq(base + k) = 0L; k += 1 }
       i += 1
     }
-    if (score <= maxDist) score else -1
+    if (!abandoned && score <= maxDist) score else -1
   }
 }
 

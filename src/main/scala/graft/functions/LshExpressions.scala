@@ -66,8 +66,14 @@ object LshBucketsKernel {
         var d = 0
         while (d < n) {
           // widen float→double (exact); ±1.0 multiply is exact, and the
-          // left-fold order makes the projection value deterministic
-          val x = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
+          // left-fold order makes the projection value deterministic.
+          // Null ELEMENTS read as 0.0 explicitly — UnsafeArrayData's
+          // primitive read already yields 0.0 for a null slot, but
+          // GenericArrayData would NPE; pinning null→0.0 makes the kernel
+          // total on every ArrayData implementation (same contract as
+          // CosineSim).
+          val x = if (vec.isNullAt(d)) 0.0
+            else if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
           s += x * w(base + d)
           d += 1
         }

@@ -39,6 +39,11 @@ case class CosineSim(left: Expression, right: Expression)
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  // Null ELEMENTS read as 0.0 — explicitly, on every ArrayData
+  // implementation. UnsafeArrayData already returns 0.0 for a null slot's
+  // primitive read, but GenericArrayData would NPE on the unboxing; pinning
+  // the semantics (null element contributes nothing to dot or norms) makes
+  // the kernel total instead of representation-dependent.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val av = a.asInstanceOf[ArrayData]
     val bv = b.asInstanceOf[ArrayData]
@@ -48,8 +53,10 @@ case class CosineSim(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = if (aF) av.getFloat(i).toDouble else av.getDouble(i)
-      val y = if (bF) bv.getFloat(i).toDouble else bv.getDouble(i)
+      val x = if (av.isNullAt(i)) 0.0
+        else if (aF) av.getFloat(i).toDouble else av.getDouble(i)
+      val y = if (bv.isNullAt(i)) 0.0
+        else if (bF) bv.getFloat(i).toDouble else bv.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -70,8 +77,8 @@ case class CosineSim(left: Expression, right: Expression)
         int $n = java.lang.Math.min($aV.numElements(), $bV.numElements());
         double $dot = 0.0, $na = 0.0, $nb = 0.0;
         for (int i = 0; i < $n; i++) {
-          double x = $getA;
-          double y = $getB;
+          double x = $aV.isNullAt(i) ? 0.0 : $getA;
+          double y = $bV.isNullAt(i) ? 0.0 : $getB;
           $dot += x * y; $na += x * x; $nb += y * y;
         }
         ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));

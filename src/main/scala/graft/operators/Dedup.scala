@@ -260,11 +260,14 @@ object Dedup {
     * width maxDist+1 the probe side's ≤3 neighbor bands provably cover
     * every such pair. The index side emits one band per doc (so each
     * unordered pair collides exactly once — no distinct pass);
-    * verification is the native banded-DP kernel
-    * ([[graft.functions.BoundedLevenshtein]]): O(len·maxDist) per pair
-    * with early budget exit, byte-level UTF-8 semantics chosen to match
-    * the oracle engine exactly (Spark's built-in counts codepoints and
-    * silently disagrees cross-engine on non-ASCII text). Verbatim
+    * verification is the native bit-parallel Myers/Hyyrö kernel
+    * ([[graft.functions.BoundedLevenshtein]]): O(⌈len/64⌉·len) word ops
+    * per pair — full DP columns, 64 cells per word — with an early abandon
+    * that bails ~maxDist columns in on pairs that can no longer return
+    * under budget (the common case after length banding); byte-level UTF-8
+    * semantics chosen to match the oracle engine exactly (Spark's built-in
+    * counts codepoints and silently disagrees cross-engine on non-ASCII
+    * text). Verbatim
     * duplicates collapse through [[overTextGroups]] (identical texts have
     * distance 0 to each other and equal distance to everything else), so
     * a dup-heavy corpus never re-verifies its copies.
@@ -411,47 +414,114 @@ object Dedup {
 
   // ------------------------------------------------------------- clusters --
 
+  /** Integral-id contract for [[clusters]]: ids are widened to long for
+    * both strategy paths (the driver union-find keys primitive arrays on
+    * them), so string/decimal ids — which `cast("long")` would silently
+    * null out — are rejected up front instead of producing wrong roots.
+    */
+  private def requireIntegralIds(df: DataFrame, cols: Seq[String],
+      what: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    cols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"Dedup.clusters requires integral (byte/short/int/long) $what id " +
+          s"columns — got ${dt.simpleString} for '$c'. Map non-numeric ids " +
+          "to a dense long surrogate (e.g. xxhash64 or zipWithIndex) first.")
+    }
+  }
+
+  /** Primitive open-addressing union-find over long ids: linear probing at
+    * load ≤ 0.5, union-by-min so each tree root IS the component minimum.
+    * Flat long arrays — no boxing — so driver memory is exactly
+    * 16 B × tableSize, tableSize = next power of two ≥ 2 × nodes.
+    */
+  private final class LongUnionFind(expectedNodes: Int) {
+    private val cap = {
+      var c = 64
+      while (c < expectedNodes * 2 && c > 0) c <<= 1
+      require(c > 0, s"union-find table overflow for $expectedNodes nodes")
+      c
+    }
+    private val mask = cap - 1
+    private val EMPTY = java.lang.Long.MIN_VALUE
+    private val keys = {
+      val a = new Array[Long](cap); java.util.Arrays.fill(a, EMPTY); a
+    }
+    private val par = new Array[Long](cap)
+    private def slot(k: Long): Int = {
+      var h = k * -7046029254386353131L // Stafford mix 13 multiplier
+      h ^= (h >>> 32)
+      var i = (h & mask).toInt
+      while (keys(i) != EMPTY && keys(i) != k) i = (i + 1) & mask
+      i
+    }
+    private def insert(k: Long): Unit = {
+      require(k != EMPTY, "Long.MinValue is the union-find's empty sentinel")
+      val i = slot(k)
+      if (keys(i) == EMPTY) { keys(i) = k; par(i) = k }
+    }
+    def find(k: Long): Long = {
+      var r = k
+      while ({ val i = slot(r); par(i) != r }) r = par(slot(r))
+      var c = k // path compression: repoint the walked chain at the root
+      while (c != r) { val i = slot(c); val n = par(i); par(i) = r; c = n }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      insert(a); insert(b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) par(slot(rb)) = ra else par(slot(ra)) = rb
+      }
+    }
+    /** (id, root) for every inserted node. */
+    def mapping(): Iterator[(Long, Long)] =
+      (0 until cap).iterator.filter(keys(_) != EMPTY)
+        .map(i => (keys(i), find(keys(i))))
+  }
+
   /** Connected components over near-dup pairs: every doc gets the minimum
     * id reachable through the pair graph (`root`), so "keep one per
-    * cluster" = `where id = root`.
+    * cluster" = `where id = root`. Ids must be integral (see
+    * [[requireIntegralIds]]) — they are widened to long internally.
     *
     * Size-adaptive strategy (the same runtime-statistic dispatch AQE uses
     * for broadcast joins): the EDGE set is near-dup-sized, not
-    * corpus-sized, so when it fits under `driverEdgeLimit` (16-byte rows;
-    * the default cap is ~64 MB) an exact union-find on the driver replaces
-    * the iterative job — every label-propagation round otherwise costs a
-    * fixed join+agg+checkpoint cycle regardless of graph size. Above the
-    * cap: iterative min-label propagation, two shuffles per round, rounds
-    * = graph diameter (near-dup clusters are shallow; `maxIter` bounds
-    * pathological chains). Both paths produce the identical min-reachable
-    * labeling.
+    * corpus-sized, so when it fits under `driverEdgeLimit` an exact
+    * union-find on the driver replaces the iterative job — every
+    * label-propagation round otherwise costs a fixed join+agg+checkpoint
+    * cycle regardless of graph size. Driver cost at the default 2M-edge
+    * cap, honestly accounted: edges stream through `toLocalIterator` (one
+    * partition of rows resident at a time, never the full boxed edge
+    * list), and the union-find is flat primitive arrays — ≤4M nodes →
+    * 8M-slot table → 128 MB peak, plus the (id, root) mapping rows
+    * (~50 B/node boxed ≈ 200 MB transient) while the broadcast frame is
+    * built. Above the cap: iterative min-label propagation, two shuffles
+    * per round, rounds = graph diameter (near-dup clusters are shallow;
+    * `maxIter` bounds pathological chains). Both paths produce the
+    * identical min-reachable labeling.
     */
   def clusters(ids: DataFrame, pairs: DataFrame, maxIter: Int = 10,
-      driverEdgeLimit: Long = 1L << 22): DataFrame = {
+      driverEdgeLimit: Long = 1L << 21): DataFrame = {
     val spark = ids.sparkSession
+    requireIntegralIds(pairs, Seq("id_a", "id_b"), "pair")
+    requireIntegralIds(ids, Seq("id"), "node")
     val edgePairs = pairs
       .select(col("id_a").cast("long").as("id_a"),
         col("id_b").cast("long").as("id_b"))
       .localCheckpoint()
-    if (edgePairs.count() <= driverEdgeLimit) {
-      // union by min root, path-compressed find: each tree's root is the
-      // component minimum, which IS the min-reachable label
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent(r) != r) r = parent(r)
-        var c = x
-        while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      edgePairs.collect().foreach { row =>
-        val a = row.getLong(0); val b = row.getLong(1)
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    val edgeCount = edgePairs.count()
+    if (edgeCount <= driverEdgeLimit) {
+      val uf = new LongUnionFind(
+        expectedNodes = math.min(edgeCount * 2L, Int.MaxValue / 4L).toInt)
+      val it = edgePairs.toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        uf.union(row.getLong(0), row.getLong(1))
       }
       import spark.implicits._
-      val mapping = parent.keys.toSeq.map(k => (k, find(k))).toDF("id", "root")
+      val mapping = uf.mapping().toSeq.toDF("id", "root")
       return ids.join(broadcast(mapping), Seq("id"), "left")
         .select(col("id"), coalesce(col("root"), col("id")).as("root"))
     }
