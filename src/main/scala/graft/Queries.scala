@@ -1543,15 +1543,17 @@ object Queries {
 
   /** Quality banding: per-language ntile(4) over the quality score — the
     * "keep the top quartile" curation cut, with a deterministic total
-    * order (score, doc_id).
+    * order (score, doc_id). Computed by `Banding.ntileByStratum` (two-level
+    * rank, no per-language single-task sort — the r5 verdict's one
+    * stalled-stage shape); the oracle stays the single ntile window the
+    * two-level form provably equals.
     */
   def qualityBands(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("score").asc, col("doc_id").asc)
-    documents(s, dir)
+    val scored = documents(s, dir)
       .select(col("doc_id"), col("lang"),
         TextAnalysis.qualityScore(col("text")).as("score"))
-      .withColumn("band", ntile(4).over(w).cast("long"))
+    graft.operators.Banding.ntileByStratum(scored, "lang",
+        Seq("score", "doc_id"), buckets = 4)
       .select(col("doc_id"), col("lang"), col("band"))
       .orderBy(col("doc_id"))
   }
@@ -1588,15 +1590,19 @@ object Queries {
     val total = documents(s, dir).agg(count(lit(1)).as("n_docs"))
     val score = col("tf").cast("double") *
       (col("n_docs").cast("double") / col("df").cast("double"))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("score").desc, col("term").asc)
-    lt.select(col("lang"), col("term"), col("tf"))
+    val scored = lt.select(col("lang"), col("term"), col("tf"))
       .join(dfreq, "term").crossJoin(broadcast(total))
       .withColumn("score", score)
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= 5)
-      .select(col("lang"), col("term"), col("tf"), col("df"),
-        col("score"), col("rank"))
+      .select(col("lang"), col("term"), col("tf"), col("df"), col("score"))
+    // top-5 per language via the bounded-heap TopKPerKeyExec — the window
+    // formulation sorts the whole per-lang vocabulary in one task; the
+    // heap keeps 5 rows per key. The row_number AFTER topK only orders the
+    // ≤ 5 survivors per lang, so its window partition is k-bounded.
+    val top = graft.plans.TopKPerKey.topK(scored, keys = Seq("lang"),
+      order = Seq("score" -> "desc", "term" -> "asc"), k = 5)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("term").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
       .orderBy(col("lang"), col("rank"))
   }
 

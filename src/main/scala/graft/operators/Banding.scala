@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+/** Quality banding — exact `ntile(n) OVER (PARTITION BY stratum ORDER BY
+  * keys)` without a per-stratum single-task sort.
+  *
+  * The composable window formulation plans one task per stratum value that
+  * sorts the stratum's ENTIRE row set — fine when strata are many and
+  * small, a stalled multi-TB stage when they are few and huge (languages
+  * over a web corpus: a handful of strata covering 100 TB). This operator
+  * computes the same global rank two-level, the machinery proven in
+  * `Chunking.packByBudget` / `Queries.movingAvg`:
+  *
+  *   1. range-partition by (stratum, keys...) — every task holds a
+  *      contiguous slice of the total order, all tasks sort in parallel;
+  *   2. per-(partition, stratum) local `row_number`;
+  *   3. collect ONE (count) row per (partition, stratum) — AQE-statistic-
+  *      sized driver traffic, never row data — and scan it into exclusive
+  *      per-stratum offsets plus stratum totals;
+  *   4. broadcast the offsets back; global rank = local + offset, and the
+  *      band falls out of the closed-form ntile bucket arithmetic.
+  *
+  * Bucket arithmetic (SQL-standard ntile, bucket sizes differ by ≤ 1,
+  * larger buckets first): with n rows and b buckets, q = n div b,
+  * r = n mod b, the first r buckets hold q+1 rows. A rank in the
+  * `r*(q+1)` head maps to `(rank-1) div (q+1) + 1`, the tail to
+  * `r + (rank - r*(q+1) - 1) div q + 1`. When n < b, q = 0 and every rank
+  * sits in the head (r = n), so the q-division branch never evaluates —
+  * each row gets its own band, exactly the window semantics.
+  *
+  * The output equals the single-window formulation row-for-row when
+  * `orderCols` totally orders each stratum, so the DuckDB ntile window
+  * doubles as this operator's oracle.
+  */
+object Banding {
+
+  def ntileByStratum(df: DataFrame, stratumCol: String,
+      orderCols: Seq[String], buckets: Int,
+      out: String = "band"): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = df.sparkSession
+    val rangeKeys = (stratumCol +: orderCols).map(col)
+    val ranged = df.repartitionByRange(rangeKeys: _*)
+      .withColumn("_pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("_pid"), col(stratumCol))
+      .orderBy(orderCols.map(col(_).asc): _*)
+    val local = ranged
+      .withColumn("_lrn", row_number().over(wLocal).cast("long"))
+      .localCheckpoint() // feeds the counts collect AND the offset join
+    // one scalar per (partition, stratum) — strata are few by premise, so
+    // this is O(shuffle.partitions × strata) rows of driver traffic
+    val counts = local.groupBy(col("_pid"), col(stratumCol))
+      .agg(count(lit(1)).as("c")).collect()
+    val offRows = counts.groupBy(_.get(1)).toSeq.flatMap { case (st, rows) =>
+      // range partitioning makes ascending pid = ascending global order
+      val sorted = rows.sortBy(_.getInt(0))
+      val total = sorted.map(_.getLong(2)).sum
+      var acc = 0L
+      sorted.map { r =>
+        val row = Row(r.getInt(0), st, acc, total)
+        acc += r.getLong(2)
+        row
+      }
+    }
+    val stType = df.schema(stratumCol).dataType
+    val offSchema = StructType(Seq(
+      StructField("_pid", IntegerType, nullable = false),
+      StructField(stratumCol, stType),
+      StructField("_off", LongType, nullable = false),
+      StructField("_n", LongType, nullable = false)))
+    val offsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1), offSchema)
+    val b = lit(buckets.toLong)
+    val rank = col("_lrn") + col("_off")
+    val q = call_function("div", col("_n"), b)
+    val r = col("_n") % b
+    val head = r * (q + lit(1L))
+    val band = when(rank <= head,
+        call_function("div", rank - 1L, q + 1L) + 1L)
+      .otherwise(r + call_function("div", rank - head - 1L, q) + 1L)
+    local.join(broadcast(offsDf), Seq("_pid", stratumCol))
+      .withColumn(out, band)
+      .select(df.columns.map(col) :+ col(out): _*)
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Banding
+
+/** `Banding.ntileByStratum` must equal the single-window
+  * `ntile(b) OVER (PARTITION BY stratum ORDER BY keys)` row-for-row —
+  * including the n < buckets edge (each row its own band) and uneven
+  * strata (first n mod b buckets one row larger).
+  */
+class BandingSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def windowed(df: org.apache.spark.sql.DataFrame, b: Int) = {
+    val w = Window.partitionBy(col("st")).orderBy(col("v").asc, col("id").asc)
+    df.withColumn("band", ntile(b).over(w).cast("long"))
+  }
+
+  test("two-level ntile equals the window formulation on uneven strata") {
+    // strata of size 13, 7, 3 (n < buckets), 1 — forces both bucket-size
+    // branches and the degenerate every-row-its-own-band case
+    val rows = (1 to 13).map(i => ("a", i * 10L, i.toLong)) ++
+      (1 to 7).map(i => ("b", 1000L - i, 100L + i)) ++
+      (1 to 3).map(i => ("c", i.toLong, 200L + i)) ++
+      Seq(("d", 5L, 300L))
+    val df = rows.toDF("st", "v", "id").repartition(5)
+    val b = 4
+    val got = Banding.ntileByStratum(df, "st", Seq("v", "id"), b)
+      .select("st", "id", "band").as[(String, Long, Long)]
+      .collect().toSet
+    val want = windowed(df, b)
+      .select("st", "id", "band").as[(String, Long, Long)]
+      .collect().toSet
+    assert(got === want)
+  }
+
+  test("two-level ntile matches across bucket counts and partitionings") {
+    val df = (1 to 97).map(i => (s"s${i % 3}", (i * 37 % 101).toLong,
+      i.toLong)).toDF("st", "v", "id")
+    for (b <- Seq(1, 2, 5, 10); parts <- Seq(1, 7)) {
+      val in = df.repartition(parts)
+      val got = Banding.ntileByStratum(in, "st", Seq("v", "id"), b)
+        .select("st", "id", "band").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val want = windowed(in, b)
+        .select("st", "id", "band").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === want, s"buckets=$b parts=$parts")
+    }
+  }
+}

@@ -46,6 +46,25 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("quality_bands plans no per-stratum single-task window sort") {
+    val df = Queries.qualityBands(spark, sf)
+    df.collect()
+    val plan = physical(df)
+    // the two-level rank runs inside Banding's checkpointed stage keyed by
+    // the range-partition id; the final plan must carry NO window at all —
+    // a Window node here would mean a per-language (single-task) sort crept
+    // back into the corpus-sized path
+    assert(!plan.contains("ntile"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
+
+  test("tfidf_topterms takes the bounded-heap TopKPerKeyExec path") {
+    val df = Queries.tfidfTopterms(spark, sf)
+    df.collect()
+    val plan = physical(df)
+    assert(plan.contains("TopKPerKey"), plan.take(3000))
+  }
+
   test("flagship queries keep whole-stage codegen in the hot path") {
     // AQE finalizes the physical plan lazily — execute first. Codegen'd
     // operators print with a `*(stageId)` prefix in the final plan.
