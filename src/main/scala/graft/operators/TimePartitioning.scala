@@ -129,7 +129,8 @@ object TimePartitioning {
     */
   def writePartitioned(df: DataFrame, bucketCol: Column, outDir: String,
       reducers: Option[Int] = None, maxRecordsPerFile: Long = 5000000L,
-      split: Int = 1): Unit =
+      split: Int = 1, saltOn: Option[Column] = None): Unit =
     graft.sources.Sinks.write(df, outDir, "parquet", Some(bucketCol),
-      reducers, maxRecordsPerFile, Map.empty, splitHotBuckets = split)
+      reducers, maxRecordsPerFile, Map.empty, splitHotBuckets = split,
+      saltOn = saltOn)
 }

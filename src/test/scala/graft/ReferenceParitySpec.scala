@@ -90,6 +90,25 @@ class ReferenceParitySpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("Supported units are hour and day"))
   }
 
+  test("embulk_mapred_invalid_reducers_config.yml: reducers<=0 rejected") {
+    // MapReduceExecutor.java:98-100 hard-errors on a non-positive reducer
+    // count when partition: is configured; graft fails the same way at
+    // plan time rather than running a silently misconfigured shuffle
+    val in = writeFixture(goodRows)
+    val cfg = Pipeline.Config(inputPath = in, format = "csv",
+      partitioning = Some(Pipeline.Partitioning(
+        column = "timestamp", unit = "hour")),
+      reducers = Some(0))
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.plan(spark, cfg)
+    }
+    assert(e.getMessage.contains(
+      "Reducers must be larger than 1 if partition: is set"))
+    // without partitioning the same reducer count is ignored, as in the
+    // reference (reducers only exist for the partitioned shuffle)
+    assert(Pipeline.plan(spark, cfg.copy(partitioning = None)) != null)
+  }
+
   test("embulk_mapred_stop_on_invalid_record_config.yml: failfast vs skip") {
     val in = writeFixture(goodRows :+ "not-a-timestamp,h9,/z,GET,xx,yy,zz,notabool")
     val base = StructType(schema.fields :+ StructField("_corrupt_record", StringType))
