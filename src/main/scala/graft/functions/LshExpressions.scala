@@ -50,10 +50,37 @@ object LshBucketsKernel {
     cache.computeIfAbsent((totalPlanes, dims),
       _ => LshPlanes.weights(totalPlanes, dims))
 
+  // per-thread vector scratch: the element copy below runs once per call,
+  // so the tables×nPlanes×dims hot loop reads a flat double[] instead of
+  // paying an isNullAt + float/double virtual dispatch per element (the r5
+  // advice regression); same ThreadLocal idiom as the Levenshtein kernel
+  private val scratch = new ThreadLocal[Array[Double]] {
+    override def initialValue(): Array[Double] = new Array[Double](0)
+  }
+  private def scratchFor(n: Int): Array[Double] = {
+    var a = scratch.get()
+    if (a.length < n) { a = new Array[Double](n); scratch.set(a) }
+    a
+  }
+
   def compute(vec: ArrayData, isFloat: Boolean, nPlanes: Int, tables: Int,
       dims: Int): ArrayData = {
     val w = weightsFor(nPlanes * tables, dims)
     val n = math.min(vec.numElements(), dims)
+    // widen float→double (exact); ±1.0 multiply is exact, and the
+    // left-fold order makes the projection value deterministic.
+    // Null ELEMENTS read as 0.0 explicitly — UnsafeArrayData's
+    // primitive read already yields 0.0 for a null slot, but
+    // GenericArrayData would NPE; pinning null→0.0 makes the kernel
+    // total on every ArrayData implementation (same contract as
+    // CosineSim).
+    val v = scratchFor(n)
+    var i = 0
+    while (i < n) {
+      v(i) = if (vec.isNullAt(i)) 0.0
+        else if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      i += 1
+    }
     val out = new Array[Long](tables)
     var t = 0
     var pGlobal = 0
@@ -65,16 +92,7 @@ object LshBucketsKernel {
         var s = 0.0
         var d = 0
         while (d < n) {
-          // widen float→double (exact); ±1.0 multiply is exact, and the
-          // left-fold order makes the projection value deterministic.
-          // Null ELEMENTS read as 0.0 explicitly — UnsafeArrayData's
-          // primitive read already yields 0.0 for a null slot, but
-          // GenericArrayData would NPE; pinning null→0.0 makes the kernel
-          // total on every ArrayData implementation (same contract as
-          // CosineSim).
-          val x = if (vec.isNullAt(d)) 0.0
-            else if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
-          s += x * w(base + d)
+          s += v(d) * w(base + d)
           d += 1
         }
         if (s >= 0.0) bucket |= (1L << p)

@@ -18,7 +18,13 @@ import org.apache.spark.sql.types._
   * left-fold over exact float→double products, and the result is
   * `dot / (sqrt(na) * sqrt(nb))` — term-for-term the same IEEE operation
   * sequence as the `aggregate`-based fold and the DuckDB oracle's
-  * `list_reduce`, so all three produce bit-identical doubles.
+  * `list_reduce`, so all three produce bit-identical doubles — for arrays
+  * with NO null elements. A null ELEMENT contributes 0.0 here (totality on
+  * every ArrayData implementation) while DuckDB arithmetic propagates NULL
+  * through the fold, so the engines diverge on a vector that actually
+  * contains a null slot; the oracle-compared paths read parquet embedding
+  * columns written with non-null elements, where the bit-identical claim
+  * holds exactly.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -435,6 +435,11 @@ object Dedup {
     * load ≤ 0.5, union-by-min so each tree root IS the component minimum.
     * Flat long arrays — no boxing — so driver memory is exactly
     * 16 B × tableSize, tableSize = next power of two ≥ 2 × nodes.
+    *
+    * `Long.MinValue` is the table's empty sentinel; a real id with that
+    * value is tracked in a side flag instead (it is the global minimum, so
+    * it is always its own root and never needs a parent slot) — the driver
+    * path accepts the full long domain, same as the distributed path.
     */
   private final class LongUnionFind(expectedNodes: Int) {
     private val cap = {
@@ -445,6 +450,8 @@ object Dedup {
     }
     private val mask = cap - 1
     private val EMPTY = java.lang.Long.MIN_VALUE
+    private var minSeen = false
+    private var used = 0
     private val keys = {
       val a = new Array[Long](cap); java.util.Arrays.fill(a, EMPTY); a
     }
@@ -457,13 +464,25 @@ object Dedup {
       i
     }
     private def insert(k: Long): Unit = {
-      require(k != EMPTY, "Long.MinValue is the union-find's empty sentinel")
-      val i = slot(k)
-      if (keys(i) == EMPTY) { keys(i) = k; par(i) = k }
+      if (k == EMPTY) { if (!minSeen) { minSeen = true; used += 1 } }
+      else {
+        val i = slot(k)
+        if (keys(i) == EMPTY) {
+          // guards the linear probe against a mis-sized table (callers size
+          // cap ≥ 2 × max distinct nodes, so this never fires there; a full
+          // table would otherwise spin slot() forever)
+          require((used + 1) * 2 <= cap,
+            s"union-find table full: $used nodes in $cap slots")
+          keys(i) = k; par(i) = k; used += 1
+        }
+      }
     }
+    /** Inserted node count (including a Long.MinValue node). */
+    def size: Int = used
     def find(k: Long): Long = {
+      if (k == EMPTY) return EMPTY // global minimum: always its own root
       var r = k
-      while ({ val i = slot(r); par(i) != r }) r = par(slot(r))
+      while (r != EMPTY && { val i = slot(r); par(i) != r }) r = par(slot(r))
       var c = k // path compression: repoint the walked chain at the root
       while (c != r) { val i = slot(c); val n = par(i); par(i) = r; c = n }
       r
@@ -472,13 +491,16 @@ object Dedup {
       insert(a); insert(b)
       val ra = find(a); val rb = find(b)
       if (ra != rb) {
+        // EMPTY (= Long.MinValue) is the global minimum, so it is only ever
+        // the surviving root — slot() is never taken on it here
         if (ra < rb) par(slot(rb)) = ra else par(slot(ra)) = rb
       }
     }
     /** (id, root) for every inserted node. */
     def mapping(): Iterator[(Long, Long)] =
-      (0 until cap).iterator.filter(keys(_) != EMPTY)
-        .map(i => (keys(i), find(keys(i))))
+      (if (minSeen) Iterator((EMPTY, EMPTY)) else Iterator.empty) ++
+        (0 until cap).iterator.filter(keys(_) != EMPTY)
+          .map(i => (keys(i), find(keys(i))))
   }
 
   /** Connected components over near-dup pairs: every doc gets the minimum
@@ -495,9 +517,9 @@ object Dedup {
     * cap, honestly accounted: edges stream through `toLocalIterator` (one
     * partition of rows resident at a time, never the full boxed edge
     * list), and the union-find is flat primitive arrays — ≤4M nodes →
-    * 8M-slot table → 128 MB peak, plus the (id, root) mapping rows
-    * (~50 B/node boxed ≈ 200 MB transient) while the broadcast frame is
-    * built. Above the cap: iterative min-label propagation, two shuffles
+    * 8M-slot table → 128 MB peak; the (id, root) mapping leaves as two
+    * primitive long arrays (16 B/node) broadcast to a distributed frame,
+    * never a boxed row seq. Above the cap: iterative min-label propagation, two shuffles
     * per round, rounds = graph diameter (near-dup clusters are shallow;
     * `maxIter` bounds pathological chains). Both paths produce the
     * identical min-reachable labeling.
@@ -512,16 +534,36 @@ object Dedup {
         col("id_b").cast("long").as("id_b"))
       .localCheckpoint()
     val edgeCount = edgePairs.count()
-    if (edgeCount <= driverEdgeLimit) {
-      val uf = new LongUnionFind(
-        expectedNodes = math.min(edgeCount * 2L, Int.MaxValue / 4L).toInt)
+    // the open-addressing table seats at most Int.MaxValue/4 nodes; a
+    // driverEdgeLimit raised beyond what the table can hold falls through
+    // to the distributed path instead of silently clamping the table size
+    // under the node count (which would spin the linear probe forever)
+    val maxDriverEdges = math.min(driverEdgeLimit, Int.MaxValue / 8L)
+    if (edgeCount <= maxDriverEdges) {
+      val uf = new LongUnionFind(expectedNodes = (edgeCount * 2L).toInt)
       val it = edgePairs.toLocalIterator()
       while (it.hasNext) {
         val row = it.next()
         uf.union(row.getLong(0), row.getLong(1))
       }
+      // the (id, root) mapping leaves the driver as two primitive long
+      // arrays broadcast to a range-mapPartitions frame — 16 B/node flat,
+      // never a boxed Row/Tuple seq (the r5 ~200 MB transient spike)
+      val n = uf.size
+      val idArr = new Array[Long](n)
+      val rootArr = new Array[Long](n)
+      var i = 0
+      val mit = uf.mapping()
+      while (mit.hasNext) {
+        val (id, root) = mit.next()
+        idArr(i) = id; rootArr(i) = root; i += 1
+      }
+      val bc = spark.sparkContext.broadcast((idArr, rootArr))
       import spark.implicits._
-      val mapping = uf.mapping().toSeq.toDF("id", "root")
+      val mapping = spark.range(n).mapPartitions { rows =>
+        val (ia, ra) = bc.value
+        rows.map { j => (ia(j.toInt), ra(j.toInt)) }
+      }.toDF("id", "root")
       return ids.join(broadcast(mapping), Seq("id"), "left")
         .select(col("id"), coalesce(col("root"), col("id")).as("root"))
     }

@@ -111,6 +111,21 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(dist === want)
   }
 
+  test("clusters: Long.MinValue id works on both strategy paths") {
+    // Long.MinValue doubles as the driver table's empty sentinel — the r5
+    // advice case: it must behave like any other id (and, being the global
+    // minimum, become its component's root), not throw
+    val mn = Long.MinValue
+    val ids = Seq(mn, 7L, 8L, 42L).toDF("id")
+    val pairs = Seq((mn, 8L), (8L, 7L)).toDF("id_a", "id_b")
+    val want = Map(mn -> mn, 7L -> mn, 8L -> mn, 42L -> 42L)
+    Seq(1L << 21, 0L).foreach { cap =>
+      val got = Dedup.clusters(ids, pairs, driverEdgeLimit = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"driverEdgeLimit=$cap")
+    }
+  }
+
   test("bounded levenshtein kernel: known values, budget sentinel, unicode bytes") {
     import graft.functions.LevenshteinFunctions.boundedLevenshtein
     val cases = Seq(
