@@ -1708,6 +1708,52 @@ object Queries {
        CAST(octet_length(encode(text)) AS BIGINT) AS num_bytes, md5(text) AS content_md5
        FROM documents WHERE doc_id < 50 ORDER BY doc_id"""
 
+  /** REAL image decode, oracle-gated end-to-end: each row encodes an actual
+    * PNG whose dimensions derive from its doc_id, and
+    * `Multimodal.decodeImageBatch` (the JDK `javax.imageio` reader, not a
+    * stub) decodes it back — so the DuckDB oracle checks decode∘encode =
+    * identity on the dimension arithmetic. Both encode and decode run in
+    * the `mapPartitions` batch shape a codec farm uses at 100 TB: bytes
+    * never leave the executor, per-partition init is amortized, and the
+    * output is a narrow typed frame.
+    */
+  def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = documents(s, dir).where(col("doc_id") < 100)
+      .select(col("doc_id")).as[Long]
+    val withPng = ids.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val w = (id % 13 + 1).toInt
+        val h = (id % 7 + 1).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, (((id + x) % 251).toInt << 16) |
+              (((id + y) % 241).toInt << 8) | ((x * y) % 239))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      }
+    }.toDF("doc_id", "payload")
+    Multimodal.decodeImageBatch(withPng)
+      .select(col("id").as("doc_id"), col("width"), col("height"),
+        col("channels"))
+      .orderBy(col("doc_id"))
+  }
+
+  val multimodalDecodeSql: String =
+    """SELECT doc_id, CAST(doc_id % 13 + 1 AS BIGINT) AS width,
+       CAST(doc_id % 7 + 1 AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels
+       FROM documents WHERE doc_id < 100 ORDER BY doc_id"""
+
   // ------------------------------------------- E8/E8b streaming gates ----
 
   /** Batch-replayable correctness surface for the STREAMING stateful

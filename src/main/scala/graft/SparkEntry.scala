@@ -105,6 +105,7 @@ object SparkEntry {
     "range_join_counts" -> (Queries.rangeJoinCounts _),
     // L7 multimodal
     "multimodal_meta" -> (Queries.multimodalMeta _),
+    "multimodal_decode" -> (Queries.multimodalDecode _),
     // L8-L11 text analysis
     "text_stats" -> (Queries.textStats _),
     "text_tokens" -> (Queries.textTokens _),
@@ -192,6 +193,7 @@ object SparkEntry {
     "decontaminate" -> Queries.decontaminateSql,
     "range_join_counts" -> Queries.rangeJoinCountsSql,
     "multimodal_meta" -> Queries.multimodalMetaSql,
+    "multimodal_decode" -> Queries.multimodalDecodeSql,
     "text_stats" -> Queries.textStatsSql,
     "text_tokens" -> Queries.textTokensSql,
     "lang_id" -> Queries.langIdSql,

@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * only when the row does, and metadata predicates (modality, size) push
   * down to parquet without touching payloads.
   *
-  * The actual media *decode* is environment-dependent (no image/audio libs in
-  * this container), so decoders here are STUBS: deterministic functions of
-  * the bytes with the real Spark-side plumbing (schema, batching, partition
-  * behavior). Swap `stubDecode*` for a real codec (e.g. a JNI/Pandas-UDF
-  * batch decoder) without touching any plan shape.
+  * Image decode is REAL: [[decodeImageBatch]] drives the JDK's own
+  * `javax.imageio` readers (PNG/GIF/BMP/JPEG) in the `mapPartitions` batch
+  * shape — no external codec needed. Audio/video decode remains
+  * environment-dependent (no such libs in this container), so those
+  * decoders are STUBS: deterministic functions of the bytes with the real
+  * Spark-side plumbing (schema, batching, partition behavior). Swap
+  * `stubDecode*` for a real codec (e.g. a JNI/Pandas-UDF batch decoder)
+  * without touching any plan shape.
   */
 object Multimodal {
 
@@ -60,6 +63,59 @@ object Multimodal {
   def stubFrameSample(payload: Column, stride: Int): Column = {
     val frames = pmod(abs(xxhash64(payload)), lit(300L)) + 1L
     filter(sequence(lit(0L), frames - 1L), i => i % stride === 0)
+  }
+
+  /** Decoded image metadata row: `ok = false` (all fields -1) marks bytes
+    * that are not a decodable image — a web-crawl decode must record the
+    * failure and move on, never kill the task.
+    */
+  final case class ImageMeta(id: Long, width: Long, height: Long,
+    channels: Long, pixel_hash: Long, ok: Boolean)
+
+  /** REAL image decode — `javax.imageio` ships PNG/GIF/BMP/JPEG readers in
+    * the JDK, so this path needs no external codec: width, height, channel
+    * count, and a deterministic row-major fold over ARGB pixel values
+    * (`h = h*31 + argb`), so the same pixels hash identically regardless of
+    * the container encoding. Same `mapPartitions` batch shape as
+    * [[decodeBatch]]: per-partition init outside the row loop, nothing
+    * collected to the driver, and the output is a typed Dataset whose
+    * schema pushes down like any other column.
+    */
+  def decodeImageBatch(df: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload")
+      : org.apache.spark.sql.Dataset[ImageMeta] = {
+    import df.sparkSession.implicits._
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      // per-partition init: keep ImageIO off its disk scratch cache so
+      // executor-local tmp churn never becomes the bottleneck
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](pIdx)
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          if (img == null) ImageMeta(id, -1L, -1L, -1L, -1L, ok = false)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            var acc = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { acc = acc * 31L + img.getRGB(x, y); x += 1 }
+              y += 1
+            }
+            ImageMeta(id, w.toLong, h.toLong,
+              img.getColorModel.getNumComponents.toLong, acc, ok = true)
+          }
+        } catch {
+          case _: java.io.IOException =>
+            ImageMeta(id, -1L, -1L, -1L, -1L, ok = false)
+        }
+      }
+    }
   }
 
   /** Decoded features for one payload row. */

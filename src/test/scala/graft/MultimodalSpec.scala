@@ -34,6 +34,37 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(again.toSeq === rows.map(_.getLong(0)).toSeq)
   }
 
+  test("real javax.imageio decode: PNG dimensions, channels, pixel hash") {
+    // build real PNG payloads in-memory: a 7x5 RGB gradient and a 3x3
+    // solid; plus one garbage payload that must fail soft, not kill the task
+    def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val gradient = png(7, 5, (x, y) => (x * 37 << 16) | (y * 51 << 8) | 7)
+    val solid = png(3, 3, (_, _) => 0x00112233)
+    val df = Seq((1L, gradient), (2L, solid),
+        (3L, "not-an-image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload").repartition(2)
+    val out = Multimodal.decodeImageBatch(df).collect()
+      .map(m => m.id -> m).toMap
+    assert(out(1L).ok && out(1L).width === 7L && out(1L).height === 5L &&
+      out(1L).channels === 3L)
+    assert(out(2L).ok && out(2L).width === 3L && out(2L).height === 3L)
+    assert(!out(3L).ok && out(3L).width === -1L)
+    // pixel hash is a pure function of pixels: re-encoding the same image
+    // yields the same hash, different pixels a different one
+    val again = Multimodal.decodeImageBatch(
+      Seq((9L, png(7, 5, (x, y) => (x * 37 << 16) | (y * 51 << 8) | 7)))
+        .toDF("doc_id", "payload")).head()
+    assert(again.pixel_hash === out(1L).pixel_hash)
+    assert(out(2L).pixel_hash !== out(1L).pixel_hash)
+  }
+
   test("frame sampling: stride filters deterministic stub frame ids") {
     val frames = Seq((1L, "video-bytes")).toDF("id", "b")
       .select(Multimodal.stubFrameSample($"b".cast("binary"), 10).as("f"))
