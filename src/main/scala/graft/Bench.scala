@@ -28,7 +28,23 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.filterNot(skip).sorted
       .filter(n => only.forall(_.contains(n)))
-    val results = names.map { name =>
+
+    // two passes, reported side by side (the r5 verdict's honest-signal
+    // fix: in-run numbers are warm-flattered by cache/codegen reuse from
+    // earlier queries and swing ~3x with run order):
+    //  - in-run: queries back-to-back, session state accumulating — the
+    //    historical number, comparable to prior rounds;
+    //  - cold: before each query every cached plan and persisted RDD
+    //    (localCheckpoints included) is dropped, so each query pays its
+    //    own reads and materializations. JIT/codegen JVM warmth remains —
+    //    only a fresh JVM per query would shed it — so "cold" isolates
+    //    cache state, which is what moved between rounds.
+    def pass(reset: Boolean): Seq[(String, Double)] = names.map { name =>
+      if (reset) {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+      }
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -37,10 +53,18 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def json(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+    val inRun = pass(reset = false)
+    val coldEnabled = sys.env.get("SPARK_GRAFT_BENCH_COLD").forall(_ != "0")
+    val cold = if (coldEnabled) pass(reset = true) else Nil
+    val total = inRun.map(_._2).sum
+    val coldPart =
+      if (cold.nonEmpty)
+        s""","total_cold":${cold.map(_._2).sum},"queries_cold":${json(cold)}"""
+      else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(inRun)}$coldPart,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
