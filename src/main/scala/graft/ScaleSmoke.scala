@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale smoke: run the flagship queries on a 10×-unioned copy of the sf0.1
-  * tables (~6M-row lineitem, 1M events, 50k docs) to observe plan behavior
-  * one order of magnitude up — shuffle sizing, AQE coalescing, and the
+/** Scale smoke: run the flagship queries on an N×-unioned copy of the sf0.1
+  * tables (N = SPARK_GRAFT_SCALE_FACTOR, default 10 — ~6M-row lineitem,
+  * 1M events, 50k docs; 30 triples that) to observe plan behavior
+  * one or more orders of magnitude up — shuffle sizing, AQE coalescing, and the
   * near-dup pipelines' growth curves. Ids are re-keyed per replica so
   * keyed operators see distinct entities, not 10 copies of one.
   */
@@ -17,9 +18,10 @@ object ScaleSmoke {
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     def amplify(name: String, keyCols: Map[String, Long]): Unit = {
       val src = Tables.table(spark, base, name)
-      val copies = (0 until 10).map { r =>
+      val copies = (0 until factor).map { r =>
         keyCols.foldLeft(src) { case (df, (c, stride)) =>
           df.withColumn(c, col(c) + lit(r * stride))
         }
@@ -56,7 +58,7 @@ object ScaleSmoke {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"scale10x","queries":$qs,"base":"$base"}""")
+    println(s"""{"metric":"scale${factor}x","queries":$qs,"base":"$base"}""")
     spark.stop()
   }
 }
