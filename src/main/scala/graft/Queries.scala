@@ -1754,6 +1754,31 @@ object Queries {
        CAST(doc_id % 7 + 1 AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels
        FROM documents WHERE doc_id < 100 ORDER BY doc_id"""
 
+  /** Per-source quota curation: keep the top-50 documents per source by
+    * quality score — the "cap any one domain's contribution" cut every
+    * web-corpus pipeline applies. Runs through the bounded-heap
+    * TopKPerKey (partial prune per map partition → exchange of ≤ k rows
+    * per source per task → final), so a source with a billion documents
+    * costs k × partitions shuffle rows, not a corpus-sized sort; the
+    * window row_number formulation is its oracle.
+    */
+  def sourceQuota(s: SparkSession, dir: String): DataFrame = {
+    val scored = documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("score"))
+    graft.plans.TopKPerKey.topK(scored, keys = Seq("source"),
+        order = Seq("score" -> "desc", "doc_id" -> "asc"), k = 50)
+      .orderBy(col("source"), col("score").desc, col("doc_id"))
+  }
+
+  val sourceQuotaSql: String =
+    s"""SELECT doc_id, source, score FROM (
+         SELECT doc_id, source, $qualityScoreExprSql AS score,
+           row_number() OVER (PARTITION BY source
+             ORDER BY $qualityScoreExprSql DESC, doc_id) AS rn
+         FROM documents) WHERE rn <= 50
+       ORDER BY source, score DESC, doc_id"""
+
   // ------------------------------------------- E8/E8b streaming gates ----
 
   /** Batch-replayable correctness surface for the STREAMING stateful

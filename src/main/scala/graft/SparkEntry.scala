@@ -106,6 +106,7 @@ object SparkEntry {
     // L7 multimodal
     "multimodal_meta" -> (Queries.multimodalMeta _),
     "multimodal_decode" -> (Queries.multimodalDecode _),
+    "source_quota" -> (Queries.sourceQuota _),
     // L8-L11 text analysis
     "text_stats" -> (Queries.textStats _),
     "text_tokens" -> (Queries.textTokens _),
@@ -194,6 +195,7 @@ object SparkEntry {
     "range_join_counts" -> Queries.rangeJoinCountsSql,
     "multimodal_meta" -> Queries.multimodalMetaSql,
     "multimodal_decode" -> Queries.multimodalDecodeSql,
+    "source_quota" -> Queries.sourceQuotaSql,
     "text_stats" -> Queries.textStatsSql,
     "text_tokens" -> Queries.textTokensSql,
     "lang_id" -> Queries.langIdSql,

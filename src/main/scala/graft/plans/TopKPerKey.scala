@@ -29,49 +29,85 @@ case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     copy(child = newChild)
 }
 
+object TopKPerKeyExec {
+  /** The bounded per-key heap pass over one partition's rows — shared by
+    * the partial (pre-shuffle) and final (post-shuffle) execs, exactly the
+    * way partial/final HashAggregate share their update loop.
+    */
+  def boundedTopK(rows: Iterator[InternalRow], keyExprs: Seq[Expression],
+      sortOrder: Seq[SortOrder], schema: Seq[Attribute],
+      k: Int): Iterator[InternalRow] = {
+    val keyProj = UnsafeProjection.create(keyExprs, schema)
+    val ordering = new LazilyGeneratedOrdering(sortOrder, schema)
+    // per key: a bounded buffer of the k smallest rows under `ordering`
+    val buffers = new java.util.HashMap[InternalRow,
+      java.util.PriorityQueue[InternalRow]]()
+    // PQ is a max-heap under `ordering` so the head is the current worst
+    val reverse = ordering.reverse
+    rows.foreach { row =>
+      val key = keyProj(row).copy()
+      var pq = buffers.get(key)
+      if (pq == null) {
+        pq = new java.util.PriorityQueue[InternalRow](k + 1, reverse)
+        buffers.put(key, pq)
+      }
+      if (pq.size < k) pq.add(row.copy())
+      else if (ordering.compare(row, pq.peek()) < 0) {
+        pq.poll(); pq.add(row.copy())
+      }
+    }
+    val out = Seq.newBuilder[InternalRow]
+    buffers.values.forEach { pq =>
+      val arr = new Array[InternalRow](pq.size)
+      var i = arr.length - 1
+      while (!pq.isEmpty) { arr(i) = pq.poll(); i -= 1 }
+      arr.foreach(out += _)
+    }
+    out.result().iterator
+  }
+}
+
+/** Map-side partial top-k: prunes each input partition to ≤ k rows per key
+  * BEFORE the exchange, so the shuffle moves min(n, k × partitions) rows
+  * per key instead of every row — for one hot key holding a billion rows
+  * at 100 TB, that is the difference between shuffling the key's whole
+  * corpus to one reducer and shuffling k rows per map task. Rows dropped
+  * here lose to ≥ k same-key rows in their own partition, so they can
+  * never reach the global top-k; with a total `order` (the operator's
+  * determinism contract) partial∘final ≡ final.
+  */
+case class TopKPerKeyPartialExec(keys: Seq[Expression], order: Seq[SortOrder],
+    k: Int, child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+
+  // runs on whatever partitioning the child has (and preserves it, so an
+  // already-clustered child still skips the exchange above)
+  override def outputPartitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (keyExprs, sortOrder, schema, kk) = (keys, order, child.output, k)
+    child.execute().mapPartitions(
+      TopKPerKeyExec.boundedTopK(_, keyExprs, sortOrder, schema, kk))
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyPartialExec =
+    copy(child = newChild)
+}
+
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
 
-  /** Shuffle all rows of a key to one partition; the per-partition buffer
-    * then sees every candidate for its keys.
+  /** Shuffle all surviving rows of a key to one partition; the
+    * per-partition buffer then sees every candidate for its keys.
     */
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val keyExprs = keys
-    val sortOrder = order
-    val schema = child.output
-    child.execute().mapPartitions { rows =>
-      val keyProj = UnsafeProjection.create(keyExprs, schema)
-      val ordering = new LazilyGeneratedOrdering(sortOrder, schema)
-      // per key: a bounded buffer of the k smallest rows under `ordering`
-      val buffers = new java.util.HashMap[InternalRow,
-        java.util.PriorityQueue[InternalRow]]()
-      // PQ is a max-heap under `ordering` so the head is the current worst
-      val reverse = ordering.reverse
-      rows.foreach { row =>
-        val key = keyProj(row).copy()
-        var pq = buffers.get(key)
-        if (pq == null) {
-          pq = new java.util.PriorityQueue[InternalRow](k + 1, reverse)
-          buffers.put(key, pq)
-        }
-        if (pq.size < k) pq.add(row.copy())
-        else if (ordering.compare(row, pq.peek()) < 0) {
-          pq.poll(); pq.add(row.copy())
-        }
-      }
-      val out = Seq.newBuilder[InternalRow]
-      buffers.values.forEach { pq =>
-        val arr = new Array[InternalRow](pq.size)
-        var i = arr.length - 1
-        while (!pq.isEmpty) { arr(i) = pq.poll(); i -= 1 }
-        arr.foreach(out += _)
-      }
-      out.result().iterator
-    }
+    val (keyExprs, sortOrder, schema, kk) = (keys, order, child.output, k)
+    child.execute().mapPartitions(
+      TopKPerKeyExec.boundedTopK(_, keyExprs, sortOrder, schema, kk))
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
@@ -81,7 +117,11 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+      // partial (map-side prune) under final (post-shuffle top-k) — the
+      // exchange the final's distribution requirement inserts lands
+      // between them
+      TopKPerKeyExec(keys, order, k,
+        TopKPerKeyPartialExec(keys, order, k, planLater(child))) :: Nil
     case _ => Nil
   }
 }

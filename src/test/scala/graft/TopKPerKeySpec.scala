@@ -33,6 +33,31 @@ class TopKPerKeySpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("Sort ["), plan.take(1500))
   }
 
+  test("partial pass prunes before the exchange and preserves the result") {
+    // 40k rows, ONE key: without the map-side partial, the exchange moves
+    // all 40k rows to a single reducer; with it, each map partition ships
+    // at most k rows. Result must equal the unpruned top-k exactly.
+    val df = spark.range(40000)
+      .select(lit(1L).as("g"), $"id",
+        (pmod($"id" * 2654435761L, lit(1000003L))).as("v"))
+      .repartition(8)
+    val out = TopKPerKey.topK(df, Seq("g"), Seq("v" -> "asc", "id" -> "asc"),
+      k = 5)
+    val rows = out.select($"id").collect().map(_.getLong(0)).toSet
+    val truth = df.orderBy($"v".asc, $"id".asc).limit(5)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(rows === truth)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyPartial"), plan.take(2000))
+    // partial sits BELOW the exchange, final above it
+    val ip = plan.indexOf("TopKPerKeyPartial")
+    val ie = plan.indexOf("Exchange hashpartitioning")
+    val if_ = plan.indexOf("TopKPerKey [")
+    assert(if_ >= 0 && ie > if_ && ip > ie,
+      s"want final<exchange<partial in tree order, got $if_/$ie/$ip\n" +
+        plan.take(2000))
+  }
+
   test("ties and k larger than group size behave like the window version") {
     val df = Seq((1L, 1L, 5.0), (1L, 2L, 5.0), (1L, 3L, 4.0), (2L, 4L, 1.0))
       .toDF("user_id", "event_id", "value")
