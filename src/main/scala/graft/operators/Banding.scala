@@ -68,8 +68,8 @@ object Banding {
     }
     val stType = df.schema(stratumCol).dataType
     val offSchema = StructType(Seq(
-      StructField("_pid", IntegerType, nullable = false),
-      StructField(stratumCol, stType),
+      StructField("_opid", IntegerType, nullable = false),
+      StructField("_ost", stType),
       StructField("_off", LongType, nullable = false),
       StructField("_n", LongType, nullable = false)))
     val offsDf = spark.createDataFrame(
@@ -82,7 +82,11 @@ object Banding {
     val band = when(rank <= head,
         call_function("div", rank - 1L, q + 1L) + 1L)
       .otherwise(r + call_function("div", rank - head - 1L, q) + 1L)
-    local.join(broadcast(offsDf), Seq("_pid", stratumCol))
+    // null-SAFE stratum equality: a window's PARTITION BY groups nulls into
+    // their own partition, so a null stratum must match its offset row —
+    // a plain equi-join would silently drop every null-stratum row
+    local.join(broadcast(offsDf),
+        col("_pid") === col("_opid") && col(stratumCol) <=> col("_ost"))
       .withColumn(out, band)
       .select(df.columns.map(col) :+ col(out): _*)
   }

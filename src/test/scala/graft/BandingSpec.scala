@@ -36,6 +36,23 @@ class BandingSpec extends AnyFunSuite with SparkFixture {
     assert(got === want)
   }
 
+  test("null stratum is its own partition, exactly like the window form") {
+    // PARTITION BY groups nulls together; the offset join must be
+    // null-safe or every null-stratum row silently disappears
+    val rows: Seq[(String, Long, Long)] =
+      Seq((null, 10L, 1L), (null, 5L, 2L), (null, 7L, 3L),
+        ("a", 1L, 4L), ("a", 2L, 5L))
+    val df = rows.toDF("st", "v", "id").repartition(3)
+    val got = Banding.ntileByStratum(df, "st", Seq("v", "id"), 2)
+      .select("id", "band").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = windowed(df, 2)
+      .select("id", "band").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.size === 5) // nothing dropped
+    assert(got === want)
+  }
+
   test("two-level ntile matches across bucket counts and partitionings") {
     val df = (1 to 97).map(i => (s"s${i % 3}", (i * 37 % 101).toLong,
       i.toLong)).toDF("st", "v", "id")
