@@ -1692,6 +1692,35 @@ object Queries {
        FROM corp JOIN bench USING (gh)
        GROUP BY 1 ORDER BY 1"""
 
+  /** Fuzzy decontamination — the near-dup sibling of the exact 8-gram
+    * pass: a train document whose shingle Jaccard with ANY eval document
+    * clears the threshold is contaminated even when no 8-gram matches
+    * verbatim (paraphrases, whitespace/punct drift). Candidates come from
+    * the same banded MinHash kernel as `dedup_minhash` (whose recall at
+    * this threshold is exact-verified on this corpus), filtered to pairs
+    * crossing the eval/train boundary — eval ids all sort below train ids,
+    * so a crossing pair always has the eval doc on the `id_a` side. The
+    * exact-Jaccard cross join is the oracle.
+    */
+  def decontaminateFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashPairs(documents(s, dir), col("doc_id"),
+      col("text"), threshold = 0.5)
+    pairs.where(col("id_a") < 50 && col("id_b") >= 50)
+      .groupBy(col("id_b"))
+      .agg(count(lit(1)).as("n_matches"), max(col("jac")).as("max_jac"))
+      .select(col("id_b").as("doc_id"), col("n_matches"), col("max_jac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateFuzzySql: String =
+    s"""WITH s AS (SELECT doc_id, lang, $shingleSql AS sh
+         FROM ($shingleSrcSql))
+       SELECT b.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+         MAX($jaccardSql) AS max_jac
+       FROM s a JOIN s b ON a.doc_id < 50 AND b.doc_id >= 50
+       WHERE $jaccardSql >= 0.5
+       GROUP BY 1 ORDER BY doc_id"""
+
   // -------------------------------------------------- L7 multimodal meta --
 
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =

@@ -102,6 +102,7 @@ object SparkEntry {
     "quality_bands" -> (Queries.qualityBands _),
     "tfidf_topterms" -> (Queries.tfidfTopterms _),
     "decontaminate" -> (Queries.decontaminate _),
+    "decontaminate_fuzzy" -> (Queries.decontaminateFuzzy _),
     "range_join_counts" -> (Queries.rangeJoinCounts _),
     // L7 multimodal
     "multimodal_meta" -> (Queries.multimodalMeta _),
@@ -192,6 +193,7 @@ object SparkEntry {
     "quality_bands" -> Queries.qualityBandsSql,
     "tfidf_topterms" -> Queries.tfidfToptermsSql,
     "decontaminate" -> Queries.decontaminateSql,
+    "decontaminate_fuzzy" -> Queries.decontaminateFuzzySql,
     "range_join_counts" -> Queries.rangeJoinCountsSql,
     "multimodal_meta" -> Queries.multimodalMetaSql,
     "multimodal_decode" -> Queries.multimodalDecodeSql,
