@@ -1695,17 +1695,21 @@ object Queries {
   /** Fuzzy decontamination — the near-dup sibling of the exact 8-gram
     * pass: a train document whose shingle Jaccard with ANY eval document
     * clears the threshold is contaminated even when no 8-gram matches
-    * verbatim (paraphrases, whitespace/punct drift). Candidates come from
-    * the same banded MinHash kernel as `dedup_minhash` (whose recall at
-    * this threshold is exact-verified on this corpus), filtered to pairs
-    * crossing the eval/train boundary — eval ids all sort below train ids,
-    * so a crossing pair always has the eval doc on the `id_a` side. The
-    * exact-Jaccard cross join is the oracle.
+    * verbatim (paraphrases, whitespace/punct drift). Runs through
+    * `Dedup.minhashCrossPairs`: the tiny eval side's band table
+    * broadcasts, the corpus never self-joins and never shuffles — an
+    * eval-scale question pays eval-scale cost, not the full train×train
+    * dedup bill (the r6 shape this replaces). The (32 bands × 2 rows)
+    * banding holds miss probability ≤ 1e-4 at the 0.5 threshold (see the
+    * kernel's recall contract); the exact-Jaccard cross join is the
+    * oracle.
     */
   def decontaminateFuzzy(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minhashPairs(documents(s, dir), col("doc_id"),
-      col("text"), threshold = 0.5)
-    pairs.where(col("id_a") < 50 && col("id_b") >= 50)
+    val docs = documents(s, dir)
+    Dedup.minhashCrossPairs(
+        corpus = docs.where(col("doc_id") >= 50),
+        evalSet = docs.where(col("doc_id") < 50),
+        id = col("doc_id"), text = col("text"), threshold = 0.5)
       .groupBy(col("id_b"))
       .agg(count(lit(1)).as("n_matches"), max(col("jac")).as("max_jac"))
       .select(col("id_b").as("doc_id"), col("n_matches"), col("max_jac"))

@@ -192,6 +192,19 @@ object Dedup {
       minhashPairsRaw(reps, col("id"), col("text"), threshold, n, k,
         bands, rowsPerBand))
 
+  /** LSH band keys off a k-slot signature array column: band b's key is the
+    * xxhash64 of (b, slots[b*r .. b*r+r-1]) — the band index folds into the
+    * hash so keys from different bands can share one (band_idx, band_key)
+    * join without cross-band collisions mattering.
+    */
+  private def bandKeyCols(sig: Column, bands: Int,
+      rowsPerBand: Int): Seq[Column] =
+    (0 until bands).map { b =>
+      val slots = (0 until rowsPerBand).map(r =>
+        element_at(sig, b * rowsPerBand + r + 1))
+      xxhash64((lit(b.toLong) +: slots): _*)
+    }
+
   private def minhashPairsRaw(docs: DataFrame, id: Column, text: Column,
       threshold: Double, n: Int, k: Int,
       bands: Int, rowsPerBand: Int): DataFrame = {
@@ -208,13 +221,9 @@ object Dedup {
     // the signature pipeline per side
     val sigArr = shingled.select(col("id"),
       graft.functions.MinhashFunctions.minhashSlots(col("sh"), k).as("sig"))
-    val bandKeyCols = (0 until bands).map { b =>
-      val slots = (0 until rowsPerBand).map(r =>
-        element_at(col("sig"), b * rowsPerBand + r + 1))
-      xxhash64((lit(b.toLong) +: slots): _*)
-    }
     val banded = sigArr.select(col("id"),
-      posexplode(array(bandKeyCols: _*)).as(Seq("band_idx", "band_key")))
+      posexplode(array(bandKeyCols(col("sig"), bands, rowsPerBand): _*))
+        .as(Seq("band_idx", "band_key")))
     Caching.withCached(shingled, banded) {
       val candidates = banded.as("a")
         .join(banded.as("b"), Seq("band_idx", "band_key"))
@@ -223,6 +232,87 @@ object Dedup {
         .distinct()
       verifyJaccard(candidates, shingled, threshold)
     }
+  }
+
+  /** Cross-corpus MinHash+LSH near-dup pairs — the decontamination kernel:
+    * every (eval, corpus) pair whose shingle Jaccard clears the threshold,
+    * computed WITHOUT ever generating a corpus×corpus candidate. The eval
+    * side is tiny by premise (a benchmark suite vs a training corpus), so
+    * its band table and hashed shingle arrays broadcast; the corpus side is
+    * two narrow scans — band keys joined against the broadcast eval bands,
+    * then shingle arrays pruned by the broadcast candidate list for exact
+    * verification. No corpus-sized shuffle anywhere: at 100 TB this costs
+    * ~two corpus scans (one under `withCached` locally), where running the
+    * self-join dedup kernel and filtering to crossing pairs would pay the
+    * full train×train candidate-verification bill for answers it throws
+    * away.
+    *
+    * Recall contract: a true pair at Jaccard j surfaces with probability
+    * 1 − (1 − j^r)^b — *probabilistic*, like every LSH pass. The default
+    * here is (32 bands × 2 rows), tuned for the decontamination regime
+    * (threshold ≈ 0.5): miss probability ≤ 1e-4 at j = 0.5 and < 1e-7 at
+    * j ≥ 0.6, vs the dedup default (16 × 4) whose miss rate at j = 0.5 is
+    * ~0.36 — decontamination wants recall at a *lower* threshold than
+    * near-dup dedup, so it gets more, narrower bands. False candidates
+    * only cost verification work; the exact-Jaccard verify keeps the
+    * output threshold-exact. Verbatim duplicates on the corpus side cost
+    * one candidate each (linear — the dup² blow-up `overTextGroups` guards
+    * against is a self-join phenomenon and cannot occur here).
+    *
+    * Output: (id_a = eval id, id_b = corpus id, jac ≥ threshold).
+    */
+  def minhashCrossPairs(corpus: DataFrame, evalSet: DataFrame, id: Column,
+      text: Column, threshold: Double, n: Int = 3, k: Int = 64,
+      bands: Int = 32, rowsPerBand: Int = 2): DataFrame = {
+    val corpusSh = corpus.select(id.as("id_b"), shingles(text, n).as("sh"))
+    Caching.withCached(corpusSh) {
+      minhashCrossPairsPlan(corpusSh, evalSet, id, text, threshold, n, k,
+        bands, rowsPerBand)
+    }
+  }
+
+  /** The un-checkpointed cross-pair plan over a prepared corpus shingle
+    * frame — package-visible so PlanSpec can assert the join shape (the
+    * public entry checkpoints through [[Caching.withCached]], which hides
+    * the joins behind a Scan ExistingRDD in the executed plan).
+    */
+  private[graft] def minhashCrossPairsPlan(corpusSh: DataFrame,
+      evalSet: DataFrame, id: Column, text: Column, threshold: Double,
+      n: Int, k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    require(bands * rowsPerBand <= k, "bands*rowsPerBand must be <= k")
+    val hashSh = (sh: Column) => array_sort(transform(sh, s => xxhash64(s)))
+    // eval side: shingles → signature → band keys, all broadcast-sized
+    val evalSh = evalSet.select(id.as("id_a"), shingles(text, n).as("sh"))
+    val evalSig = evalSh.select(col("id_a"),
+      graft.functions.MinhashFunctions.minhashSlots(col("sh"), k).as("sig"))
+    val evalBanded = evalSig.select(col("id_a"),
+      posexplode(array(bandKeyCols(col("sig"), bands, rowsPerBand): _*))
+        .as(Seq("band_idx", "band_key")))
+    val evalHashed = evalSh.select(col("id_a"), hashSh(col("sh")).as("sh_a"),
+      size(col("sh")).as("na"))
+    val corpusSig = corpusSh.select(col("id_b"),
+      graft.functions.MinhashFunctions.minhashSlots(col("sh"), k).as("sig"))
+    val corpusBanded = corpusSig.select(col("id_b"),
+      posexplode(array(bandKeyCols(col("sig"), bands, rowsPerBand): _*))
+        .as(Seq("band_idx", "band_key")))
+    // broadcast hash join: the corpus band stream never shuffles; the
+    // distinct dedupes only surviving candidates (contamination-sized)
+    val candidates = corpusBanded
+      .join(broadcast(evalBanded), Seq("band_idx", "band_key"))
+      .select(col("id_a"), col("id_b")).distinct()
+    // exact verification: candidate ids (small by premise) broadcast
+    // back over the corpus shingle scan, eval arrays broadcast too — the
+    // same size prefilter + sorted-hash Jaccard as verifyJaccard
+    val corpusHashed = corpusSh.select(col("id_b"),
+      hashSh(col("sh")).as("sh_b"), size(col("sh")).as("nb"))
+    corpusHashed.join(broadcast(candidates), "id_b")
+      .join(broadcast(evalHashed), "id_a")
+      .where(least(col("na"), col("nb")) * lit(1.0 + threshold) >=
+        lit(threshold) * (col("na") + col("nb")) - 0.5)
+      .select(col("id_a"), col("id_b"),
+        graft.functions.JaccardFunctions
+          .sortedJaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .where(col("jac") >= threshold)
   }
 
   /** Exact-Jaccard verification of candidate id pairs against the shingle

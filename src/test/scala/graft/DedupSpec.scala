@@ -44,6 +44,25 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(lsh === truth)
   }
 
+  test("cross pairs equal the exact cross-join truth on the corpus split") {
+    val docs = Tables.documents(spark, sf)
+    val evalSet = docs.where($"doc_id" < 50)
+    val corpus = docs.where($"doc_id" >= 50)
+    val got = Dedup.minhashCrossPairs(corpus, evalSet, $"doc_id", $"text",
+        threshold = 0.5)
+      .select($"id_a", $"id_b").orderBy($"id_a", $"id_b").collect().toSeq
+    // truth: exact Jaccard over the full eval×corpus cross join
+    val shE = evalSet.select($"doc_id".as("id_a"),
+      Dedup.shingles($"text", 3).as("sh_a"))
+    val shC = corpus.select($"doc_id".as("id_b"),
+      Dedup.shingles($"text", 3).as("sh_b"))
+    val truth = shE.crossJoin(shC)
+      .where(Dedup.jaccard($"sh_a", $"sh_b") >= 0.5)
+      .select($"id_a", $"id_b").orderBy($"id_a", $"id_b").collect().toSeq
+    assert(truth.nonEmpty)            // the synthetic corpus plants near-dups
+    assert(got === truth)
+  }
+
   test("text-group collapse: verbatim-dup corpus expands to all true pairs") {
     // base corpus + 2 extra verbatim copies of every doc, re-keyed
     val docs = Tables.documents(spark, sf).select($"doc_id", $"text")

@@ -58,6 +58,29 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("Window"), plan.take(2000))
   }
 
+  test("decontaminate_fuzzy never self-joins the corpus band table") {
+    // assert on the un-checkpointed inner plan (the public entry hides the
+    // joins behind a localCheckpoint): both joins must be broadcast — the
+    // eval band table into the corpus band scan, then the candidate ids
+    // back over the corpus shingle scan — so the corpus side plans ZERO
+    // hash-partition exchanges (= zero corpus shuffles, no self-join)
+    val docs = Tables.documents(spark, sf)
+    val corpusSh = docs.where(col("doc_id") >= 50)
+      .select(col("doc_id").as("id_b"),
+        graft.operators.Dedup.shingles(col("text"), 3).as("sh"))
+    val df = graft.operators.Dedup.minhashCrossPairsPlan(corpusSh,
+      docs.where(col("doc_id") < 50), col("doc_id"), col("text"),
+      threshold = 0.5, n = 3, k = 64, bands = 32, rowsPerBand = 2)
+    df.collect()
+    val plan = physical(df)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("ShuffledHashJoin"), plan.take(3000))
+    // the only hash exchanges allowed are the candidate distinct's own
+    // (candidate-sized, feeding the broadcast), never a corpus-scan child
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("tfidf_topterms takes the bounded-heap TopKPerKeyExec path") {
     val df = Queries.tfidfTopterms(spark, sf)
     df.collect()
