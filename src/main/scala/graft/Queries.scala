@@ -456,8 +456,10 @@ object Queries {
          FROM events) WHERE rank <= 3 ORDER BY user_id, rank"""
 
   /** Same result as `window_top_events` computed by the custom
-    * TopKPerKeyExec physical operator (bounded per-key heap, no full
-    * per-key sort) — the window-formulation SQL is its oracle.
+    * TopKPerKeyExec physical operator (budget-flushed bounded-heap prune
+    * below the exchange, spill-safe sorted streaming take-k above — never
+    * a full per-key sort of the corpus) — the window-formulation SQL is
+    * its oracle.
     */
   def topkPerKey(s: SparkSession, dir: String): DataFrame =
     graft.plans.TopKPerKey.topK(

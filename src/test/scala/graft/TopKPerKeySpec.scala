@@ -21,7 +21,7 @@ class TopKPerKeySpec extends AnyFunSuite with SparkFixture {
     assert(custom.nonEmpty)
   }
 
-  test("physical plan uses TopKPerKeyExec behind a key exchange, no sort") {
+  test("physical plan: exchange+sort sit between partial prune and final") {
     val ev = Tables.events(spark, sf).select($"user_id", $"event_id", $"value")
     val df = TopKPerKey.topK(ev, Seq("user_id"),
       Seq("value" -> "desc", "event_id" -> "asc"), k = 3)
@@ -29,8 +29,17 @@ class TopKPerKeySpec extends AnyFunSuite with SparkFixture {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKey ["), plan.take(1500))
     assert(plan.contains("Exchange hashpartitioning"), plan.take(1500))
-    // the whole point: no per-key full sort
-    assert(!plan.contains("Sort ["), plan.take(1500))
+    // the point: the only Sort is the final's spill-safe external sort over
+    // PARTIAL-PRUNED rows (≤ k × map partitions per key) — it must sit
+    // between the final (above) and the exchange+partial (below), never
+    // under the partial where it would sort the corpus
+    val iSort = plan.indexOf("Sort [")
+    val iFinal = plan.indexOf("TopKPerKey [")
+    val iEx = plan.indexOf("Exchange hashpartitioning")
+    val iPart = plan.indexOf("TopKPerKeyPartial")
+    assert(iSort >= 0 && iFinal >= 0 && iFinal < iSort && iSort < iEx &&
+      iEx < iPart, s"want final<sort<exchange<partial, got " +
+      s"$iFinal/$iSort/$iEx/$iPart\n" + plan.take(2000))
   }
 
   test("partial pass prunes before the exchange and preserves the result") {
@@ -56,6 +65,31 @@ class TopKPerKeySpec extends AnyFunSuite with SparkFixture {
     assert(if_ >= 0 && ie > if_ && ip > ie,
       s"want final<exchange<partial in tree order, got $if_/$ie/$ip\n" +
         plan.take(2000))
+  }
+
+  test("forced tiny buffer budget on a high-cardinality key equals window truth") {
+    // 20k rows over 5k distinct keys with a 64-row partial buffer: the
+    // buffer map flushes hundreds of times per partition, so the partial
+    // emits many chunks per key — the final's sorted streaming pass must
+    // still produce exactly the window-formulation top-k
+    spark.conf.set(graft.plans.TopKPerKeyExec.PartialBufferRowsKey, "64")
+    try {
+      val df = spark.range(20000)
+        .select(pmod($"id", lit(5000L)).as("g"), $"id",
+          pmod($"id" * 2654435761L, lit(1000003L)).as("v"))
+        .repartition(8)
+      val out = TopKPerKey.topK(df, Seq("g"),
+          Seq("v" -> "asc", "id" -> "asc"), k = 2)
+        .select($"g", $"id").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"g")
+        .orderBy($"v".asc, $"id".asc)
+      val truth = df.withColumn("rn", row_number().over(w))
+        .where($"rn" <= 2).select($"g", $"id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(out === truth)
+      assert(out.size === 10000) // 5k groups × k=2 (each group holds 4 rows)
+    } finally spark.conf.unset(graft.plans.TopKPerKeyExec.PartialBufferRowsKey)
   }
 
   test("ties and k larger than group size behave like the window version") {
