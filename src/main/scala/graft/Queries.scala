@@ -1789,6 +1789,50 @@ object Queries {
        CAST(doc_id % 7 + 1 AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels
        FROM documents WHERE doc_id < 100 ORDER BY doc_id"""
 
+  /** REAL audio decode, oracle-gated end-to-end — the audio sibling of
+    * `multimodal_decode`: each row encodes an actual 16-bit PCM mono WAV
+    * whose sample rate and frame count derive from its doc_id, and
+    * `Multimodal.decodeAudioBatch` (the JDK `javax.sound.sampled` reader,
+    * not a stub) decodes it back — the DuckDB oracle checks decode∘encode
+    * = identity on the rate/frame arithmetic. Same codec-farm
+    * `mapPartitions` shape: bytes never leave the executor.
+    */
+  def multimodalAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = documents(s, dir).where(col("doc_id") < 100)
+      .select(col("doc_id")).as[Long]
+    val withWav = ids.mapPartitions { it =>
+      it.map { id =>
+        val rate = (8000 + (id % 3) * 4000).toFloat
+        val frames = (id % 50 + 1).toInt
+        val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+        val pcm = new Array[Byte](frames * 2)
+        var f = 0
+        while (f < frames) {
+          val sample = (((id * 31 + f * 17) % 65536) - 32768).toShort
+          pcm(2 * f) = (sample & 0xff).toByte
+          pcm(2 * f + 1) = ((sample >> 8) & 0xff).toByte
+          f += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        (id, bos.toByteArray)
+      }
+    }.toDF("doc_id", "payload")
+    Multimodal.decodeAudioBatch(withWav)
+      .select(col("id").as("doc_id"), col("sample_rate"), col("channels"),
+        col("frames"))
+      .orderBy(col("doc_id"))
+  }
+
+  val multimodalAudioSql: String =
+    """SELECT doc_id, CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS channels, CAST(doc_id % 50 + 1 AS BIGINT) AS frames
+       FROM documents WHERE doc_id < 100 ORDER BY doc_id"""
+
   /** Per-source quota curation: keep the top-50 documents per source by
     * quality score — the "cap any one domain's contribution" cut every
     * web-corpus pipeline applies. Runs through the bounded-heap

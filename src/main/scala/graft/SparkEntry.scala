@@ -107,6 +107,7 @@ object SparkEntry {
     // L7 multimodal
     "multimodal_meta" -> (Queries.multimodalMeta _),
     "multimodal_decode" -> (Queries.multimodalDecode _),
+    "multimodal_audio" -> (Queries.multimodalAudio _),
     "source_quota" -> (Queries.sourceQuota _),
     // L8-L11 text analysis
     "text_stats" -> (Queries.textStats _),
@@ -197,6 +198,7 @@ object SparkEntry {
     "range_join_counts" -> Queries.rangeJoinCountsSql,
     "multimodal_meta" -> Queries.multimodalMetaSql,
     "multimodal_decode" -> Queries.multimodalDecodeSql,
+    "multimodal_audio" -> Queries.multimodalAudioSql,
     "source_quota" -> Queries.sourceQuotaSql,
     "text_stats" -> Queries.textStatsSql,
     "text_tokens" -> Queries.textTokensSql,

@@ -11,12 +11,13 @@ import org.apache.spark.sql.functions._
   *
   * Image decode is REAL: [[decodeImageBatch]] drives the JDK's own
   * `javax.imageio` readers (PNG/GIF/BMP/JPEG) in the `mapPartitions` batch
-  * shape — no external codec needed. Audio/video decode remains
-  * environment-dependent (no such libs in this container), so those
-  * decoders are STUBS: deterministic functions of the bytes with the real
+  * shape — no external codec needed. Audio decode is REAL too:
+  * [[decodeAudioBatch]] drives `javax.sound.sampled` (WAV/AU/AIFF PCM).
+  * Video decode has no JDK codec and remains environment-dependent, so it
+  * stays a STUB: a deterministic function of the bytes with the real
   * Spark-side plumbing (schema, batching, partition behavior). Swap
-  * `stubDecode*` for a real codec (e.g. a JNI/Pandas-UDF batch decoder)
-  * without touching any plan shape.
+  * `stubDecode*`/`stubFrameSample` for a real codec (e.g. a JNI/Pandas-UDF
+  * batch decoder) without touching any plan shape.
   */
 object Multimodal {
 
@@ -111,8 +112,66 @@ object Multimodal {
               img.getColorModel.getNumComponents.toLong, acc, ok = true)
           }
         } catch {
-          case _: java.io.IOException =>
+          // NonFatal, not just IOException: JDK ImageIO decoders throw
+          // RuntimeExceptions (ArrayIndexOutOfBounds, NegativeArraySize,
+          // IllegalArgument) on malformed-but-recognized headers — exactly
+          // the web-crawl input this decoder must record and move past,
+          // never kill the task on
+          case scala.util.control.NonFatal(_) =>
             ImageMeta(id, -1L, -1L, -1L, -1L, ok = false)
+        }
+      }
+    }
+  }
+
+  /** Decoded audio metadata row: `ok = false` (all fields -1) marks bytes
+    * that are not decodable audio — same record-and-continue contract as
+    * [[ImageMeta]].
+    */
+  final case class AudioMeta(id: Long, sample_rate: Long, channels: Long,
+    frames: Long, pcm_hash: Long, ok: Boolean)
+
+  /** REAL audio decode — `javax.sound.sampled` ships WAV/AU/AIFF PCM
+    * readers in the JDK, so this path needs no external codec either:
+    * sample rate, channel count, frame count, and a deterministic fold
+    * over the raw PCM byte stream (`h = h*31 + byte`), so the same samples
+    * hash identically regardless of container framing. Same
+    * `mapPartitions` batch shape as [[decodeImageBatch]]: per-partition
+    * init amortized, bytes never leave the executor, typed output frame.
+    * Compressed codecs (mp3/ogg) have no JDK decoder and surface as
+    * `ok = false` — swap in a codec library behind the same signature.
+    */
+  def decodeAudioBatch(df: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload")
+      : org.apache.spark.sql.Dataset[AudioMeta] = {
+    import df.sparkSession.implicits._
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      val buf = new Array[Byte](8192) // per-partition scratch, reused
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](pIdx)
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = ais.getFormat
+            var acc = 0L
+            var n = ais.read(buf)
+            while (n > 0) {
+              var i = 0
+              while (i < n) { acc = acc * 31L + buf(i); i += 1 }
+              n = ais.read(buf)
+            }
+            AudioMeta(id, fmt.getSampleRate.toLong, fmt.getChannels.toLong,
+              ais.getFrameLength, acc, ok = true)
+          } finally ais.close()
+        } catch {
+          // UnsupportedAudioFileException, truncated streams, and the
+          // RuntimeExceptions malformed headers provoke — record, move on
+          case scala.util.control.NonFatal(_) =>
+            AudioMeta(id, -1L, -1L, -1L, -1L, ok = false)
         }
       }
     }

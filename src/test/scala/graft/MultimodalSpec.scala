@@ -72,4 +72,40 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(frames.nonEmpty)
     assert(frames.forall(_ % 10 === 0))
   }
+
+  test("real javax.sound decode: WAV rate/channels/frames, pcm hash, failures") {
+    def wav(rate: Float, channels: Int, frames: Int, seed: Long): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels,
+        true, false)
+      val pcm = new Array[Byte](frames * 2 * channels)
+      var i = 0
+      while (i < pcm.length) {
+        pcm(i) = (((seed * 31 + i * 17) % 256) - 128).toByte; i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // truncated header: recognized container, malformed body — must record
+    // ok=false, never throw (the NonFatal contract)
+    val truncated = wav(8000f, 1, 10, 1L).take(16)
+    val df = Seq((1L, wav(16000f, 2, 25, 7L)), (2L, wav(8000f, 1, 3, 9L)),
+        (3L, "not-audio".getBytes("UTF-8")), (4L, truncated))
+      .toDF("doc_id", "payload").repartition(2)
+    val out = Multimodal.decodeAudioBatch(df).collect().map(m => m.id -> m).toMap
+    assert(out(1L).ok && out(1L).sample_rate === 16000L &&
+      out(1L).channels === 2L && out(1L).frames === 25L)
+    assert(out(2L).ok && out(2L).sample_rate === 8000L &&
+      out(2L).channels === 1L && out(2L).frames === 3L)
+    assert(!out(3L).ok && out(3L).sample_rate === -1L)
+    assert(!out(4L).ok)
+    // pcm hash is a pure function of the samples: same samples, same hash
+    val again = Multimodal.decodeAudioBatch(
+      Seq((9L, wav(16000f, 2, 25, 7L))).toDF("doc_id", "payload")).head()
+    assert(again.pcm_hash === out(1L).pcm_hash)
+    assert(out(2L).pcm_hash !== out(1L).pcm_hash)
+  }
 }
