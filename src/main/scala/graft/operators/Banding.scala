@@ -35,23 +35,56 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   * The output equals the single-window formulation row-for-row when
   * `orderCols` totally orders each stratum, so the DuckDB ntile window
   * doubles as this operator's oracle.
+  *
+  * The few-large-strata premise is ENFORCED, not assumed: an
+  * `approx_count_distinct` probe routes high-cardinality strata
+  * (> `maxStrata`) to the plain window formulation — which is the right
+  * plan for that shape anyway (many strata parallelize across window
+  * tasks; the two-level machinery would instead collect
+  * O(partitions × strata) offset rows to the driver).
   */
 object Banding {
 
   def ntileByStratum(df: DataFrame, stratumCol: String,
       orderCols: Seq[String], buckets: Int,
-      out: String = "band"): DataFrame = {
+      out: String = "band", maxStrata: Int = 256): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val internal = Seq("_pid", "_lrn", "_opid", "_ost", "_off", "_n", out)
+    val clash = df.columns.toSet.intersect(internal.toSet)
+    require(clash.isEmpty,
+      s"ntileByStratum: input columns collide with internal/output names: " +
+        s"${clash.mkString(", ")} — rename them or pass a different `out`")
     val spark = df.sparkSession
+    // cardinality guard enforcing the few-large-strata premise: the driver
+    // offset collect is O(shuffle.partitions × strata), so MANY strata
+    // would silently turn an AQE-statistic-sized collect into real driver
+    // traffic. But many strata is exactly the regime where the plain
+    // window formulation is already parallel (one modest sort per stratum,
+    // strata spread across tasks) — so above the bound, take that path:
+    // same result, right plan for that shape. One approx_count_distinct
+    // probe (narrow agg) decides, the same runtime-statistic pattern as
+    // BloomPrune's sizing.
+    val approxStrata = df.agg(
+      approx_count_distinct(col(stratumCol)).as("d")).head().getLong(0)
+    if (approxStrata > maxStrata) {
+      val w = Window.partitionBy(col(stratumCol))
+        .orderBy(orderCols.map(col(_).asc): _*)
+      return df.withColumn(out, ntile(buckets).over(w).cast("long"))
+    }
     val rangeKeys = (stratumCol +: orderCols).map(col)
     val ranged = df.repartitionByRange(rangeKeys: _*)
       .withColumn("_pid", spark_partition_id())
     val wLocal = Window.partitionBy(col("_pid"), col(stratumCol))
       .orderBy(orderCols.map(col(_).asc): _*)
+    // persisted (not localCheckpoint'ed): it feeds the counts collect AND
+    // the offset join, and a cache-manager entry can be released
+    // deterministically below — Dataset.unpersist is a no-op on a
+    // checkpoint, which is how the r6 version leaked this frame for the
+    // session lifetime
     val local = ranged
       .withColumn("_lrn", row_number().over(wLocal).cast("long"))
-      .localCheckpoint() // feeds the counts collect AND the offset join
-    // one scalar per (partition, stratum) — strata are few by premise, so
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one scalar per (partition, stratum) — strata are few (guarded), so
     // this is O(shuffle.partitions × strata) rows of driver traffic
     val counts = local.groupBy(col("_pid"), col(stratumCol))
       .agg(count(lit(1)).as("c")).collect()
@@ -85,9 +118,17 @@ object Banding {
     // null-SAFE stratum equality: a window's PARTITION BY groups nulls into
     // their own partition, so a null stratum must match its offset row —
     // a plain equi-join would silently drop every null-stratum row
-    local.join(broadcast(offsDf),
+    val joined = local.join(broadcast(offsDf),
         col("_pid") === col("_opid") && col(stratumCol) <=> col("_ost"))
       .withColumn(out, band)
       .select(df.columns.map(col) :+ col(out): _*)
+    // release `local` deterministically instead of renting storage memory
+    // for the session lifetime: materialize the result eagerly (same
+    // Caching.withCached pattern — the result's own checkpoint is freed by
+    // the ContextCleaner once the frame goes out of scope), then unpersist
+    // the intermediate
+    val result = joined.localCheckpoint(true)
+    local.unpersist(false)
+    result
   }
 }

@@ -53,6 +53,48 @@ class BandingSpec extends AnyFunSuite with SparkFixture {
     assert(got === want)
   }
 
+  test("high-cardinality stratum falls back to the window formulation") {
+    // 2000 distinct strata > maxStrata=256: the guard must route to the
+    // plain window path (right plan for many small strata) and still
+    // equal the window truth exactly
+    val df = spark.range(6000)
+      .select(concat(lit("s"), pmod($"id", lit(2000L))).as("st"),
+        pmod($"id" * 2654435761L, lit(9973L)).as("v"), $"id")
+    val banded = Banding.ntileByStratum(df, "st", Seq("v", "id"), 3)
+    val got = banded.select("st", "id", "band")
+      .as[(String, Long, Long)].collect().toSet
+    val want = windowed(df, 3).select("st", "id", "band")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === want)
+    // and the plan really is the window one (ntile), not the two-level join
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(plan.contains("ntile"), plan.take(1500))
+  }
+
+  test("internal/output name collisions are rejected up front") {
+    val df = Seq(("a", 1L, 2L)).toDF("st", "v", "_pid")
+    val e = intercept[IllegalArgumentException] {
+      Banding.ntileByStratum(df, "st", Seq("v"), 2)
+    }
+    assert(e.getMessage.contains("_pid"))
+    val df2 = Seq(("a", 1L, 2L)).toDF("st", "v", "band")
+    val e2 = intercept[IllegalArgumentException] {
+      Banding.ntileByStratum(df2, "st", Seq("v"), 2)
+    }
+    assert(e2.getMessage.contains("band"))
+  }
+
+  test("no storage leak: persisted intermediates released after the call") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val df = (1 to 50).map(i => (s"s${i % 2}", i.toLong, i.toLong))
+      .toDF("st", "v", "id")
+    Banding.ntileByStratum(df, "st", Seq("v", "id"), 4).collect()
+    // the ranked intermediate must be unpersisted; only the result's own
+    // (ContextCleaner-managed) checkpoint may remain
+    val leaked = spark.sparkContext.getPersistentRDDs.size - before
+    assert(leaked <= 1, s"leaked $leaked persistent RDDs")
+  }
+
   test("two-level ntile matches across bucket counts and partitionings") {
     val df = (1 to 97).map(i => (s"s${i % 3}", (i * 37 % 101).toLong,
       i.toLong)).toDF("st", "v", "id")
