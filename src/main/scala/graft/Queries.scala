@@ -1438,12 +1438,14 @@ object Queries {
     */
   def dedupIncrementalBloom(s: SparkSession, dir: String): DataFrame = {
     val d = documents(s, dir)
-    // sketch sized from the corpus count (metadata-only on parquet), not
-    // a static knob — the r5 verdict's BloomPrune sizing fix
+    // sketch sized from the UNFILTERED table count — a metadata-only
+    // parquet probe. The corpus argument below is filtered, and counting
+    // a filtered frame is a real scan; sizing only needs an upper bound
+    // on distinct fingerprints, and the whole table is exactly that.
     BloomPrune.incrementalPruned(
       incoming = d.where(pmod(col("doc_id"), lit(2)) === 1),
       corpus = d.where(pmod(col("doc_id"), lit(2)) === 0),
-      col("doc_id"), col("text"))
+      col("doc_id"), col("text"), expectedCorpus = Some(d.count()))
       .orderBy(col("fp"))
   }
 

@@ -53,7 +53,11 @@ object BloomPrune {
     * silently did nothing at full hashing cost, or demanded a hand-fed
     * multi-GB literal): when `expectedCorpus` is not given, the corpus row
     * count sizes it — an upper bound on distinct fingerprints, and for a
-    * parquet corpus a metadata-only scan. If the sketch sized for `fpp`
+    * BARE parquet corpus a metadata-only scan. A *filtered* corpus frame
+    * makes that probe a real scan, so filtered call-sites should pass an
+    * explicit `expectedCorpus` upper bound instead (e.g. the unfiltered
+    * table's count — oversizing only shrinks the fpp, never the prune).
+    * If the sketch sized for `fpp`
     * would exceed `maxSketchBytes` of driver/broadcast memory (~1.2 bytes
     * per key at 1 % fpp, so the default 64 MB budget covers ~50M corpus
     * keys), the operator falls back to the plain anti-join — identical
