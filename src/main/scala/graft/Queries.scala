@@ -348,6 +348,46 @@ object Queries {
        FROM qkept ORDER BY doc_id"""
   }
 
+  /** The two newest curation cuts driven from JSON — a domain quota then a
+    * per-language quality-band keep, the config-first shape the reference's
+    * whole model is built on (`MapReduceExecutorTask.java:32-38`): a user
+    * expresses "cap any source at 20 docs, then keep the top half per
+    * language" without writing Scala. The oracle replays both stages in
+    * DuckDB (row_number quota cut, ntile band cut) over the same score
+    * expression, so the gate covers the config front-end AND the operator
+    * composition (TopKPerKey feeding Banding).
+    */
+  def pipelineConfigQuotaBands(s: SparkSession, dir: String): DataFrame = {
+    val json = s"""{
+      "in": {"path": "$dir/documents.parquet"},
+      "filters": [
+        {"type": "source_quota", "key": "source", "column": "text",
+         "id": "doc_id", "k": 20},
+        {"type": "quality_bands", "stratum": "lang", "column": "text",
+         "id": "doc_id", "buckets": 4, "keep": [3, 4]},
+        {"type": "select", "cols": ["doc_id", "source", "lang"]}
+      ]
+    }"""
+    Pipeline.plan(s, ConfigJson.parse(json)).orderBy(col("doc_id"))
+  }
+
+  lazy val pipelineConfigQuotaBandsSql: String =
+    s"""WITH scored AS (
+         SELECT doc_id, source, lang, ($qualityScoreExprSql) AS score
+         FROM documents),
+       quota AS (
+         SELECT doc_id, source, lang, score FROM (
+           SELECT *, row_number() OVER (PARTITION BY source
+             ORDER BY score DESC, doc_id) AS rn
+           FROM scored) WHERE rn <= 20),
+       banded AS (
+         SELECT doc_id, source, lang,
+           ntile(4) OVER (PARTITION BY lang ORDER BY score ASC, doc_id ASC)
+             AS band
+         FROM quota)
+       SELECT doc_id, source, lang FROM banded
+       WHERE band IN (3, 4) ORDER BY doc_id"""
+
   // --------------------------------------------------- E1/E2 core SQL ----
 
   def q1Pricing(s: SparkSession, dir: String): DataFrame =

@@ -57,6 +57,19 @@ object ConfigJson {
             })
           case "pii_redact" =>
             Pipeline.RedactPii(textCol = str(f \ "column").get)
+          case "source_quota" => Pipeline.SourceQuota(
+            keyCol = str(f \ "key").get,
+            textCol = str(f \ "column").get,
+            idCol = str(f \ "id").get,
+            k = int(f \ "k").getOrElse(50))
+          case "quality_bands" => Pipeline.QualityBandKeep(
+            stratumCol = str(f \ "stratum").get,
+            textCol = str(f \ "column").get,
+            idCol = str(f \ "id").get,
+            buckets = int(f \ "buckets").getOrElse(4),
+            keepBands = (f \ "keep") match {
+              case JArray(bs) => bs.flatMap(int); case _ => Nil
+            })
           case other =>
             throw new IllegalArgumentException(s"config: unknown filter '$other'")
         }

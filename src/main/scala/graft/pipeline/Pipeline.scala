@@ -53,6 +53,22 @@ object Pipeline {
   final case class QualityFilter(textCol: String, minScore: Double)
     extends Transform
   final case class RedactPii(textCol: String) extends Transform
+  /** Per-source quota as a config step (the `source_quota` curation cut):
+    * keep the top-`k` rows per `keyCol` by quality score over `textCol`
+    * (ties by `idCol` ascending) — runs through the bounded-heap
+    * TopKPerKey, so one hot domain never costs a corpus-sized sort.
+    */
+  final case class SourceQuota(keyCol: String, textCol: String,
+    idCol: String, k: Int) extends Transform
+  /** Quality-band cut as a config step (the `quality_bands` curation cut):
+    * exact per-stratum ntile(`buckets`) over the quality score (ties by
+    * `idCol`), keeping rows whose band is in `keepBands` — e.g.
+    * buckets=4, keep=[4] is "top quartile per language". Runs through
+    * `Banding.ntileByStratum` (two-level rank, no per-stratum single-task
+    * sort; window fallback above its cardinality guard).
+    */
+  final case class QualityBandKeep(stratumCol: String, textCol: String,
+    idCol: String, buckets: Int, keepBands: Seq[Int]) extends Transform
 
   /** Partitioning config. `ptype` is the reference's type-name dispatch
     * (`Partitioning.java:16-30`): "timestamp" buckets a time column by
@@ -128,6 +144,19 @@ object Pipeline {
           df.where(graft.operators.TextAnalysis.qualityScore(col(c)) >= minScore)
         case RedactPii(c) =>
           df.withColumn(c, graft.operators.TextAnalysis.redactPii(col(c)))
+        case SourceQuota(key, textCol, idCol, k) =>
+          val scored = df.withColumn("_gq_score",
+            graft.operators.TextAnalysis.qualityScore(col(textCol)))
+          graft.plans.TopKPerKey.topK(scored, keys = Seq(key),
+              order = Seq("_gq_score" -> "desc", idCol -> "asc"), k = k)
+            .drop("_gq_score")
+        case QualityBandKeep(stratum, textCol, idCol, buckets, keep) =>
+          val scored = df.withColumn("_gq_score",
+            graft.operators.TextAnalysis.qualityScore(col(textCol)))
+          graft.operators.Banding.ntileByStratum(scored, stratum,
+              Seq("_gq_score", idCol), buckets, out = "_gq_band")
+            .where(col("_gq_band").isin(keep.map(_.toLong): _*))
+            .drop("_gq_score", "_gq_band")
       }
     }
     config.localModeMaxTasks match {

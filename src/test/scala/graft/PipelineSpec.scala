@@ -48,6 +48,33 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       graft.pipeline.ConfigJson.parse(json)).count() === df.count())
   }
 
+  test("source_quota and quality_bands config steps match their operators") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // quota step ≡ TopKPerKey over the quality score
+    val quotaJson = s"""{"in": {"path": "$sf/documents.parquet"},
+      "filters": [{"type": "source_quota", "key": "source",
+        "column": "text", "id": "doc_id", "k": 5}]}"""
+    val quota = Pipeline.plan(spark, graft.pipeline.ConfigJson.parse(quotaJson))
+    assert(quota.columns.toSeq === docs.columns.toSeq) // schema preserved
+    val scored = docs.withColumn("_s",
+      graft.operators.TextAnalysis.qualityScore($"text"))
+    val direct = graft.plans.TopKPerKey.topK(scored, Seq("source"),
+      Seq("_s" -> "desc", "doc_id" -> "asc"), 5)
+    assert(quota.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      direct.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // band step ≡ ntileByStratum keep-set
+    val bandJson = s"""{"in": {"path": "$sf/documents.parquet"},
+      "filters": [{"type": "quality_bands", "stratum": "lang",
+        "column": "text", "id": "doc_id", "buckets": 4, "keep": [4]}]}"""
+    val band = Pipeline.plan(spark, graft.pipeline.ConfigJson.parse(bandJson))
+    val banded = graft.operators.Banding.ntileByStratum(scored, "lang",
+      Seq("_s", "doc_id"), 4)
+    val wantIds = banded.where($"band" === 4).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(band.select("doc_id").collect().map(_.getLong(0)).toSet === wantIds)
+    assert(band.columns.toSeq === docs.columns.toSeq)
+  }
+
   test("partitioned config writes bucket directories and reports tasks") {
     val out = java.nio.file.Files.createTempDirectory("graft_pipe_").toString
     val cfg = Pipeline.Config(
