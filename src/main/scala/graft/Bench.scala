@@ -34,12 +34,16 @@ object Bench {
     // earlier queries and swing ~3x with run order):
     //  - in-run: queries back-to-back, session state accumulating — the
     //    historical number, comparable to prior rounds;
-    //  - cold: before each query every cached plan and persisted RDD
+    //  - cold: before each timing every cached plan and persisted RDD
     //    (localCheckpoints included) is dropped, so each query pays its
     //    own reads and materializations. JIT/codegen JVM warmth remains —
     //    only a fresh JVM per query would shed it — so "cold" isolates
-    //    cache state, which is what moved between rounds.
-    def pass(reset: Boolean): Seq[(String, Double)] = names.map { name =>
+    //    cache state, which is what moved between rounds. Each cold value
+    //    is the MEDIAN of `coldReps` runs (r6 verdict: single cold
+    //    timings were run-order-sensitive — GC/JIT/page-cache pressure
+    //    from the preceding 70 queries inflated outliers up to 3.7×;
+    //    the median makes the column diffable across rounds).
+    def timeOne(name: String, reset: Boolean): Double = {
       if (reset) {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
@@ -51,14 +55,20 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
     def json(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
-    val inRun = pass(reset = false)
+    val inRun = names.map(n => n -> timeOne(n, reset = false))
     val coldEnabled = sys.env.get("SPARK_GRAFT_BENCH_COLD").forall(_ != "0")
-    val cold = if (coldEnabled) pass(reset = true) else Nil
+    val coldReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_COLD_REPS", "3").toInt
+    val cold =
+      if (coldEnabled) names.map { n =>
+        val ts = (1 to coldReps).map(_ => timeOne(n, reset = true)).sorted
+        n -> ts(ts.length / 2)
+      }
+      else Nil
     val total = inRun.map(_._2).sum
     val coldPart =
       if (cold.nonEmpty)
