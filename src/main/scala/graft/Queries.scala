@@ -388,6 +388,39 @@ object Queries {
        SELECT doc_id, source, lang FROM banded
        WHERE band IN (3, 4) ORDER BY doc_id"""
 
+  /** Decontamination driven from JSON — completes the config-first
+    * curation surface: a user expresses "drop training rows sharing any
+    * 8-gram with the eval suite" without Scala. Train side = doc_id ≥ 50
+    * via a `where` filter stage, eval side = the same table's doc_id < 50
+    * slice named in the decontaminate step's `eval` block. The oracle
+    * replays gram hashing, the overlap join, and the anti-join in DuckDB.
+    */
+  def pipelineConfigDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val json = s"""{
+      "in": {"path": "$dir/documents.parquet"},
+      "filters": [
+        {"type": "where", "predicate": "doc_id >= 50"},
+        {"type": "decontaminate", "column": "text", "id": "doc_id",
+         "eval": {"path": "$dir/documents.parquet", "where": "doc_id < 50"}},
+        {"type": "select", "cols": ["doc_id", "source", "lang"]}
+      ]
+    }"""
+    Pipeline.plan(s, ConfigJson.parse(json)).orderBy(col("doc_id"))
+  }
+
+  lazy val pipelineConfigDecontaminateSql: String =
+    s"""WITH g AS (
+         SELECT doc_id, unnest($shingle8Sql) AS gram
+         FROM (SELECT doc_id, string_split($normalizeSql, ' ') AS w
+               FROM documents)),
+       bench AS (SELECT DISTINCT md5(gram) AS gh FROM g WHERE doc_id < 50),
+       dirty AS (
+         SELECT DISTINCT doc_id FROM g JOIN bench ON md5(g.gram) = bench.gh
+         WHERE doc_id >= 50)
+       SELECT doc_id, source, lang FROM documents
+       WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+       ORDER BY doc_id"""
+
   // --------------------------------------------------- E1/E2 core SQL ----
 
   def q1Pricing(s: SparkSession, dir: String): DataFrame =

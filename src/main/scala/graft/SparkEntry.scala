@@ -49,6 +49,7 @@ object SparkEntry {
     "pipeline_config_out" -> (Queries.pipelineConfigOut _),
     "pipeline_config_curation" -> (Queries.pipelineConfigCuration _),
     "pipeline_config_quota_bands" -> (Queries.pipelineConfigQuotaBands _),
+    "pipeline_config_decontaminate" -> (Queries.pipelineConfigDecontaminate _),
     // E1/E2 core joins + aggs
     "q1_pricing" -> (Queries.q1Pricing _),
     "q3_top_orders" -> (Queries.q3TopOrders _),
@@ -152,6 +153,7 @@ object SparkEntry {
     "pipeline_config_out" -> Queries.pipelineConfigOutSql,
     "pipeline_config_curation" -> Queries.pipelineConfigCurationSql,
     "pipeline_config_quota_bands" -> Queries.pipelineConfigQuotaBandsSql,
+    "pipeline_config_decontaminate" -> Queries.pipelineConfigDecontaminateSql,
     "q1_pricing" -> Queries.q1PricingSql,
     "q3_top_orders" -> Queries.q3TopOrdersSql,
     "q5_region_revenue" -> Queries.q5RegionRevenueSql,

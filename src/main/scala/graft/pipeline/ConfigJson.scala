@@ -62,6 +62,15 @@ object ConfigJson {
             textCol = str(f \ "column").get,
             idCol = str(f \ "id").get,
             k = int(f \ "k").getOrElse(50))
+          case "decontaminate" => Pipeline.Decontaminate(
+            textCol = str(f \ "column").get,
+            idCol = str(f \ "id").get,
+            evalPath = str(f \ "eval" \ "path").getOrElse(
+              throw new IllegalArgumentException(
+                "config: decontaminate.eval.path is required")),
+            evalFormat = str(f \ "eval" \ "format").getOrElse("parquet"),
+            evalWhere = str(f \ "eval" \ "where"),
+            n = int(f \ "ngram").getOrElse(8))
           case "quality_bands" => Pipeline.QualityBandKeep(
             stratumCol = str(f \ "stratum").get,
             textCol = str(f \ "column").get,

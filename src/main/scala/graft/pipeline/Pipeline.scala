@@ -69,6 +69,16 @@ object Pipeline {
     */
   final case class QualityBandKeep(stratumCol: String, textCol: String,
     idCol: String, buckets: Int, keepBands: Seq[Int]) extends Transform
+  /** Benchmark decontamination as a config step (the `decontaminate`
+    * pass): drop rows sharing any `n`-gram with the eval set read from
+    * `evalPath` (optionally filtered by `evalWhere`). Both sides reduce
+    * to 16-byte gram hashes before the join; the eval gram set is tiny by
+    * premise, so the contaminated-id set resolves through broadcast-sized
+    * joins — never a corpus shuffle beyond the narrow gram scan.
+    */
+  final case class Decontaminate(textCol: String, idCol: String,
+    evalPath: String, evalFormat: String = "parquet",
+    evalWhere: Option[String] = None, n: Int = 8) extends Transform
 
   /** Partitioning config. `ptype` is the reference's type-name dispatch
     * (`Partitioning.java:16-30`): "timestamp" buckets a time column by
@@ -157,6 +167,22 @@ object Pipeline {
               Seq("_gq_score", idCol), buckets, out = "_gq_band")
             .where(col("_gq_band").isin(keep.map(_.toLong): _*))
             .drop("_gq_score", "_gq_band")
+        case Decontaminate(textCol, idCol, evalPath, fmt, evalWhere, n) =>
+          val evalRaw = spark.read.format(fmt).load(evalPath)
+          val evalSet = evalWhere.fold(evalRaw)(evalRaw.where)
+          val evalGrams = evalSet
+            .select(explode(graft.operators.Dedup.shingles(col(textCol), n))
+              .as("_g"))
+            .select(md5(col("_g")).as("_gh")).distinct()
+          val contaminated = df
+            .select(col(idCol).as("_did"),
+              explode(graft.operators.Dedup.shingles(col(textCol), n))
+                .as("_g"))
+            .select(col("_did"), md5(col("_g")).as("_gh"))
+            .join(evalGrams, "_gh")
+            .select(col("_did")).distinct()
+          df.join(contaminated, df(idCol) === contaminated("_did"),
+            "left_anti")
       }
     }
     config.localModeMaxTasks match {

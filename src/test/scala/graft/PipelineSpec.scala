@@ -75,6 +75,24 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(band.columns.toSeq === docs.columns.toSeq)
   }
 
+  test("decontaminate config step drops exactly the gram-overlap ids") {
+    val json = s"""{"in": {"path": "$sf/documents.parquet"},
+      "filters": [
+        {"type": "where", "predicate": "doc_id >= 50"},
+        {"type": "decontaminate", "column": "text", "id": "doc_id",
+         "eval": {"path": "$sf/documents.parquet", "where": "doc_id < 50"}}]}"""
+    val kept = Pipeline.plan(spark, graft.pipeline.ConfigJson.parse(json))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val train = docs.where($"doc_id" >= 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the registered decontaminate query lists contaminated train ids
+    val dirty = Queries.decontaminate(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === train -- dirty)
+    assert(dirty.nonEmpty) // the synthetic corpus plants overlaps
+  }
+
   test("partitioned config writes bucket directories and reports tasks") {
     val out = java.nio.file.Files.createTempDirectory("graft_pipe_").toString
     val cfg = Pipeline.Config(
