@@ -1620,6 +1620,66 @@ object Queries {
              AS u(ci))
        ORDER BY doc_id, chunk_idx"""
 
+  /** Corpus-frequency fluency score — the engine-native stand-in for a
+    * CCNet-style LM quality filter: a document whose distinct word bigrams
+    * are common across the corpus reads like the corpus; one whose bigrams
+    * are rare is boilerplate, markup, or noise. score = mean document
+    * frequency of the doc's distinct bigrams. All-integer until one final
+    * double division, so the DuckDB replay is bit-identical (no `ln` —
+    * libm-dependent, SURVEY §6). Scale shape: narrow bigram explode →
+    * one groupBy(bigram) "training" pass → co-partitioned join back on
+    * the bigram key → one groupBy(doc) — every stage linear, no driver
+    * state, the count table stays distributed.
+    */
+  def corpusFreqScore(s: SparkSession, dir: String): DataFrame = {
+    val bi = documents(s, dir).select(col("doc_id"),
+      explode(Dedup.shingles(col("text"), 2)).as("bg"))
+    val counts = bi.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+    bi.join(counts, "bg")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("df")).as("mass"), count(lit(1)).as("n_grams"))
+      .select(col("doc_id"),
+        (col("mass").cast("double") / col("n_grams").cast("double"))
+          .as("freq_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB word bigrams mirroring Dedup.shingles(n=2). */
+  private val bigramSql: String =
+    """list_distinct(CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+        ELSE [w[i] || ' ' || w[i+1] for i in range(1, len(w))] END)"""
+
+  lazy val corpusFreqScoreSql: String =
+    s"""WITH b AS (
+         SELECT doc_id, unnest($bigramSql) AS bg
+         FROM (SELECT doc_id, string_split($normalizeSql, ' ') AS w
+               FROM documents)),
+       counts AS (SELECT bg, COUNT(*) AS df FROM b GROUP BY 1)
+       SELECT doc_id, CAST(SUM(df) AS DOUBLE) / COUNT(*) AS freq_score
+       FROM b JOIN counts USING (bg) GROUP BY 1 ORDER BY 1"""
+
+  /** Exact-N deterministic sample per stratum — the "give me exactly 25
+    * docs per language, reproducibly" ask that rate-based sampling
+    * (`sample_stratified`) cannot answer. The "random" order is the
+    * content hash (seeded, engine-independent), and the exact-N cut is
+    * the bounded-heap TopKPerKey — k rows per stratum survive the map
+    * partitions, never a per-stratum sort of the corpus.
+    */
+  def sampleExactN(s: SparkSession, dir: String): DataFrame = {
+    val keyed = documents(s, dir)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+    graft.plans.TopKPerKey.topK(keyed, keys = Seq("lang"),
+        order = Seq("h" -> "asc", "doc_id" -> "asc"), k = 25)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sampleExactNSql: String =
+    """SELECT doc_id, lang FROM (
+         SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+           ORDER BY md5(text), doc_id) AS rn
+         FROM documents) WHERE rn <= 25 ORDER BY doc_id"""
+
   /** Quality banding: per-language ntile(4) over the quality score — the
     * "keep the top quartile" curation cut, with a deterministic total
     * order (score, doc_id). Computed by `Banding.ntileByStratum` (two-level

@@ -99,6 +99,7 @@ object SparkEntry {
     "dedup_incremental_bloom" -> (Queries.dedupIncrementalBloom _),
     "latest_by_key" -> (Queries.latestByKey _),
     "sample_stratified" -> (Queries.sampleStratified _),
+    "sample_exact_n" -> (Queries.sampleExactN _),
     "doc_chunking" -> (Queries.docChunking _),
     "doc_packing" -> (Queries.docPacking _),
     "quality_bands" -> (Queries.qualityBands _),
@@ -116,6 +117,7 @@ object SparkEntry {
     "text_tokens" -> (Queries.textTokens _),
     "lang_id" -> (Queries.langId _),
     "quality_score" -> (Queries.qualityScore _),
+    "corpus_freq_score" -> (Queries.corpusFreqScore _),
     "text_repetition" -> (Queries.textRepetition _),
     "fingerprint" -> (Queries.fingerprintQ _),
     // L21 PII redaction
@@ -193,6 +195,7 @@ object SparkEntry {
     "streaming_hourly_counts" -> Queries.streamingHourlyCountsSql,
     "latest_by_key" -> Queries.latestByKeySql,
     "sample_stratified" -> Queries.sampleStratifiedSql,
+    "sample_exact_n" -> Queries.sampleExactNSql,
     "doc_chunking" -> Queries.docChunkingSql,
     "doc_packing" -> Queries.docPackingSql,
     "quality_bands" -> Queries.qualityBandsSql,
@@ -208,6 +211,7 @@ object SparkEntry {
     "text_tokens" -> Queries.textTokensSql,
     "lang_id" -> Queries.langIdSql,
     "quality_score" -> Queries.qualityScoreSql,
+    "corpus_freq_score" -> Queries.corpusFreqScoreSql,
     "text_repetition" -> Queries.textRepetitionSql,
     "fingerprint" -> Queries.fingerprintSql,
     "pii_redact" -> Queries.piiRedactSql,
