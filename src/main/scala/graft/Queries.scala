@@ -1083,6 +1083,65 @@ object Queries {
            WHERE q.vec_id < 10))
        WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** kNN label propagation — assign each unlabeled vector the label of its
+    * nearest labeled neighbor, the retrieval-based labeling/curation pass
+    * (domain tagging, weak supervision) every embedding-equipped pipeline
+    * runs. Here: vec_id < 50 take their top-1 cosine neighbor's label from
+    * the labeled remainder. This registers the exact brute-force baseline
+    * (labeled side broadcast, codegen'd CosineSim); at corpus×corpus scale
+    * the candidate generation swaps to the IVF/LSH paths exactly as
+    * `ann_ivf`/`ann_topk_lsh` do — same contract, same oracle shape.
+    */
+  def knnLabel(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val q = e.where(col("vec_id") < 50)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val c = e.where(col("vec_id") >= 50)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.bruteForceTopK(q, c, k = 1)
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("label").cast("long").as("pred_label")), "neighbor_id")
+      .select(col("query_id").as("vec_id"), col("neighbor_id"), col("cos"),
+        col("pred_label"))
+      .orderBy(col("vec_id"))
+  }
+
+  val knnLabelSql: String =
+    s"""SELECT vec_id, neighbor_id, cos, pred_label FROM (
+         SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+           ${cosSql("q.embedding", "c.embedding")} AS cos,
+           CAST(c.label AS BIGINT) AS pred_label,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id)
+             AS rn
+         FROM embeddings q JOIN embeddings c ON c.vec_id >= 50
+         WHERE q.vec_id < 50)
+       WHERE rn = 1 ORDER BY vec_id"""
+
+  /** Semi-structured JSON column handling: schema'd `from_json` extraction
+    * of the events `props` payload inside the aggregation pipeline — the
+    * "logs carry a JSON blob" shape. The parse is a narrow map fused into
+    * the scan stage; only the extracted integer survives to the shuffle,
+    * so the JSON text never moves through an exchange.
+    */
+  def jsonExtractAgg(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"),
+        from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("k_sum"), count(col("k")).as("k_count"),
+        max(col("k")).as("k_max"))
+      .orderBy(col("event_type"))
+
+  val jsonExtractAggSql: String =
+    """SELECT event_type,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+       COUNT(CAST(props->>'$.k' AS BIGINT)) AS k_count,
+       CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_max
+       FROM events GROUP BY 1 ORDER BY 1"""
+
   // ------------------------------------------------ L8-L11 text analysis --
 
   def textStats(s: SparkSession, dir: String): DataFrame =

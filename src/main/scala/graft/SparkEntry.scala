@@ -66,6 +66,7 @@ object SparkEntry {
     "rollup_orders" -> (Queries.rollupOrders _),
     "cube_orders" -> (Queries.cubeOrders _),
     "pivot_event_values" -> (Queries.pivotEventValues _),
+    "json_extract_agg" -> (Queries.jsonExtractAgg _),
     "semi_anti_customers" -> (Queries.semiAntiCustomers _),
     "value_percentiles" -> (Queries.valuePercentiles _),
     "moving_avg" -> (Queries.movingAvg _),
@@ -93,6 +94,7 @@ object SparkEntry {
     "ann_topk" -> (Queries.annTopk _),
     "ann_topk_lsh" -> (Queries.annTopkLsh _),
     "ann_ivf" -> (Queries.annIvf _),
+    "knn_label" -> (Queries.knnLabel _),
     // corpus curation (incremental dedup, compaction, sampling, chunking)
     "dedup_incremental" -> (Queries.dedupIncremental _),
     "dedup_incremental_stream" -> (Queries.dedupIncrementalStream _),
@@ -139,6 +141,7 @@ object SparkEntry {
     "approx_distinct_users" -> Queries.approxDistinctUsersSql,
     "dedup_simhash" -> Queries.dedupSimhashSql,
     "ann_ivf" -> Queries.annIvfSql,
+    "knn_label" -> Queries.knnLabelSql,
     "etl_map_only" -> Queries.etlMapOnlySql,
     "etl_cast_rename" -> Queries.etlCastRenameSql,
     "partition_hour_ts" -> Queries.partitionHourTsSql,
@@ -169,6 +172,7 @@ object SparkEntry {
     "rollup_orders" -> Queries.rollupOrdersSql,
     "cube_orders" -> Queries.cubeOrdersSql,
     "pivot_event_values" -> Queries.pivotEventValuesSql,
+    "json_extract_agg" -> Queries.jsonExtractAggSql,
     "semi_anti_customers" -> Queries.semiAntiCustomersSql,
     "value_percentiles" -> Queries.valuePercentilesSql,
     "moving_avg" -> Queries.movingAvgSql,
