@@ -1087,22 +1087,27 @@ object Queries {
     * nearest labeled neighbor, the retrieval-based labeling/curation pass
     * (domain tagging, weak supervision) every embedding-equipped pipeline
     * runs. Here: vec_id < 50 take their top-1 cosine neighbor's label from
-    * the labeled remainder. This registers the exact brute-force baseline
-    * (labeled side broadcast, codegen'd CosineSim); at corpus×corpus scale
-    * the candidate generation swaps to the IVF/LSH paths exactly as
+    * the labeled remainder. Scale shape: the SMALL side (the 50 unlabeled
+    * queries) broadcasts against the streaming labeled-corpus scan —
+    * the corpus never shuffles — and the per-query argmax runs through
+    * the bounded-heap TopKPerKey, so each map partition ships one row per
+    * query, not corpus×query scores. At query-set scale the candidate
+    * generation swaps to the IVF/LSH paths exactly as
     * `ann_ivf`/`ann_topk_lsh` do — same contract, same oracle shape.
     */
   def knnLabel(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
     val q = e.where(col("vec_id") < 50)
-      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .select(col("vec_id").as("vec_id_q"), col("embedding").as("q_vec"))
     val c = e.where(col("vec_id") >= 50)
-      .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    Similarity.bruteForceTopK(q, c, k = 1)
-      .join(e.select(col("vec_id").as("neighbor_id"),
-        col("label").cast("long").as("pred_label")), "neighbor_id")
-      .select(col("query_id").as("vec_id"), col("neighbor_id"), col("cos"),
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"),
+        col("label").cast("long").as("pred_label"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("vec_id_q").as("vec_id"), col("neighbor_id"),
+        Similarity.cosine(col("q_vec"), col("c_vec")).as("cos"),
         col("pred_label"))
+    graft.plans.TopKPerKey.topK(scored, keys = Seq("vec_id"),
+        order = Seq("cos" -> "desc", "neighbor_id" -> "asc"), k = 1)
       .orderBy(col("vec_id"))
   }
 
