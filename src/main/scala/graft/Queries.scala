@@ -1869,8 +1869,12 @@ object Queries {
       .select(col("doc_id"), md5(col("g")).as("gh"))
     val benchGrams = grams(docs.where(col("doc_id") < 50))
       .select(col("gh")).distinct()
+    // explicit broadcast: the eval gram set is tiny by premise, but its
+    // subtree (scan→explode→distinct) has no usable size estimate at plan
+    // time — without the hint a conservative estimate would sort-merge and
+    // shuffle the full train gram table
     grams(docs.where(col("doc_id") >= 50))
-      .join(benchGrams, "gh")
+      .join(broadcast(benchGrams), "gh")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gh")).as("n_hits"))
       .orderBy(col("doc_id"))

@@ -174,15 +174,18 @@ object Pipeline {
             .select(explode(graft.operators.Dedup.shingles(col(textCol), n))
               .as("_g"))
             .select(md5(col("_g")).as("_gh")).distinct()
+          // eval grams and the surviving contaminated-id set are both tiny
+          // by the decontamination premise — broadcast them explicitly so
+          // the corpus never shuffles for either join
           val contaminated = df
             .select(col(idCol).as("_did"),
               explode(graft.operators.Dedup.shingles(col(textCol), n))
                 .as("_g"))
             .select(col("_did"), md5(col("_g")).as("_gh"))
-            .join(evalGrams, "_gh")
+            .join(broadcast(evalGrams), "_gh")
             .select(col("_did")).distinct()
-          df.join(contaminated, df(idCol) === contaminated("_did"),
-            "left_anti")
+          df.join(broadcast(contaminated),
+            df(idCol) === contaminated("_did"), "left_anti")
       }
     }
     config.localModeMaxTasks match {
