@@ -111,6 +111,58 @@ class ExtrasSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("knn_label equals the broadcast-corpus brute-force formulation") {
+    // the registered query broadcasts the QUERY side (100 TB shape); the
+    // baseline broadcasts the corpus — both must agree exactly
+    val e = Tables.embeddings(spark, sf)
+    val got = Queries.knnLabel(spark, sf)
+      .select($"vec_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = e.where($"vec_id" < 50)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val c = e.where($"vec_id" >= 50)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val want = graft.operators.Similarity.bruteForceTopK(q, c, k = 1)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(got.size === 50)
+  }
+
+  test("sample_exact_n: exactly min(N, stratum size) rows, deterministic") {
+    val out1 = Queries.sampleExactN(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val out2 = Queries.sampleExactN(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out1.toSeq === out2.toSeq) // content-hash order = replayable
+    val sizes = out1.groupBy(_._2).map { case (l, rs) => l -> rs.length }
+    val langSizes = Tables.documents(spark, sf).groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (l, n) =>
+      assert(n === math.min(25L, langSizes(l)), s"lang $l")
+    }
+  }
+
+  test("corpus_freq_score: every doc scored, bounds hold, near-dups agree") {
+    val out = Queries.corpusFreqScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.size === nDocs) // distinct bigrams exist for every doc
+    // df of any bigram is in [1, nDocs] ⇒ so is its mean
+    assert(out.values.forall(s => s >= 1.0 && s <= nDocs.toDouble))
+    assert(out.values.toSeq.distinct.size > 1) // a real signal, not constant
+    // docs with identical normalized text (⇒ identical bigram sets) must
+    // score identically: check via the fingerprint groups if any exist
+    val groups = Tables.documents(spark, sf)
+      .groupBy(graft.operators.TextAnalysis.fingerprint($"text").as("fp"))
+      .agg(collect_list($"doc_id").as("ids"))
+      .where(size($"ids") > 1).select($"ids").collect()
+      .map(_.getSeq[Long](0))
+    groups.foreach { ids =>
+      assert(ids.map(out).distinct.size === 1, s"ids $ids")
+    }
+  }
+
   test("mapPartitions batch decode: deterministic, distributed, typed") {
     val payloads = Multimodal.withPayload(
       Tables.documents(spark, sf).limit(50), $"text", "image")
