@@ -220,6 +220,9 @@ object TopKPerKey {
     */
   def topK(df: DataFrame, keys: Seq[String], order: Seq[(String, String)],
       k: Int): DataFrame = {
+    // k = 0 would make the streaming final emit each group's first row
+    // (the first-row-of-group probe fires before the counter check)
+    require(k >= 1, s"topK: k must be >= 1, got $k")
     // idempotently register the planner strategy on this session
     val strategies = df.sparkSession.experimental.extraStrategies
     if (!strategies.contains(TopKStrategy))

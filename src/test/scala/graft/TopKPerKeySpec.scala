@@ -92,6 +92,13 @@ class TopKPerKeySpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.unset(graft.plans.TopKPerKeyExec.PartialBufferRowsKey)
   }
 
+  test("non-positive k is rejected up front") {
+    val df = Seq((1L, 1L)).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      TopKPerKey.topK(df, Seq("g"), Seq("v" -> "asc"), k = 0)
+    }
+  }
+
   test("ties and k larger than group size behave like the window version") {
     val df = Seq((1L, 1L, 5.0), (1L, 2L, 5.0), (1L, 3L, 4.0), (2L, 4L, 1.0))
       .toDF("user_id", "event_id", "value")
