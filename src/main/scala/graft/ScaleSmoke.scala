@@ -49,6 +49,14 @@ object ScaleSmoke {
       .filter(n => only.forall(_.contains(n)))
     spark.range(1000000L).selectExpr("sum(id)").collect() // warm
     val results = names.map { name =>
+      // cold per query (same reset as Bench's cold pass): accumulated
+      // checkpoint/cache state from earlier queries otherwise evicts the
+      // current query's own caches at 30× and inflates it up to 4× —
+      // the run-order artifact class every round has had to re-measure
+      // isolated; clearing makes scale rows diffable directly
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, out)
         .write.format("noop").mode("overwrite").save()
