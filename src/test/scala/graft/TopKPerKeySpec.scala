@@ -92,6 +92,35 @@ class TopKPerKeySpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.unset(graft.plans.TopKPerKeyExec.PartialBufferRowsKey)
   }
 
+  test("seeded-random sweep: topK equals window truth across k and budgets") {
+    // randomized-but-reproducible stress over the rewritten operator:
+    // skewed key distribution (some hot keys), duplicate order values
+    // (ties broken by id — total order), varying k and partial budgets
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 5000).map { i =>
+      val key = if (rnd.nextInt(4) == 0) 0L else rnd.nextInt(200).toLong
+      (key, rnd.nextInt(50).toLong, i.toLong)
+    }
+    val df = rows.toDF("g", "v", "id").repartition(7)
+    for (k <- Seq(1, 3, 17); budget <- Seq(32, 1 << 20)) {
+      spark.conf.set(graft.plans.TopKPerKeyExec.PartialBufferRowsKey,
+        budget.toString)
+      try {
+        val got = TopKPerKey.topK(df, Seq("g"),
+            Seq("v" -> "asc", "id" -> "asc"), k)
+          .select($"g", $"id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val w = org.apache.spark.sql.expressions.Window.partitionBy($"g")
+          .orderBy($"v".asc, $"id".asc)
+        val want = df.withColumn("rn", row_number().over(w))
+          .where($"rn" <= k).select($"g", $"id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got === want, s"k=$k budget=$budget")
+      } finally spark.conf.unset(
+        graft.plans.TopKPerKeyExec.PartialBufferRowsKey)
+    }
+  }
+
   test("non-positive k is rejected up front") {
     val df = Seq((1L, 1L)).toDF("g", "v")
     intercept[IllegalArgumentException] {
