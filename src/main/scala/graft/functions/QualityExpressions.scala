@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass text-quality statistics kernel.
+  *
+  * `TextAnalysis.qualityScore` previously composed three independent
+  * regex passes per row — `split("\\s+")` for the word count, a
+  * `regexp_extract_all` that MATERIALIZED an array of every punctuation
+  * character just to take its size, and a `filter(tokens, isin(...))`
+  * stopword pass — the per-row linear floor that dominated the 30× tail
+  * (quality_bands / source_quota / both config curation pipelines). This
+  * kernel computes all four counts in one allocation-free scan over the
+  * UTF-8 bytes.
+  *
+  * Contract — mirror-exact with the regex formulation it replaces (and
+  * therefore with the unchanged DuckDB oracle fragment):
+  *  - words = `size(split(text, "\\s+"))` with Java `limit = -1`
+  *    semantics: segments between whitespace runs, INCLUDING the empty
+  *    leading/trailing segment a boundary run produces, and `[""]` for
+  *    empty input ⇒ count = whitespaceRuns + 1 (runs at any position),
+  *    1 for empty text. Whitespace = Java regex `\s` = space \t \n \x0B
+  *    \f \r (ASCII-only, no Unicode classes — Java's default).
+  *  - stopwords = tokens equal (case-sensitive) to one of
+  *    [[graft.operators.TextAnalysis.stopwords]]; empty tokens never match.
+  *  - punct = count of codepoints matching `[^A-Za-z0-9\s]` — every
+  *    non-ASCII codepoint matches, counted once per codepoint (not byte).
+  *  - chars = `length(text)` = codepoint count.
+  *
+  * Output: array<long> [words, stopwords, punct, chars].
+  */
+object QualityStatsKernel {
+  // TextAnalysis.stopwords, as bytes for segment comparison (ASCII)
+  private val stopwordBytes: Array[Array[Byte]] =
+    graft.operators.TextAnalysis.stopwords
+      .map(_.getBytes(java.nio.charset.StandardCharsets.US_ASCII)).toArray
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  private def isAlnum(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') || (b >= '0' && b <= '9')
+
+  private def isStopword(bytes: Array[Byte], from: Int, until: Int): Boolean = {
+    val len = until - from
+    var s = 0
+    while (s < stopwordBytes.length) {
+      val sw = stopwordBytes(s)
+      if (sw.length == len) {
+        var i = 0
+        var ok = true
+        while (ok && i < len) { ok = bytes(from + i) == sw(i); i += 1 }
+        if (ok) return true
+      }
+      s += 1
+    }
+    false
+  }
+
+  def compute(input: UTF8String): ArrayData = {
+    val bytes = input.getBytes
+    val n = bytes.length
+    var chars = 0L
+    var punct = 0L
+    var stop = 0L
+    var wsRuns = 0L
+    var inWs = false
+    var segStart = 0
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      val continuation = (b & 0xC0) == 0x80
+      if (!continuation) chars += 1
+      if (isWs(b)) {
+        if (!inWs) {
+          wsRuns += 1
+          if (i > segStart && isStopword(bytes, segStart, i)) stop += 1
+          inWs = true
+        }
+      } else {
+        if (inWs) { segStart = i; inWs = false }
+        if (!continuation && !isAlnum(b)) punct += 1
+      }
+      i += 1
+    }
+    if (!inWs && n > segStart && isStopword(bytes, segStart, n)) stop += 1
+    val words = wsRuns + 1
+    new GenericArrayData(Array[Any](words, stop, punct, chars))
+  }
+}
+
+case class QualityStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"quality_stats requires a string input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    QualityStatsKernel.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.QualityStatsKernel.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "quality_stats"
+}
+
+object QualityFunctions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** [words, stopwords, punct, chars] of a text column in one scan. */
+  def qualityStats(text: Column): Column =
+    ColumnBridge.column(QualityStats(ColumnBridge.expression(text)))
+}

@@ -77,14 +77,30 @@ object TextAnalysis {
 
   /** Quality score in [0,1]: rewards mid-length docs, penalizes punctuation
     * soup and stopword-free keyword stuffing. All terms are int/int doubles.
+    *
+    * Counts come from the one-pass native kernel
+    * ([[graft.functions.QualityStatsKernel]]) instead of three regex
+    * passes (split + a punctuation `regexp_extract_all` that materialized
+    * an array per row + a stopword token filter) — the per-row scoring
+    * floor of quality_bands / source_quota / the config curation
+    * pipelines at scale. The kernel's counting contract is mirror-exact
+    * with the regex formulation (QualitySpec pins them against each
+    * other), so the DuckDB oracle fragment is unchanged.
     */
   def qualityScore(text: Column): Column = {
-    val words = wordCount(text).cast("double")
+    val st = graft.functions.QualityFunctions.qualityStats(text)
+    val nWords = element_at(st, 1)
+    val words = nWords.cast("double")
     val lengthTerm = when(words >= 20 && words <= 1000, lit(1.0))
       .when(words < 20, words / lit(20.0))
       .otherwise(lit(1000.0) / words)
-    val punctTerm = lit(1.0) - punctRatio(text)
-    val stopTerm = when(stopwordRatio(text) > 0.01, lit(1.0)).otherwise(lit(0.5))
+    val chars = element_at(st, 4)
+    val pRatio = when(chars === 0, lit(0.0))
+      .otherwise(element_at(st, 3).cast("double") / chars.cast("double"))
+    val punctTerm = lit(1.0) - pRatio
+    val sRatio = when(nWords === 0, lit(0.0))
+      .otherwise(element_at(st, 2).cast("double") / nWords.cast("double"))
+    val stopTerm = when(sRatio > 0.01, lit(1.0)).otherwise(lit(0.5))
     lengthTerm * punctTerm * stopTerm
   }
 

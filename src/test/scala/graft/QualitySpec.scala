@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** The one-pass QualityStats kernel must be mirror-exact with the regex
+  * formulation it replaced — same counts on every input, including the
+  * split(limit=-1) empty-token quirks and non-ASCII codepoints — so the
+  * DuckDB oracle fragment keeps gating `quality_score` unchanged.
+  */
+class QualitySpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  // the pre-kernel regex formulation, kept verbatim as the truth here
+  private def regexScore(text: org.apache.spark.sql.Column) = {
+    val words = TextAnalysis.wordCount(text).cast("double")
+    val lengthTerm = when(words >= 20 && words <= 1000, lit(1.0))
+      .when(words < 20, words / lit(20.0))
+      .otherwise(lit(1000.0) / words)
+    val punctTerm = lit(1.0) - TextAnalysis.punctRatio(text)
+    val stopTerm = when(TextAnalysis.stopwordRatio(text) > 0.01, lit(1.0))
+      .otherwise(lit(0.5))
+    lengthTerm * punctTerm * stopTerm
+  }
+
+  private def statCols(text: org.apache.spark.sql.Column) = Seq(
+    TextAnalysis.wordCount(text).cast("long").as("w_re"),
+    TextAnalysis.stopwordCount(text).cast("long").as("s_re"),
+    size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+      .cast("long").as("p_re"),
+    length(text).cast("long").as("c_re"),
+    element_at(graft.functions.QualityFunctions.qualityStats(text), 1).as("w_k"),
+    element_at(graft.functions.QualityFunctions.qualityStats(text), 2).as("s_k"),
+    element_at(graft.functions.QualityFunctions.qualityStats(text), 3).as("p_k"),
+    element_at(graft.functions.QualityFunctions.qualityStats(text), 4).as("c_k"))
+
+  test("kernel counts equal the regex formulation on adversarial strings") {
+    val cases = Seq(
+      "", " ", "  ", "a", " a", "a ", " a ", "the", " the\tof  and\n",
+      "a b", "hello, world!", "the quick brown fox", "of", "xof", "ofx",
+      "tab\tsep\nnewline\rcrvt\fff", "!!!", "a!b?c.d",
+      "café résumé", " nbsp", "emoji 😀 end",
+      "中文 text the", "1 2 3 the a of", "trailing space the ",
+      "    leading the", "is", "is is is is", "punct,,,,;;;;")
+    val df = cases.toDF("t").select(statCols(col("t")): _*)
+    df.collect().zip(cases).foreach { case (r, t) =>
+      assert(r.getLong(0) === r.getLong(4), s"words for ${t.take(30)}")
+      assert(r.getLong(1) === r.getLong(5), s"stopwords for ${t.take(30)}")
+      assert(r.getLong(2) === r.getLong(6), s"punct for ${t.take(30)}")
+      assert(r.getLong(3) === r.getLong(7), s"chars for ${t.take(30)}")
+    }
+  }
+
+  test("kernel score is bit-identical to the regex score on the corpus") {
+    val docs = Tables.documents(spark, sf)
+    val both = docs.select(
+      TextAnalysis.qualityScore($"text").as("kernel"),
+      regexScore($"text").as("regex"))
+    assert(both.where($"kernel" =!= $"regex").count() === 0)
+    assert(both.count() > 0)
+  }
+
+  test("kernel score matches on seeded-random byte soup") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab the of!,.\t\n  é中0123"
+    val cases = (0 until 500).map { _ =>
+      val len = rnd.nextInt(60)
+      (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val df = cases.toDF("t").select(
+      TextAnalysis.qualityScore($"t").as("kernel"),
+      regexScore($"t").as("regex"))
+    assert(df.where($"kernel" =!= $"regex").count() === 0)
+  }
+}
