@@ -117,10 +117,98 @@ case class QualityStats(child: Expression) extends UnaryExpression {
   override def prettyName: String = "quality_stats"
 }
 
+/** One-pass multi-set token counting: for each word set, how many tokens
+  * of the text (Java `split("\\s+")` segmentation, duplicates counted)
+  * are members. Replaces one `filter(tokens, isin(...))` pass PER SET —
+  * `langId` previously ran four of them (one per language marker set)
+  * over every row of the corpus.
+  */
+object TokenSetCountKernel {
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  private def segMatches(bytes: Array[Byte], from: Int, until: Int,
+      set: Array[Array[Byte]]): Boolean = {
+    val len = until - from
+    var w = 0
+    while (w < set.length) {
+      val word = set(w)
+      if (word.length == len) {
+        var i = 0
+        var ok = true
+        while (ok && i < len) { ok = bytes(from + i) == word(i); i += 1 }
+        if (ok) return true
+      }
+      w += 1
+    }
+    false
+  }
+
+  def compute(input: UTF8String,
+      sets: Array[Array[Array[Byte]]]): ArrayData = {
+    val bytes = input.getBytes
+    val n = bytes.length
+    val counts = new Array[Long](sets.length)
+    var inWs = false
+    var segStart = 0
+    def close(until: Int): Unit = if (until > segStart) {
+      var s = 0
+      while (s < sets.length) {
+        if (segMatches(bytes, segStart, until, sets(s))) counts(s) += 1
+        s += 1
+      }
+    }
+    var i = 0
+    while (i < n) {
+      if (isWs(bytes(i))) {
+        if (!inWs) { close(i); inWs = true }
+      } else if (inWs) { segStart = i; inWs = false }
+      i += 1
+    }
+    if (!inWs) close(n)
+    new GenericArrayData(counts)
+  }
+}
+
+case class TokenSetCount(child: Expression, sets: Seq[Seq[String]])
+    extends UnaryExpression {
+
+  @transient private lazy val setBytes: Array[Array[Array[Byte]]] =
+    sets.map(_.map(_.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8)).toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && sets.nonEmpty)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"token_set_count requires a string input and non-empty sets")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TokenSetCountKernel.compute(input.asInstanceOf[UTF8String], setBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setsRef = ctx.addReferenceObj("tokenSets", setBytes,
+      "byte[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenSetCountKernel.compute($c, $setsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "token_set_count"
+}
+
 object QualityFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
   /** [words, stopwords, punct, chars] of a text column in one scan. */
   def qualityStats(text: Column): Column =
     ColumnBridge.column(QualityStats(ColumnBridge.expression(text)))
+
+  /** Per-set token membership counts of a text column in one scan. */
+  def tokenSetCounts(text: Column, sets: Seq[Seq[String]]): Column =
+    ColumnBridge.column(TokenSetCount(ColumnBridge.expression(text), sets))
 }

@@ -64,10 +64,16 @@ object TextAnalysis {
     "fr" -> Seq("le", "et", "les", "est"),
     "es" -> Seq("el", "y", "los", "es"))
 
+  /** Marker counts come from the one-pass [[graft.functions
+    * .TokenSetCountKernel]] (four `filter(tokens, isin(...))` passes →
+    * one byte scan); the argmax chain is unchanged, so the DuckDB
+    * `langExprSql` fragment keeps gating it.
+    */
   def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scores = langMarkers.map { case (lang, markers) =>
-      lang -> size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
+    val counts = graft.functions.QualityFunctions.tokenSetCounts(
+      text, langMarkers.map(_._2))
+    val scores = langMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(counts, i + 1)
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und"): Column) { case ((lang, s), els) =>

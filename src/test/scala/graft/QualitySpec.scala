@@ -61,6 +61,39 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     assert(both.count() > 0)
   }
 
+  test("langId kernel equals the filter-isin formulation everywhere") {
+    // the pre-kernel formulation, verbatim
+    def regexLang(text: org.apache.spark.sql.Column) = {
+      val toks = TextAnalysis.tokens(text)
+      val scores = TextAnalysis.langMarkers.map { case (lang, markers) =>
+        lang -> size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
+      }
+      val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+      scores.foldRight(lit("und"): org.apache.spark.sql.Column) {
+        case ((lang, s), els) => when(s === best && best > 0, lit(lang))
+          .otherwise(els)
+      }
+    }
+    val cases = Seq("", " ", "the cat", "der hund ist", "le chat et",
+      "el gato y los", "xyz qqq", "the und", "is ist est es",
+      "  der  ", "und") ++ {
+      val rnd = new scala.util.Random(11)
+      val vocab = Seq("the", "of", "und", "der", "le", "el", "es", "is",
+        "xx", "y", "et", "", " ", "\t")
+      (0 until 300).map(_ =>
+        (0 until rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(vocab.length)))
+          .mkString(" "))
+    }
+    val df = cases.toDF("t").select(
+      TextAnalysis.langId($"t").as("kernel"), regexLang($"t").as("regex"))
+    assert(df.where($"kernel" =!= $"regex").count() === 0)
+    // corpus too
+    val docs = Tables.documents(spark, sf).select(
+      TextAnalysis.langId($"text").as("kernel"),
+      regexLang($"text").as("regex"))
+    assert(docs.where($"kernel" =!= $"regex").count() === 0)
+  }
+
   test("kernel score matches on seeded-random byte soup") {
     val rnd = new scala.util.Random(7)
     val alphabet = "ab the of!,.\t\n  é中0123"
