@@ -201,6 +201,65 @@ case class TokenSetCount(child: Expression, sets: Seq[Seq[String]])
   override def prettyName: String = "token_set_count"
 }
 
+/** One-pass BPE-ish pre-token count — the L10 token-budget operator.
+  *
+  * Counts matches of `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` (letter runs +
+  * digit runs + every other non-whitespace codepoint, Java alternation
+  * semantics) without `regexp_extract_all`'s per-row array of every
+  * match — counting a 100 TB corpus's token budget should not allocate
+  * the tokens.
+  */
+object BpeCountKernel {
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+  private def isLetter(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')
+  private def isDigit(b: Byte): Boolean = b >= '0' && b <= '9'
+
+  def compute(input: UTF8String): Long = {
+    val bytes = input.getBytes
+    val n = bytes.length
+    var count = 0L
+    var state = 0 // 0 = none/ws/symbol, 1 = in letter run, 2 = in digit run
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if ((b & 0xC0) != 0x80) { // skip continuation bytes entirely
+        if (isLetter(b)) { if (state != 1) { count += 1; state = 1 } }
+        else if (isDigit(b)) { if (state != 2) { count += 1; state = 2 } }
+        else {
+          state = 0
+          if (!isWs(b)) count += 1 // symbol or non-ASCII codepoint: 1 each
+        }
+      }
+      i += 1
+    }
+    count
+  }
+}
+
+case class BpeCount(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_count requires a string input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    BpeCountKernel.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeCountKernel.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "bpe_count"
+}
+
 object QualityFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -211,4 +270,8 @@ object QualityFunctions {
   /** Per-set token membership counts of a text column in one scan. */
   def tokenSetCounts(text: Column, sets: Seq[Seq[String]]): Column =
     ColumnBridge.column(TokenSetCount(ColumnBridge.expression(text), sets))
+
+  /** BPE-ish pre-token count in one scan, no match array. */
+  def bpeCount(text: Column): Column =
+    ColumnBridge.column(BpeCount(ColumnBridge.expression(text)))
 }

@@ -22,8 +22,14 @@ object TextAnalysis {
     * lookahead tricks regexp engines disagree on).
     */
   val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  /** Counted by the one-pass [[graft.functions.BpeCountKernel]] — the
+    * `regexp_extract_all` formulation materialized an array of every
+    * match per row just to take its size; QualitySpec pins the kernel
+    * against the regex on adversarial inputs, so the oracle fragment
+    * (`len(regexp_extract_all(...))`) is unchanged.
+    */
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
+    graft.functions.QualityFunctions.bpeCount(text)
 
   /** A tiny, deterministic English-stopword set (present in the synthetic
     * vocab as well as real text).

@@ -94,6 +94,27 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     assert(docs.where($"kernel" =!= $"regex").count() === 0)
   }
 
+  test("bpe count kernel equals the regexp_extract_all formulation") {
+    def regexBpe(text: org.apache.spark.sql.Column) =
+      size(regexp_extract_all(text, lit(TextAnalysis.bpeTokenPattern), lit(0)))
+        .cast("long")
+    val cases = Seq("", " ", "abc", "a1b", "ab cd", "hello, world!",
+      "1234 5678", "a!b?c", "abécd", "中文abc123", "  !  ",
+      "CamelCase mixedUP 42x7", "...", "\t\n") ++ {
+      val rnd = new scala.util.Random(13)
+      val alphabet = "aB3 ,.!é中\t"
+      (0 until 300).map(_ => (0 until rnd.nextInt(40))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val df = cases.toDF("t").select(
+      TextAnalysis.bpeTokenCount($"t").as("kernel"), regexBpe($"t").as("re"))
+    assert(df.where($"kernel" =!= $"re").count() === 0)
+    val docs = Tables.documents(spark, sf).select(
+      TextAnalysis.bpeTokenCount($"text").as("kernel"),
+      regexBpe($"text").as("re"))
+    assert(docs.where($"kernel" =!= $"re").count() === 0)
+  }
+
   test("kernel score matches on seeded-random byte soup") {
     val rnd = new scala.util.Random(7)
     val alphabet = "ab the of!,.\t\n  é中0123"

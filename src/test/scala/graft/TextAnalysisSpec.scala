@@ -13,7 +13,7 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
   test("word and BPE-ish token counting") {
     assert(one(TextAnalysis.wordCount($"text"), "a b  c").getInt(0) === 3)
     // letters run + digits run + 2 symbols + letters run = 5
-    assert(one(TextAnalysis.bpeTokenCount($"text"), "ab12, (cd").getInt(0) === 5)
+    assert(one(TextAnalysis.bpeTokenCount($"text"), "ab12, (cd").getLong(0) === 5L)
   }
 
   test("normalize lowers, strips punctuation, collapses whitespace") {
