@@ -52,6 +52,21 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("kernels compile under CODEGEN_ONLY — no silent interpreted fallback") {
+    // a doGenCode bug would not fail any correctness test (Spark falls
+    // back to interpreted eval) — it would just quietly lose the perf the
+    // kernels exist for; CODEGEN_ONLY turns that fallback into an error
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val out = Seq("the a b!", "der und é 中", "", "  ").toDF("t").select(
+        TextAnalysis.qualityScore($"t").as("q"),
+        TextAnalysis.langId($"t").as("l"),
+        TextAnalysis.bpeTokenCount($"t").as("b"),
+        graft.operators.Dedup.shingles($"t", 3).as("s"))
+      assert(out.collect().length === 4)
+    } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
   test("kernel score is bit-identical to the regex score on the corpus") {
     val docs = Tables.documents(spark, sf)
     val both = docs.select(
