@@ -66,7 +66,10 @@ object Bench {
     val cold =
       if (coldEnabled) names.map { n =>
         val ts = (1 to coldReps).map(_ => timeOne(n, reset = true)).sorted
-        n -> ts(ts.length / 2)
+        // true median: average the two middle elements for even rep counts
+        // (upper-middle alone biases high for reps=4)
+        val mid = ts.length / 2
+        n -> (if (ts.length % 2 == 1) ts(mid) else (ts(mid - 1) + ts(mid)) / 2)
       }
       else Nil
     val total = inRun.map(_._2).sum

@@ -36,12 +36,18 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   * `orderCols` totally orders each stratum, so the DuckDB ntile window
   * doubles as this operator's oracle.
   *
-  * The few-large-strata premise is ENFORCED, not assumed: an
-  * `approx_count_distinct` probe routes high-cardinality strata
-  * (> `maxStrata`) to the plain window formulation — which is the right
-  * plan for that shape anyway (many strata parallelize across window
-  * tasks; the two-level machinery would instead collect
-  * O(partitions × strata) offset rows to the driver).
+  * The few-large-strata premise is ENFORCED, not assumed: the counts
+  * collect in step 3 is bounded at `maxStrata + shuffle.partitions` rows
+  * (range partitioning puts each stratum in contiguous partitions, so the
+  * (partition, stratum) pair count is ≤ strata + partitions − 1 — the cap
+  * trips exactly when distinct strata exceed `maxStrata`). Past the cap,
+  * high-cardinality strata route to the plain window formulation, which is
+  * the right plan for that shape anyway (many strata parallelize across
+  * window tasks; the two-level machinery would instead collect unbounded
+  * offset rows to the driver). The guard rides on the collect the operator
+  * needs anyway — no separate cardinality probe executing the upstream
+  * pipeline once extra (the r7 version ran an `approx_count_distinct`
+  * pre-pass per call).
   */
 object Banding {
 
@@ -55,22 +61,6 @@ object Banding {
       s"ntileByStratum: input columns collide with internal/output names: " +
         s"${clash.mkString(", ")} — rename them or pass a different `out`")
     val spark = df.sparkSession
-    // cardinality guard enforcing the few-large-strata premise: the driver
-    // offset collect is O(shuffle.partitions × strata), so MANY strata
-    // would silently turn an AQE-statistic-sized collect into real driver
-    // traffic. But many strata is exactly the regime where the plain
-    // window formulation is already parallel (one modest sort per stratum,
-    // strata spread across tasks) — so above the bound, take that path:
-    // same result, right plan for that shape. One approx_count_distinct
-    // probe (narrow agg) decides, the same runtime-statistic pattern as
-    // BloomPrune's sizing.
-    val approxStrata = df.agg(
-      approx_count_distinct(col(stratumCol)).as("d")).head().getLong(0)
-    if (approxStrata > maxStrata) {
-      val w = Window.partitionBy(col(stratumCol))
-        .orderBy(orderCols.map(col(_).asc): _*)
-      return df.withColumn(out, ntile(buckets).over(w).cast("long"))
-    }
     val rangeKeys = (stratumCol +: orderCols).map(col)
     val ranged = df.repartitionByRange(rangeKeys: _*)
       .withColumn("_pid", spark_partition_id())
@@ -85,9 +75,27 @@ object Banding {
       .withColumn("_lrn", row_number().over(wLocal).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one scalar per (partition, stratum) — strata are few (guarded), so
-    // this is O(shuffle.partitions × strata) rows of driver traffic
+    // this is AQE-statistic-sized driver traffic. The cardinality guard
+    // rides ON this collect: range partitioning by (stratum, keys) keeps
+    // each stratum in contiguous partitions, so (pid, stratum) pairs ≤
+    // strata + partitions − 1 — a LIMIT of maxStrata + partitions bounds
+    // the collect AND trips exactly when distinct strata exceed maxStrata.
+    // The guard reuses the pass the operator needs anyway instead of a
+    // separate approx_count_distinct pre-pass that executed the whole
+    // upstream pipeline once extra per call (r7 shape).
+    val collectCap =
+      maxStrata + spark.sessionState.conf.numShufflePartitions
     val counts = local.groupBy(col("_pid"), col(stratumCol))
-      .agg(count(lit(1)).as("c")).collect()
+      .agg(count(lit(1)).as("c")).limit(collectCap + 1).collect()
+    if (counts.length > collectCap) {
+      // too many strata for driver-side offsets; the range shuffle above
+      // is sunk cost on this rare path — return the lazy window plan over
+      // the original frame and release the intermediate
+      local.unpersist(false)
+      val w = Window.partitionBy(col(stratumCol))
+        .orderBy(orderCols.map(col(_).asc): _*)
+      return df.withColumn(out, ntile(buckets).over(w).cast("long"))
+    }
     val offRows = counts.groupBy(_.get(1)).toSeq.flatMap { case (st, rows) =>
       // range partitioning makes ascending pid = ascending global order
       val sorted = rows.sortBy(_.getInt(0))

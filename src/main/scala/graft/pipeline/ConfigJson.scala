@@ -76,8 +76,17 @@ object ConfigJson {
             textCol = str(f \ "column").get,
             idCol = str(f \ "id").get,
             buckets = int(f \ "buckets").getOrElse(4),
+            // `keep` decides which rows survive — a typo'd or missing value
+            // must fail loudly, never default to "keep nothing"
             keepBands = (f \ "keep") match {
-              case JArray(bs) => bs.flatMap(int); case _ => Nil
+              case JArray(bs) if bs.nonEmpty =>
+                val bands = bs.flatMap(int)
+                if (bands.length != bs.length)
+                  throw new IllegalArgumentException(
+                    "config: quality_bands.keep must contain only integers")
+                bands
+              case _ => throw new IllegalArgumentException(
+                "config: quality_bands.keep must be a non-empty array of band numbers")
             })
           case other =>
             throw new IllegalArgumentException(s"config: unknown filter '$other'")

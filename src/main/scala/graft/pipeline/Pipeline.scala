@@ -155,12 +155,14 @@ object Pipeline {
         case RedactPii(c) =>
           df.withColumn(c, graft.operators.TextAnalysis.redactPii(col(c)))
         case SourceQuota(key, textCol, idCol, k) =>
+          requireNoInternalCols(df, "source_quota")
           val scored = df.withColumn("_gq_score",
             graft.operators.TextAnalysis.qualityScore(col(textCol)))
           graft.plans.TopKPerKey.topK(scored, keys = Seq(key),
               order = Seq("_gq_score" -> "desc", idCol -> "asc"), k = k)
             .drop("_gq_score")
         case QualityBandKeep(stratum, textCol, idCol, buckets, keep) =>
+          requireNoInternalCols(df, "quality_bands")
           val scored = df.withColumn("_gq_score",
             graft.operators.TextAnalysis.qualityScore(col(textCol)))
           graft.operators.Banding.ntileByStratum(scored, stratum,
@@ -198,6 +200,17 @@ object Pipeline {
       case _ => transformed
     }
   }
+
+  /** The scoring steps inject `_gq_score`/`_gq_band` working columns; an
+    * input that already carries one would be silently overwritten and then
+    * dropped — corrupting user data. Reject the collision up front (same
+    * stance as `Banding.ntileByStratum` takes for its own internals).
+    */
+  private def requireNoInternalCols(df: DataFrame, step: String): Unit =
+    Seq("_gq_score", "_gq_band").foreach { c =>
+      require(!df.columns.contains(c),
+        s"config: $step cannot run on an input that already has a '$c' column")
+    }
 
   /** Bucket expression for a partitioning config — dispatched by type name
     * (`Partitioning.java:16-30`). "timestamp": timestamp column or long
