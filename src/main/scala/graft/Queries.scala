@@ -1123,6 +1123,60 @@ object Queries {
          WHERE q.vec_id < 50)
        WHERE rn = 1 ORDER BY vec_id"""
 
+  /** kNN label propagation through the IVF candidate path — the
+    * large-unlabeled-set regime `knn_label` (the brute baseline above)
+    * doesn't demonstrate: candidates come from the `cell` equi-join, not
+    * a corpus×query crossJoin, so the query side may be corpus-sized. The
+    * deterministic index build (16 lowest-id labeled vectors as seeds)
+    * makes the whole algorithm — assignment argmax, probe choice, in-cell
+    * argmax — replayable as SQL, like `ann_ivf`. Same output contract as
+    * `knn_label`; rows where every probed cell is empty drop, which is
+    * the IVF recall contract and replays identically in the oracle.
+    */
+  def knnLabelIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val q = e.where(col("vec_id") < 50)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val c = e.where(col("vec_id") >= 50)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("label").cast("long").as("label"))
+    IvfIndex.knnLabel(q, c, "label", nCells = 16, nprobe = 4)
+      .withColumnRenamed("query_id", "vec_id")
+      .orderBy(col("vec_id"))
+  }
+
+  val knnLabelIvfSql: String =
+    s"""WITH cent AS (
+         SELECT vec_id AS cell, embedding AS c_vec FROM embeddings
+         WHERE vec_id >= 50 ORDER BY vec_id LIMIT 16),
+       assign AS (
+         SELECT vec_id, embedding, label, cell FROM (
+           SELECT e.vec_id, e.embedding, e.label, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ${cosSql("e.embedding", "c.c_vec")} DESC, c.cell)
+               AS rn
+           FROM embeddings e CROSS JOIN cent c WHERE e.vec_id >= 50)
+         WHERE rn = 1),
+       probes AS (
+         SELECT query_id, q_vec, cell FROM (
+           SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.cell,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY ${cosSql("q.embedding", "c.c_vec")} DESC, c.cell)
+               AS rn
+           FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 50)
+         WHERE rn <= 4),
+       cand AS (
+         SELECT p.query_id AS vec_id, a.vec_id AS neighbor_id,
+           ${cosSql("p.q_vec", "a.embedding")} AS cos,
+           CAST(a.label AS BIGINT) AS pred_label
+         FROM probes p JOIN assign a ON p.cell = a.cell)
+       SELECT vec_id, neighbor_id, cos, pred_label FROM (
+         SELECT vec_id, neighbor_id, cos, pred_label,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY cos DESC, neighbor_id) AS rn
+         FROM cand)
+       WHERE rn = 1 ORDER BY vec_id"""
+
   /** Semi-structured JSON column handling: schema'd `from_json` extraction
     * of the events `props` payload inside the aggregation pipeline — the
     * "logs carry a JSON blob" shape. The parse is a narrow map fused into

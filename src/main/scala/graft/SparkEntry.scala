@@ -95,6 +95,7 @@ object SparkEntry {
     "ann_topk_lsh" -> (Queries.annTopkLsh _),
     "ann_ivf" -> (Queries.annIvf _),
     "knn_label" -> (Queries.knnLabel _),
+    "knn_label_ivf" -> (Queries.knnLabelIvf _),
     // corpus curation (incremental dedup, compaction, sampling, chunking)
     "dedup_incremental" -> (Queries.dedupIncremental _),
     "dedup_incremental_stream" -> (Queries.dedupIncrementalStream _),
@@ -142,6 +143,7 @@ object SparkEntry {
     "dedup_simhash" -> Queries.dedupSimhashSql,
     "ann_ivf" -> Queries.annIvfSql,
     "knn_label" -> Queries.knnLabelSql,
+    "knn_label_ivf" -> Queries.knnLabelIvfSql,
     "etl_map_only" -> Queries.etlMapOnlySql,
     "etl_cast_rename" -> Queries.etlCastRenameSql,
     "partition_hour_ts" -> Queries.partitionHourTsSql,

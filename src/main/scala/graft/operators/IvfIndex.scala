@@ -79,14 +79,14 @@ object IvfIndex {
     cent
   }
 
-  /** Top-k neighbors searching only each query's `nprobe` best cells. */
-  def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nCells: Int, nprobe: Int): DataFrame = {
+  /** Each query's `nprobe` max-affinity cells (ties → lowest cell id).
+    * Centroids broadcast; the per-query top-nprobe is a window over the
+    * ×nCells affinity frame — nCells is small by construction, so each
+    * query contributes nCells rows and the window partitions are tiny.
+    */
+  private def probeCells(queries: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centroids = seedCentroids(corpus, nCells)
-    val indexed = assign(corpus, centroids)
-
-    // query → its nprobe closest cells
     val qCells = queries.select(col("id").as("query_id"), col("vec").as("q_vec"))
       .crossJoin(broadcast(centroids.select(
         col("id").as("cell"), col("vec").as("c_vec"))))
@@ -94,9 +94,80 @@ object IvfIndex {
         Similarity.cosine(col("q_vec"), col("c_vec")).as("aff"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("aff").desc, col("cell").asc)
-    val probes = qCells.withColumn("rn", row_number().over(wq))
+    qCells.withColumn("rn", row_number().over(wq))
       .where(col("rn") <= nprobe)
       .select(col("query_id"), col("q_vec"), col("cell"))
+  }
+
+  /** kNN label propagation at corpus scale: each query row takes the
+    * `labelCol` of its max-cosine neighbor (ties → lowest neighbor id)
+    * among its IVF cell candidates. This is the large-unlabeled-set
+    * regime: unlike a broadcast-query crossJoin (only viable when the
+    * query set is tiny), candidates come from a `cell` equi-join, so BOTH
+    * sides may be corpus-sized.
+    *
+    * The centroid set is collected and inlined as literal vectors
+    * (nCells × dims scalars — AQE-statistic-sized driver traffic by the
+    * IVF premise), so cell assignment and probe selection are narrow
+    * codegen'd projections: no centroid join at all, and — unlike the
+    * window formulation in `annTopK` — no per-query shuffle to pick probe
+    * cells. The whole plan is: two narrow scans → one equi-join on `cell`
+    * → bounded-heap TopKPerKey argmax, where each map partition emits at
+    * most one row per query into the final exchange, never corpus×query
+    * scores.
+    *
+    * Tie semantics replicate `assign`/`probeCells` exactly: assignment is
+    * max affinity with ties to the lowest cell (struct-max over
+    * (aff, -cell)); probes sort (-aff, cell) ascending = affinity
+    * descending, cell ascending.
+    *
+    * Returns (query_id, neighbor_id, cos, pred_label). A query whose
+    * probed cells are all empty gets no row — labeling recall is the
+    * probe recall, exactly the IVF contract.
+    */
+  def knnLabel(queries: DataFrame, labeled: DataFrame, labelCol: String,
+      nCells: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val centroids = seedCentroids(labeled, nCells)
+    val isFloat = centroids.schema("vec").dataType
+      .asInstanceOf[ArrayType].elementType == FloatType
+    val cents: Array[(Long, Column)] = centroids.collect().map { r =>
+      val vec: Column =
+        if (isFloat) lit(r.getSeq[Float](1).toArray)
+        else lit(r.getSeq[Double](1).toArray)
+      (r.getLong(0), vec)
+    }
+    // assignment: max (aff, -cell) struct = max affinity, ties → LOWEST cell
+    val cellOf = -array_max(array(cents.map { case (cellId, cv) =>
+      struct(Similarity.cosine(col("vec"), cv).as("aff"),
+        lit(-cellId).as("nc"))
+    }: _*)).getField("nc")
+    val indexed = labeled.select(col("id"), col("vec"), col(labelCol),
+      cellOf.as("cell"))
+    // probes: sort (-aff, cell) ascending, take the first nprobe cells
+    val probeArr = transform(
+      slice(array_sort(array(cents.map { case (cellId, cv) =>
+        struct((-Similarity.cosine(col("vec"), cv)).as("na"),
+          lit(cellId).as("cell"))
+      }: _*)), 1, nprobe),
+      s => s.getField("cell"))
+    val probes = queries.select(col("id").as("query_id"),
+      col("vec").as("q_vec"), explode(probeArr).as("cell"))
+    val scored = probes.join(indexed, "cell")
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        Similarity.cosine(col("q_vec"), col("vec")).as("cos"),
+        col(labelCol).as("pred_label"))
+    graft.plans.TopKPerKey.topK(scored, keys = Seq("query_id"),
+      order = Seq("cos" -> "desc", "neighbor_id" -> "asc"), k = 1)
+  }
+
+  /** Top-k neighbors searching only each query's `nprobe` best cells. */
+  def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = seedCentroids(corpus, nCells)
+    val indexed = assign(corpus, centroids)
+    val probes = probeCells(queries, centroids, nprobe)
 
     val cand = probes.join(indexed, "cell")
       .where(col("query_id") =!= col("id"))

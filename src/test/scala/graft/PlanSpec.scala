@@ -81,6 +81,19 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("knn_label_ivf scores candidates through the cell equi-join, " +
+      "never a corpus x query nested loop") {
+    val df = Queries.knnLabelIvf(spark, sf)
+    df.collect()
+    val plan = physical(df)
+    // the brute-force twin (knn_label) is a BroadcastNestedLoopJoin by
+    // design; the IVF path must instead join probes to indexed cells on
+    // the `cell` key (hash-joinable) and argmax through TopKPerKey
+    assert(!plan.contains("BroadcastNestedLoop"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("TopKPerKey"), plan.take(3000))
+  }
+
   test("tfidf_topterms takes the bounded-heap TopKPerKeyExec path") {
     val df = Queries.tfidfTopterms(spark, sf)
     df.collect()
