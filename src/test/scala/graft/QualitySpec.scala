@@ -39,7 +39,7 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     val cases = Seq(
       "", " ", "  ", "a", " a", "a ", " a ", "the", " the\tof  and\n",
       "a b", "hello, world!", "the quick brown fox", "of", "xof", "ofx",
-      "tab\tsep\nnewline\rcrvt\fff", "!!!", "a!b?c.d",
+      "tab\tsep\nnewline\rcr\u000Bvt\fff", "!!!", "a!b?c.d",
       "café résumé", " nbsp", "emoji 😀 end",
       "中文 text the", "1 2 3 the a of", "trailing space the ",
       "    leading the", "is", "is is is is", "punct,,,,;;;;")
@@ -76,19 +76,24 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     assert(both.count() > 0)
   }
 
-  test("langId kernel equals the filter-isin formulation everywhere") {
-    // the pre-kernel formulation, verbatim
-    def regexLang(text: org.apache.spark.sql.Column) = {
-      val toks = TextAnalysis.tokens(text)
-      val scores = TextAnalysis.langMarkers.map { case (lang, markers) =>
-        lang -> size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
-      }
-      val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-      scores.foldRight(lit("und"): org.apache.spark.sql.Column) {
-        case ((lang, s), els) => when(s === best && best > 0, lit(lang))
-          .otherwise(els)
-      }
+  // the pre-kernel langId formulation, verbatim
+  private def regexLang(text: org.apache.spark.sql.Column) = {
+    val toks = TextAnalysis.tokens(text)
+    val scores = TextAnalysis.langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
     }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): org.apache.spark.sql.Column) {
+      case ((lang, s), els) => when(s === best && best > 0, lit(lang))
+        .otherwise(els)
+    }
+  }
+
+  private def regexBpe(text: org.apache.spark.sql.Column) =
+    size(regexp_extract_all(text, lit(TextAnalysis.bpeTokenPattern), lit(0)))
+      .cast("long")
+
+  test("langId kernel equals the filter-isin formulation everywhere") {
     val cases = Seq("", " ", "the cat", "der hund ist", "le chat et",
       "el gato y los", "xyz qqq", "the und", "is ist est es",
       "  der  ", "und") ++ {
@@ -110,9 +115,6 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
   }
 
   test("bpe count kernel equals the regexp_extract_all formulation") {
-    def regexBpe(text: org.apache.spark.sql.Column) =
-      size(regexp_extract_all(text, lit(TextAnalysis.bpeTokenPattern), lit(0)))
-        .cast("long")
     val cases = Seq("", " ", "abc", "a1b", "ab cd", "hello, world!",
       "1234 5678", "a!b?c", "abécd", "中文abc123", "  !  ",
       "CamelCase mixedUP 42x7", "...", "\t\n") ++ {
@@ -128,6 +130,56 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
       TextAnalysis.bpeTokenCount($"text").as("kernel"),
       regexBpe($"text").as("re"))
     assert(docs.where($"kernel" =!= $"re").count() === 0)
+  }
+
+  test("all three byte-scan kernels survive a UTF-8 edge-case fuzz " +
+      "bit-identical to their regex formulations") {
+    // the byte-scan kernels walk raw UTF-8; the classes of input that can
+    // break a byte walk are exactly these — multi-byte boundaries (2/3/4
+    // byte sequences), supplementary-plane codepoints (surrogate PAIRS in
+    // the JVM string, single 4-byte sequences on the wire), every
+    // java-regex \s member (incl. 0x0B vertical tab and 0x0C form feed,
+    // which are NOT in " \t\n\r"), CR/LF mixes straddling token edges,
+    // zero-width/BOM codepoints (non-ASCII, non-space), and NUL
+    val edges = Seq(
+      "", " ", "\u000B", "\u000C", "\u000B\u000C", "a\u000Bb", "a\u000Cthe",
+      "\r", "\n", "\r\n", "\n\r", "\r\nthe\r\nof\r", "a\rb\nc\r\nd",
+      "😀", "😀😀", "a😀b", "the😀of", "😀 the 😀", "𝄞clef", "🀄中é",
+      "\u200Bthe", "the\u200B", "\uFEFFthe of", "a\u0000b", "\u0000",
+      "é\u000Bé", "中\u000C中", "the\u000Bof\u000Cund der",
+      " \u000B \u000C \r \n \t ", "😀!,.😀", "ab\u00ADcd")
+    val rnd = new scala.util.Random(17)
+    // token pool mixes 1/2/3/4-byte UTF-8, markers, digits, punctuation,
+    // and every whitespace class; concatenation is sometimes glued (no
+    // separator) so multi-byte sequences land adjacent to token edges
+    val pool = Vector("the", "of", "und", "der", "le", "el", "es", "is",
+      "a", "b", "x", "0", "42", "!", ",", ".", "?", ";", "é", "ß", "中",
+      "文", "😀", "🜁", "𝄞", "\u000B", "\u000C", "\r", "\n", "\r\n", "\t",
+      " ", "  ", "\u200B", "\uFEFF")
+    val fuzz = (0 until 700).map { _ =>
+      val n = rnd.nextInt(16)
+      (0 until n).map(_ => pool(rnd.nextInt(pool.length)))
+        .mkString(if (rnd.nextBoolean()) " " else "")
+    }
+    val df = (edges ++ fuzz).toDF("t").select(
+      col("t") +: (statCols(col("t")) ++ Seq(
+        TextAnalysis.qualityScore($"t").as("q_k"),
+        regexScore($"t").as("q_re"),
+        TextAnalysis.langId($"t").as("l_k"), regexLang($"t").as("l_re"),
+        TextAnalysis.bpeTokenCount($"t").as("b_k"),
+        regexBpe($"t").as("b_re"))): _*)
+    df.collect().foreach { r =>
+      val t = r.getString(0)
+      val show = t.take(24).flatMap(c =>
+        if (c < ' ' || c >= 0xD800) f"\\u$c%04X" else s"$c")
+      assert(r.getLong(1) === r.getLong(5), s"words for '$show'")
+      assert(r.getLong(2) === r.getLong(6), s"stopwords for '$show'")
+      assert(r.getLong(3) === r.getLong(7), s"punct for '$show'")
+      assert(r.getLong(4) === r.getLong(8), s"chars for '$show'")
+      assert(r.getDouble(9) === r.getDouble(10), s"score for '$show'")
+      assert(r.getString(11) === r.getString(12), s"lang for '$show'")
+      assert(r.getLong(13) === r.getLong(14), s"bpe for '$show'")
+    }
   }
 
   test("kernel score matches on seeded-random byte soup") {
