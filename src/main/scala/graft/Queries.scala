@@ -251,6 +251,65 @@ object Queries {
             FROM lineitem WHERE l_quantity > 25))
        ORDER BY metric"""
 
+  /** Registered retry surface (R10): a deterministic attempt-keyed fault —
+    * on attempt 0 the output column routes through `raise_error`, so the
+    * first action always fails — exercised under `TaskReport.withRetry(2)`,
+    * the Spark-native face of the reference's `retry_tasks`
+    * (`MapReduceExecutorTask.java:48`). The retry re-plans with the
+    * attempt number as a literal, so attempt 1's plan contains no fault
+    * branch at all and succeeds. The report pins the retry counters and
+    * the successful attempt's observed output (recomputable from the
+    * data). Listener-side failed-task evidence is reported as a
+    * saturating flag (≥ 1 failed task attempt recorded): the exact failed
+    * count depends on how many concurrent tasks were in flight when the
+    * stage aborted — scheduling, not semantics.
+    */
+  def taskReportRetry(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Observation
+    val report = graft.pipeline.TaskReport.attach(s)
+    var obs: Observation = null
+    val (_, attempts) = graft.pipeline.TaskReport.withRetry(2) { attempt =>
+      obs = Observation()
+      val qty = dec2(col("l_quantity")).cast("double")
+      val out = lineitem(s, dir).where(col("l_quantity") > 45)
+        .observe(obs, count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+        .select(col("l_orderkey"),
+          (if (attempt == 0)
+             raise_error(lit("graft: injected attempt-0 fault")).cast("double")
+           else qty).as("qty"))
+      out.write.format("noop").mode("overwrite").save()
+    }
+    // the aborted job's TaskEnd events arrive on the async listener bus —
+    // poll for the guaranteed (>= 1) failed-task record
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (report.failedTasks < 1 && System.nanoTime() < deadline)
+      Thread.sleep(20)
+    import s.implicits._
+    Seq(
+      ("attempts", attempts.toDouble),
+      ("failed_attempts", (attempts - 1).toDouble),
+      ("failed_task_attempts_recorded",
+        math.min(report.failedTasks, 1).toDouble),
+      ("records_out",
+        Option(obs.get("n")).map(_.asInstanceOf[Long].toDouble).getOrElse(0.0)),
+      ("sum_qty_out",
+        Option(obs.get("sum_qty")).map(_.asInstanceOf[Double]).getOrElse(0.0)))
+      .toDF("metric", "value").orderBy(col("metric"))
+  }
+
+  val taskReportRetrySql: String =
+    """SELECT metric, value FROM (
+         SELECT 'attempts' AS metric, 2.0 AS value
+         UNION ALL SELECT 'failed_attempts', 1.0
+         UNION ALL SELECT 'failed_task_attempts_recorded', 1.0
+         UNION ALL SELECT 'records_out',
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity > 45) AS DOUBLE)
+         UNION ALL SELECT 'sum_qty_out',
+           (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            FROM lineitem WHERE l_quantity > 45))
+       ORDER BY metric"""
+
   // --------------------------------------------- R14 config pipeline ----
 
   def pipelineConfigRun(s: SparkSession, dir: String): DataFrame = {

@@ -41,6 +41,7 @@ object SparkEntry {
     "partition_skew_split" -> (Queries.partitionSkewSplit _),
     // R9 task report (rows-only)
     "task_report" -> (Queries.taskReport _),
+    "task_report_retry" -> (Queries.taskReportRetry _),
     // R11 invalid-record policy
     "invalid_record_drop" -> (Queries.invalidRecordDrop _),
     "invalid_record_permissive" -> (Queries.invalidRecordPermissive _),
@@ -139,6 +140,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "task_report" -> Queries.taskReportSql,
+    "task_report_retry" -> Queries.taskReportRetrySql,
     "approx_distinct_users" -> Queries.approxDistinctUsersSql,
     "dedup_simhash" -> Queries.dedupSimhashSql,
     "ann_ivf" -> Queries.annIvfSql,

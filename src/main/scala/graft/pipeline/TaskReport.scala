@@ -62,4 +62,29 @@ object TaskReport {
     spark.sparkContext.addSparkListener(r)
     r
   }
+
+  /** Bounded action-level retry — the Spark-native surface of the
+    * reference's `retry_tasks` knob (`MapReduceExecutorTask.java:48`,
+    * recorded per attempt by `AttemptState.java`): Spark's scheduler
+    * already owns TASK-attempt retry inside a job
+    * (`spark.task.maxFailures`); what the reference additionally surfaces
+    * is bounded re-execution of the failed work unit with the attempt
+    * number visible to the run. `body` receives the zero-based attempt
+    * number and is re-invoked (re-planning the query — a fresh plan, not
+    * a replay of a cached failed stage) until it succeeds or `maxAttempts`
+    * is exhausted, in which case the last failure propagates. Returns
+    * (result, attempts used).
+    */
+  def withRetry[T](maxAttempts: Int)(body: Int => T): (T, Int) = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var attempt = 0
+    while (true) {
+      try return (body(attempt), attempt + 1)
+      catch {
+        case scala.util.control.NonFatal(_) if attempt + 1 < maxAttempts =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 }

@@ -242,4 +242,28 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(stages.nonEmpty)
     assert(stages.map(_.getAs[Long]("records_read")).sum > 0)
   }
+
+  test("withRetry surfaces the attempt number, bounds attempts, rethrows " +
+      "when exhausted (retry_tasks surface)") {
+    // succeeds on the second attempt: body sees 0 then 1
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val (v, attempts) = TaskReport.withRetry(3) { a =>
+      seen += a
+      if (a == 0) throw new RuntimeException("transient")
+      "ok"
+    }
+    assert(v === "ok" && attempts === 2 && seen.toSeq === Seq(0, 1))
+    // exhausted: the final failure propagates after exactly maxAttempts
+    val tries = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val e = intercept[RuntimeException] {
+      TaskReport.withRetry(2) { a => tries += a; throw new RuntimeException(s"boom$a") }
+    }
+    assert(e.getMessage === "boom1" && tries.toSeq === Seq(0, 1))
+    // fatal errors are not retried
+    val fatalTries = scala.collection.mutable.ArrayBuffer.empty[Int]
+    intercept[OutOfMemoryError] {
+      TaskReport.withRetry(3) { a => fatalTries += a; throw new OutOfMemoryError("x") }
+    }
+    assert(fatalTries.toSeq === Seq(0))
+  }
 }
