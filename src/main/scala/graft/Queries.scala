@@ -367,6 +367,42 @@ object Queries {
        CAST(${sqlDec2("o_totalprice")} AS DOUBLE) AS total
        FROM orders WHERE o_totalprice > 100000.0 ORDER BY order_id"""
 
+  /** Composite (time, column) partitioned layout from JSON — the commonest
+    * curation output layout (day + status/source directories). The config
+    * declares `type: composite` with a `second_column`; `Pipeline.run`
+    * shuffles ONCE on the full compound key and `partitionBy`s both
+    * levels, so each leaf directory's rows co-locate in one reducer task.
+    * The query reads the layout back and aggregates per leaf, so the
+    * oracle gates the bucket arithmetic AND that every row landed in its
+    * correct (bucket, status) directory.
+    */
+  def pipelineConfigComposite(s: SparkSession, dir: String): DataFrame = {
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft_cfg_comp_").toString
+    val json = s"""{
+      "in": {"path": "$dir/orders.parquet"},
+      "filters": [
+        {"type": "where", "predicate": "o_totalprice > 150000.0"}
+      ],
+      "partitioning": {"type": "composite", "column": "o_orderdate",
+        "unit": "day", "second_column": "o_orderstatus"},
+      "reducers": 8
+    }"""
+    Pipeline.run(s, ConfigJson.parse(json), outDir)
+    s.read.parquet(outDir)
+      .groupBy(col("bucket").cast("long").as("bucket"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("sum_total"))
+      .orderBy(col("bucket"), col("o_orderstatus"))
+  }
+
+  val pipelineConfigCompositeSql: String =
+    """SELECT epoch_us(o_orderdate) // 86400000000 AS bucket, o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+       FROM orders WHERE o_totalprice > 150000.0
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** A full training-data CURATION pipeline driven by one JSON config —
     * the reference's in → filters → out shape carrying the LLM-pipeline
     * stages as filter steps: exact dedup → language filter → quality

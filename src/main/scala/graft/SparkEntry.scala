@@ -48,6 +48,7 @@ object SparkEntry {
     // R14 config-driven pipeline
     "pipeline_config_run" -> (Queries.pipelineConfigRun _),
     "pipeline_config_out" -> (Queries.pipelineConfigOut _),
+    "pipeline_config_composite" -> (Queries.pipelineConfigComposite _),
     "pipeline_config_curation" -> (Queries.pipelineConfigCuration _),
     "pipeline_config_quota_bands" -> (Queries.pipelineConfigQuotaBands _),
     "pipeline_config_decontaminate" -> (Queries.pipelineConfigDecontaminate _),
@@ -160,6 +161,7 @@ object SparkEntry {
     "invalid_record_permissive" -> Queries.invalidRecordPermissiveSql,
     "pipeline_config_run" -> Queries.pipelineConfigRunSql,
     "pipeline_config_out" -> Queries.pipelineConfigOutSql,
+    "pipeline_config_composite" -> Queries.pipelineConfigCompositeSql,
     "pipeline_config_curation" -> Queries.pipelineConfigCurationSql,
     "pipeline_config_quota_bands" -> Queries.pipelineConfigQuotaBandsSql,
     "pipeline_config_decontaminate" -> Queries.pipelineConfigDecontaminateSql,

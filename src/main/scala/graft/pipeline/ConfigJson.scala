@@ -106,7 +106,8 @@ object ConfigJson {
         // the reference's type-name dispatch (Partitioning.java:16-30);
         // "timestamp" is the default exactly as there
         ptype = str(p \ "type").getOrElse("timestamp"),
-        hashBuckets = int(p \ "buckets").getOrElse(32)))
+        hashBuckets = int(p \ "buckets").getOrElse(32),
+        secondColumn = str(p \ "second_column")))
     }
 
     // output stage (the reference config's `out:` section): format +

@@ -83,13 +83,16 @@ object Pipeline {
   /** Partitioning config. `ptype` is the reference's type-name dispatch
     * (`Partitioning.java:16-30`): "timestamp" buckets a time column by
     * unit (the reference's only built-in), "column_hash" buckets any
-    * column by `pmod(xxhash64(col), hashBuckets)` — the second registered
-    * type that proves the dispatch is pluggable. Unknown types are
-    * rejected like `embulk_mapred_invalid_partitioning_config.yml`.
+    * column by `pmod(xxhash64(col), hashBuckets)`, and "composite" layers
+    * `secondColumn` under the time bucket — the (day, source) compound
+    * layout a curated corpus usually lands in, shuffled on the full
+    * compound key so each leaf directory's rows co-locate. Unknown types
+    * are rejected like `embulk_mapred_invalid_partitioning_config.yml`.
     */
   final case class Partitioning(column: String, unit: String = "hour",
     unixTimestampUnit: Option[String] = None, mapSidePartitionSplit: Int = 1,
-    ptype: String = "timestamp", hashBuckets: Int = 32)
+    ptype: String = "timestamp", hashBuckets: Int = 32,
+    secondColumn: Option[String] = None)
 
   /** Output stage (the reference config's `out:` section): sink format and
     * writer options; the target path comes from `run`'s argument.
@@ -219,7 +222,7 @@ object Pipeline {
     * hash bucket of any column.
     */
   def bucketExpr(df: DataFrame, p: Partitioning): Column = p.ptype match {
-    case "timestamp" =>
+    case "timestamp" | "composite" =>
       val c = col(p.column)
       val unit = TimePartitioning.BucketUnit.of(p.unit)
       val isLong = df.schema(p.column).dataType ==
@@ -231,8 +234,22 @@ object Pipeline {
     case "column_hash" =>
       pmod(xxhash64(col(p.column)), lit(p.hashBuckets.toLong))
     case other => throw new IllegalArgumentException(
-      s"Unknown partitioning type '$other'. Supported types are timestamp and column_hash")
+      s"Unknown partitioning type '$other'. Supported types are timestamp, " +
+        "column_hash and composite")
   }
+
+  /** All partition levels for a config — (name, expr) pairs, primary
+    * first. "composite" layers the second column (by its own name) under
+    * the time bucket; the other types have a single level.
+    */
+  def bucketCols(df: DataFrame, p: Partitioning): Seq[(String, Column)] =
+    p.ptype match {
+      case "composite" =>
+        val sc = p.secondColumn.getOrElse(throw new IllegalArgumentException(
+          "config: partitioning.second_column is required for type composite"))
+        Seq("bucket" -> bucketExpr(df, p), sc -> col(sc))
+      case _ => Seq("bucket" -> bucketExpr(df, p))
+    }
 
   /** Execute: plan (incl. the failfast gate) → sink. Partitioned configs
     * write one directory per bucket through `Sinks.write`, with
@@ -246,10 +263,12 @@ object Pipeline {
     val df = plan(spark, config)
     config.partitioning match {
       case Some(p) =>
+        val buckets = bucketCols(df, p)
         graft.sources.Sinks.write(df, outPath, config.out.format,
-          bucket = Some(bucketExpr(df, p)), reducers = config.reducers,
+          bucket = Some(buckets.head._2), reducers = config.reducers,
           options = config.out.options,
-          splitHotBuckets = p.mapSidePartitionSplit)
+          splitHotBuckets = p.mapSidePartitionSplit,
+          extraBuckets = buckets.tail)
       case None =>
         graft.sources.Sinks.write(df, outPath, config.out.format,
           options = config.out.options)

@@ -35,26 +35,37 @@ object Sinks {
     *    which holds for the file-scan pipelines this sink serves — unlike
     *    the reference's in-memory counter, which is not retry-idempotent.
     */
+  /** `extraBuckets` appends further (name, expr) partition levels under the
+    * primary bucket — the composite (time, column) layout a curated corpus
+    * usually lands in (day + source). The shuffle key is the FULL compound
+    * key, so rows co-locate per leaf directory and the salt (if any)
+    * spreads a hot (bucket, …) leaf, not just a hot time bucket.
+    */
   def write(df: DataFrame, path: String, format: String = "parquet",
       bucket: Option[Column] = None, reducers: Option[Int] = None,
       maxRecordsPerFile: Long = 5000000L,
       options: Map[String, String] = Map.empty,
       splitHotBuckets: Int = 1,
-      saltOn: Option[Column] = None): Unit = {
+      saltOn: Option[Column] = None,
+      extraBuckets: Seq[(String, Column)] = Nil): Unit = {
     import org.apache.spark.sql.functions.{col, spark_partition_id}
     val (frame, partCols) = bucket match {
       case Some(b) =>
-        val withB = df.withColumn("bucket", b)
+        val named = ("bucket" -> b) +: extraBuckets
+        val withB = named.foldLeft(df) { case (d, (n, c)) =>
+          d.withColumn(n, c)
+        }
+        val keyCols = named.map { case (n, _) => col(n) }
         val shuffleKeys =
           if (splitHotBuckets > 1)
-            Seq(col("bucket"), graft.operators.TimePartitioning.salt(
-              saltOn.getOrElse(spark_partition_id()), splitHotBuckets))
-          else Seq(col("bucket"))
+            keyCols :+ graft.operators.TimePartitioning.salt(
+              saltOn.getOrElse(spark_partition_id()), splitHotBuckets)
+          else keyCols
         val shuffled = reducers match {
           case Some(n) => withB.repartition(n, shuffleKeys: _*)
           case None => withB.repartition(shuffleKeys: _*)
         }
-        (shuffled, Seq("bucket"))
+        (shuffled, named.map(_._1))
       case None => (df, Nil)
     }
     val w = frame.write.format(format)
