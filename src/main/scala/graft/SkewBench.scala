@@ -25,7 +25,10 @@ object SkewBench {
           when(pmod(col("event_id"), lit(2)) === 0, lit(0L))
             .otherwise(col("user_id") + lit(r * 1000000L))))
       .reduce(_ unionByName _)
-      .select(col("user_id"), col("event_id"), col("value"))
+      // payload: incompressible bytes so the hot SHUFFLE partition's
+      // (compressed) size reflects real row weight, like document text
+      .select(col("user_id"), col("event_id"), col("value"),
+        md5(col("event_id").cast("string")).as("payload"))
       .write.mode("overwrite").parquet(out)
     val skewed = spark.read.parquet(out)
     println(s"rows=${skewed.count()}, hot=${skewed.where(col("user_id") === 0).count()}")
@@ -46,6 +49,32 @@ object SkewBench {
       graft.plans.TopKPerKey.topK(skewed, Seq("user_id"),
           Seq("value" -> "desc", "event_id" -> "asc"), k = 3)
         .write.format("noop").mode("overwrite").save()
+    }
+
+    // fact-fact join with the hot key: AQE skew-join must split the hot
+    // partition (plan shows skew=true); vs. the same join with skew
+    // handling off, where one task owns the entire hot key's output.
+    // Production defaults detect skew at 256 MB partitions; scale the
+    // thresholds to the sandbox's MB-sized hot key so the same rule fires
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+    val dim = spark.range(1000000L)
+      .select(col("id").as("user_id"), (col("id") % 97).as("seg"))
+    def skewJoin() = skewed.join(dim, "user_id")
+      .agg(sum(length(col("payload"))))
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    var plain: Long = 0
+    time("join_noskew") { plain = skewJoin().collect().head.getLong(0) }
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    time("join_aqeskew") {
+      val j = skewJoin()
+      val v = j.collect().head.getLong(0)
+      assert(v == plain, s"skew split changed the result: $v != $plain")
+      val split = j.queryExecution.executedPlan.toString.contains("skew=true")
+      println(s"SKEW join plan skew=true: $split")
     }
     spark.stop()
   }

@@ -101,6 +101,54 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("TopKPerKey"), plan.take(3000))
   }
 
+  test("AQE splits the hot key of a skewed fact-fact join (skew=true), " +
+      "and leaves it whole when skew handling is off") {
+    import spark.implicits._
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.enabled")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    def restore(): Unit = saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    try {
+      // production defaults detect skew at 256 MB partitions; scale the
+      // thresholds to the fixture so the same AQE rule fires on ~5 MB
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+      // fact side: ~95% of 200k rows on key 0, with a payload so the hot
+      // shuffle partition is megabytes; dim-ish side still fact-shaped
+      // (too big to broadcast with the threshold off)
+      // skew detection sees COMPRESSED shuffle bytes — hash the payload so
+      // the hot partition's size survives lz4
+      def fact = spark.range(200000).select(
+        when($"id" % 20 =!= 0, lit(0L)).otherwise($"id").as("k"),
+        sha2(concat(lit("payload-"), $"id".cast("string")), 256).as("payload"))
+      def dim = spark.range(2000).select($"id".as("k"), lit("d").as("d"))
+      // execute through the frame's own QueryExecution so AQE finalizes
+      // it; aggregate OVER the payload so column pruning can't slim the
+      // hot partition under the detection threshold
+      val j = fact.join(dim, "k").agg(sum(length($"payload")))
+      assert(j.collect().head.getLong(0) > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(plan.contains("skew=true"), plan.take(2000))
+      // control: same join with skew handling disabled keeps one giant
+      // partition (no skew=true marker)
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val j2 = fact.join(dim, "k").agg(sum(length($"payload")))
+      assert(j2.collect().head.getLong(0) > 0)
+      assert(!j2.queryExecution.executedPlan.toString.contains("skew=true"))
+    } finally restore()
+  }
+
   test("flagship queries keep whole-stage codegen in the hot path") {
     // AQE finalizes the physical plan lazily — execute first. Codegen'd
     // operators print with a `*(stageId)` prefix in the final plan.
