@@ -2185,6 +2185,59 @@ object Queries {
        CAST(1 AS BIGINT) AS channels, CAST(doc_id % 50 + 1 AS BIGINT) AS frames
        FROM documents WHERE doc_id < 100 ORDER BY doc_id"""
 
+  /** REAL frame-sampled video decode, oracle-gated end-to-end — the video
+    * sibling of `multimodal_decode`: each row encodes an actual MJPEG-style
+    * container (length-prefixed PNG frames, `Multimodal.encodeVideo`) whose
+    * frame count and dimensions derive from its doc_id, and
+    * `Multimodal.decodeVideoBatch` walks the frame index (skipped frames
+    * are seeks, not decodes) and `javax.imageio`-decodes every 2nd frame —
+    * so the DuckDB oracle checks decode∘encode = identity on the
+    * frame-count/sampling/dimension arithmetic. Same codec-farm
+    * `mapPartitions` shape: bytes never leave the executor.
+    */
+  def multimodalVideo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = documents(s, dir).where(col("doc_id") < 60)
+      .select(col("doc_id")).as[Long]
+    val withVid = ids.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val nFrames = (id % 9 + 2).toInt
+        val w = (id % 11 + 1).toInt
+        val h = (id % 5 + 1).toInt
+        val frames = (0 until nFrames).map { f =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, (((id + f + x) % 251).toInt << 16) |
+                (((id + y) % 241).toInt << 8) | ((f + x * y) % 239))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        }
+        (id, Multimodal.encodeVideo(frames))
+      }
+    }.toDF("doc_id", "payload")
+    Multimodal.decodeVideoBatch(withVid, stride = 2)
+      .select(col("id").as("doc_id"), col("n_frames"), col("sampled"),
+        col("width"), col("height"))
+      .orderBy(col("doc_id"))
+  }
+
+  val multimodalVideoSql: String =
+    """SELECT doc_id, CAST(doc_id % 9 + 2 AS BIGINT) AS n_frames,
+       CAST(((doc_id % 9 + 2) + 1) // 2 AS BIGINT) AS sampled,
+       CAST(doc_id % 11 + 1 AS BIGINT) AS width,
+       CAST(doc_id % 5 + 1 AS BIGINT) AS height
+       FROM documents WHERE doc_id < 60 ORDER BY doc_id"""
+
   /** Per-source quota curation: keep the top-50 documents per source by
     * quality score — the "cap any one domain's contribution" cut every
     * web-corpus pipeline applies. Runs through the bounded-heap

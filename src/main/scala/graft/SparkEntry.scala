@@ -116,6 +116,7 @@ object SparkEntry {
     "multimodal_meta" -> (Queries.multimodalMeta _),
     "multimodal_decode" -> (Queries.multimodalDecode _),
     "multimodal_audio" -> (Queries.multimodalAudio _),
+    "multimodal_video" -> (Queries.multimodalVideo _),
     "source_quota" -> (Queries.sourceQuota _),
     // L8-L11 text analysis
     "text_stats" -> (Queries.textStats _),
@@ -216,6 +217,7 @@ object SparkEntry {
     "multimodal_meta" -> Queries.multimodalMetaSql,
     "multimodal_decode" -> Queries.multimodalDecodeSql,
     "multimodal_audio" -> Queries.multimodalAudioSql,
+    "multimodal_video" -> Queries.multimodalVideoSql,
     "source_quota" -> Queries.sourceQuotaSql,
     "text_stats" -> Queries.textStatsSql,
     "text_tokens" -> Queries.textTokensSql,

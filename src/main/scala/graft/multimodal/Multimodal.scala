@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   * `javax.imageio` readers (PNG/GIF/BMP/JPEG) in the `mapPartitions` batch
   * shape — no external codec needed. Audio decode is REAL too:
   * [[decodeAudioBatch]] drives `javax.sound.sampled` (WAV/AU/AIFF PCM).
-  * Video decode has no JDK codec and remains environment-dependent, so it
-  * stays a STUB: a deterministic function of the bytes with the real
-  * Spark-side plumbing (schema, batching, partition behavior). Swap
-  * `stubDecode*`/`stubFrameSample` for a real codec (e.g. a JNI/Pandas-UDF
-  * batch decoder) without touching any plan shape.
+  * Video decode is REAL over a JDK-only MJPEG-style container:
+  * [[decodeVideoBatch]] walks length-prefixed intra-coded frames —
+  * skipped frames are SEEKS over the length index, never decodes — and
+  * decodes every `stride`-th frame through the same `javax.imageio`
+  * machinery. Inter-coded codecs (H.264 etc.) have no JDK decoder; swap
+  * the per-frame read for a codec library behind the same signature
+  * without touching any plan shape.
   */
 object Multimodal {
 
@@ -58,12 +60,93 @@ object Multimodal {
       decoded.getField("channels").as("channels"))
   }
 
-  /** STUB frame sampling for video payloads: deterministic frame indices
-    * (every `stride`-th of a stub frame count derived from bytes).
+  /** The MJPEG-style video container: concatenated
+    * [4-byte big-endian length][PNG frame] records. Intra-coded (every
+    * frame self-contained), so frame sampling needs only the length
+    * index — the property real frame-sampling pipelines exploit with
+    * keyframe-only reads.
     */
-  def stubFrameSample(payload: Column, stride: Int): Column = {
-    val frames = pmod(abs(xxhash64(payload)), lit(300L)) + 1L
-    filter(sequence(lit(0L), frames - 1L), i => i % stride === 0)
+  def encodeVideo(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    frames.foreach { f =>
+      bos.write((f.length >>> 24) & 0xff); bos.write((f.length >>> 16) & 0xff)
+      bos.write((f.length >>> 8) & 0xff); bos.write(f.length & 0xff)
+      bos.write(f, 0, f.length)
+    }
+    bos.toByteArray
+  }
+
+  /** Decoded video metadata row: `ok = false` (all fields -1) marks a
+    * payload that is not a well-formed frame container or whose sampled
+    * frames fail image decode — record-and-continue, like [[ImageMeta]].
+    */
+  final case class VideoMeta(id: Long, n_frames: Long, sampled: Long,
+    width: Long, height: Long, pixel_hash: Long, ok: Boolean)
+
+  /** REAL frame-sampled video decode over the [[encodeVideo]] container:
+    * one pass walks the length prefixes (a SEEK per skipped frame — the
+    * index scan costs O(frames), not O(bytes decoded)), and every
+    * `stride`-th frame decodes through the same `javax.imageio` readers
+    * as [[decodeImageBatch]], folding sampled pixels into one
+    * deterministic hash. Reports total frame count, sampled count, the
+    * first sampled frame's dimensions, and the pixel fold. Same
+    * codec-farm `mapPartitions` shape: per-partition init amortized,
+    * bytes never leave the executor, typed output frame.
+    */
+  def decodeVideoBatch(df: DataFrame, stride: Int, idCol: String = "doc_id",
+      payloadCol: String = "payload")
+      : org.apache.spark.sql.Dataset[VideoMeta] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import df.sparkSession.implicits._
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](pIdx)
+        val fail = VideoMeta(id, -1L, -1L, -1L, -1L, -1L, ok = false)
+        try {
+          var off = 0; var frames = 0L; var sampled = 0L
+          var w = -1L; var h = -1L; var acc = 0L
+          var bad = bytes.length == 0
+          while (!bad && off + 4 <= bytes.length) {
+            val len = ((bytes(off) & 0xff) << 24) |
+              ((bytes(off + 1) & 0xff) << 16) |
+              ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+            val start = off + 4
+            if (len <= 0 || start + len > bytes.length) bad = true
+            else {
+              if (frames % stride == 0) {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(bytes, start, len))
+                if (img == null) bad = true
+                else {
+                  if (w < 0) { w = img.getWidth.toLong; h = img.getHeight.toLong }
+                  var y = 0
+                  while (y < img.getHeight) {
+                    var x = 0
+                    while (x < img.getWidth) {
+                      acc = acc * 31L + img.getRGB(x, y); x += 1
+                    }
+                    y += 1
+                  }
+                  sampled += 1
+                }
+              }
+              frames += 1
+              off = start + len
+            }
+          }
+          if (bad || off != bytes.length || frames == 0) fail
+          else VideoMeta(id, frames, sampled, w, h, acc, ok = true)
+        } catch {
+          // same contract as the image/audio decoders: malformed frames
+          // provoke RuntimeExceptions inside ImageIO — record, move on
+          case scala.util.control.NonFatal(_) => fail
+        }
+      }
+    }
   }
 
   /** Decoded image metadata row: `ok = false` (all fields -1) marks bytes

@@ -65,12 +65,53 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(out(2L).pixel_hash !== out(1L).pixel_hash)
   }
 
-  test("frame sampling: stride filters deterministic stub frame ids") {
-    val frames = Seq((1L, "video-bytes")).toDF("id", "b")
-      .select(Multimodal.stubFrameSample($"b".cast("binary"), 10).as("f"))
-      .head().getSeq[Long](0)
-    assert(frames.nonEmpty)
-    assert(frames.forall(_ % 10 === 0))
+  test("real frame-sampled video: length-prefixed PNG container, stride " +
+      "sampling, corrupted payloads fail soft") {
+    def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // 7 frames of 4x3: stride 3 samples frames 0, 3, 6
+    val vid7 = Multimodal.encodeVideo((0 until 7).map(f =>
+      png(4, 3, (x, y) => (f << 16) | (x << 8) | y)))
+    val vid1 = Multimodal.encodeVideo(Seq(png(2, 2, (x, y) => x + y)))
+    val truncated = vid7.take(vid7.length - 5)  // last frame cut mid-PNG
+    // garbage in a SAMPLED slot (frame 0) must fail soft; garbage in a
+    // skipped slot is never decoded at all — the container's length index
+    // makes skipping a seek, which is the whole point of frame sampling
+    val garbageSampled = Multimodal.encodeVideo(
+      Seq("not-a-png-frame".getBytes("UTF-8"), png(2, 2, (_, _) => 1)))
+    val garbageSkipped = Multimodal.encodeVideo(
+      Seq(png(2, 2, (_, _) => 1), "not-a-png-frame".getBytes("UTF-8")))
+    val df = Seq((1L, vid7), (2L, vid1), (3L, truncated),
+        (4L, garbageSampled), (5L, Array.empty[Byte]), (6L, garbageSkipped))
+      .toDF("doc_id", "payload").repartition(2)
+    val out = Multimodal.decodeVideoBatch(df, stride = 3).collect()
+      .map(m => m.id -> m).toMap
+    assert(out(1L).ok && out(1L).n_frames === 7L && out(1L).sampled === 3L &&
+      out(1L).width === 4L && out(1L).height === 3L)
+    assert(out(2L).ok && out(2L).n_frames === 1L && out(2L).sampled === 1L &&
+      out(2L).width === 2L)
+    assert(!out(3L).ok && !out(4L).ok && !out(5L).ok)
+    assert(out(6L).ok && out(6L).n_frames === 2L && out(6L).sampled === 1L)
+    // the pixel fold is a pure function of the SAMPLED pixels: same
+    // frames → same hash; a change inside an UNSAMPLED frame (idx 1)
+    // leaves the hash untouched, a change in a sampled one (idx 3) moves it
+    def vidWith(change: Int => Boolean): Array[Byte] =
+      Multimodal.encodeVideo((0 until 7).map(f =>
+        png(4, 3, (x, y) =>
+          ((f + (if (change(f)) 99 else 0)) << 16) | (x << 8) | y)))
+    val variants = Multimodal.decodeVideoBatch(
+      Seq((10L, vidWith(_ => false)), (11L, vidWith(_ == 1)),
+        (12L, vidWith(_ == 3))).toDF("doc_id", "payload"), stride = 3)
+      .collect().map(m => m.id -> m).toMap
+    assert(variants(10L).pixel_hash === out(1L).pixel_hash)
+    assert(variants(11L).pixel_hash === out(1L).pixel_hash)
+    assert(variants(12L).pixel_hash !== out(1L).pixel_hash)
   }
 
   test("real javax.sound decode: WAV rate/channels/frames, pcm hash, failures") {
