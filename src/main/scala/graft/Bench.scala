@@ -74,12 +74,69 @@ object Bench {
         n -> (if (ts.length % 2 == 1) ts(mid) else (ts(mid - 1) + ts(mid)) / 2)
       }
       else Nil
+    // fresh-JVM true-cold mode (opt-in: SPARK_GRAFT_BENCH_FORK=1): each
+    // query runs in a forked JVM via BenchFork, shedding the JIT/codegen
+    // warmth that the in-process "cold" column necessarily keeps. The
+    // forked time excludes session bootstrap (BenchFork starts its timer
+    // after the SparkSession is up). ~10 s JVM+session spin-up per query,
+    // so this is a study mode, not the per-round default.
+    val forkEnabled = sys.env.get("SPARK_GRAFT_BENCH_FORK").exists(_ != "0")
+    def forkOne(n: String): Double = {
+      val java = s"${sys.props("java.home")}/bin/java"
+      // mirrors build.sbt / JavaModuleOptions.defaultModuleOptions(): the
+      // child is a bare `java`, so nothing injects these for us
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar")
+        .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val cmd = Seq(java) ++ addOpens ++ Seq(
+        s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+        "-cp", sys.props("java.class.path"),
+        "graft.BenchFork", n, sfDir, cpus.toString)
+      val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      val lines = scala.io.Source.fromInputStream(p.getInputStream)
+        .getLines().toList
+      p.waitFor()
+      lines.collectFirst {
+        case l if l.startsWith("FORK_SEC ") => l.stripPrefix("FORK_SEC ").toDouble
+      }.getOrElse(-1.0)
+    }
+    val fork = if (forkEnabled) names.map(n => n -> forkOne(n)) else Nil
     val total = inRun.map(_._2).sum
     val coldPart =
       if (cold.nonEmpty)
         s""","total_cold":${cold.map(_._2).sum},"queries_cold":${json(cold)}"""
       else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(inRun)}$coldPart,"sf":"$sfDir"}""")
+    val forkPart =
+      if (fork.nonEmpty)
+        s""","total_fork":${fork.map(_._2).sum},"queries_fork":${json(fork)}"""
+      else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(inRun)}$coldPart$forkPart,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
+
+/** One query in a bare JVM — the child process of Bench's fork mode.
+  * Creates the same session Bench uses, times ONE noop-forced execution
+  * (timer starts after the session is up, so the number is the query, not
+  * the bootstrap), prints one `FORK_SEC <sec>` line, exits.
+  */
+object BenchFork {
+  def main(args: Array[String]): Unit = {
+    val Array(name, sfDir, cpus) = args
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
+      .config("spark.sql.ansi.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val fn = SparkEntry.queries(name)
+    val t0 = System.nanoTime()
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    println(f"FORK_SEC ${(System.nanoTime() - t0) / 1e9}%.3f")
     spark.stop()
   }
 }
