@@ -106,20 +106,24 @@ object IvfIndex {
     * query set is tiny), candidates come from a `cell` equi-join, so BOTH
     * sides may be corpus-sized.
     *
-    * The centroid set is collected and inlined as literal vectors
-    * (nCells × dims scalars — AQE-statistic-sized driver traffic by the
-    * IVF premise), so cell assignment and probe selection are narrow
-    * codegen'd projections: no centroid join at all, and — unlike the
-    * window formulation in `annTopK` — no per-query shuffle to pick probe
-    * cells. The whole plan is: two narrow scans → one equi-join on `cell`
-    * → bounded-heap TopKPerKey argmax, where each map partition emits at
-    * most one row per query into the final exchange, never corpus×query
-    * scores.
+    * The centroid set is collected (nCells × dims scalars —
+    * AQE-statistic-sized driver traffic by the IVF premise) and handed to
+    * the native [[graft.functions.IvfNearestCell]] /
+    * [[graft.functions.IvfProbeCells]] kernels as a plan reference
+    * object, so cell assignment and probe selection are narrow codegen'd
+    * projections — one fused loop over the matrix per row, no centroid
+    * join at all, and — unlike the window formulation in `annTopK` — no
+    * per-query shuffle to pick probe cells. (The r8 first cut inlined the
+    * centroids as literal vectors inside an `array_max(struct(…))` tree;
+    * that blew the codegen size limits once the projection shared a stage
+    * with the join and dropped the corpus scan to interpreted eval —
+    * 3.8 ms/row at the 100× probe. The kernels are the fix.) The whole
+    * plan is: two narrow scans → one equi-join on `cell` → bounded-heap
+    * TopKPerKey argmax, where each map partition emits at most one row
+    * per query into the final exchange, never corpus×query scores.
     *
-    * Tie semantics replicate `assign`/`probeCells` exactly: assignment is
-    * max affinity with ties to the lowest cell (struct-max over
-    * (aff, -cell)); probes sort (-aff, cell) ascending = affinity
-    * descending, cell ascending.
+    * Tie semantics replicate `assign`/`probeCells` exactly: max affinity
+    * with ties to the lowest cell id; probes ordered (aff desc, cell asc).
     *
     * Returns (query_id, neighbor_id, cos, pred_label). A query whose
     * probed cells are all empty gets no row — labeling recall is the
@@ -131,28 +135,21 @@ object IvfIndex {
     val centroids = seedCentroids(labeled, nCells)
     val isFloat = centroids.schema("vec").dataType
       .asInstanceOf[ArrayType].elementType == FloatType
-    val cents: Array[(Long, Column)] = centroids.collect().map { r =>
-      val vec: Column =
-        if (isFloat) lit(r.getSeq[Float](1).toArray)
-        else lit(r.getSeq[Double](1).toArray)
-      (r.getLong(0), vec)
+    val rows = centroids.collect()
+    val cellIds = rows.map(_.getLong(0))
+    // float→double per element is exact, so the kernels' double matrix is
+    // bit-equivalent to folding over the original floats
+    val cents: Array[Array[Double]] = rows.map { r =>
+      if (isFloat) r.getSeq[Float](1).map(_.toDouble).toArray
+      else r.getSeq[Double](1).toArray
     }
-    // assignment: max (aff, -cell) struct = max affinity, ties → LOWEST cell
-    val cellOf = -array_max(array(cents.map { case (cellId, cv) =>
-      struct(Similarity.cosine(col("vec"), cv).as("aff"),
-        lit(-cellId).as("nc"))
-    }: _*)).getField("nc")
     val indexed = labeled.select(col("id"), col("vec"), col(labelCol),
-      cellOf.as("cell"))
-    // probes: sort (-aff, cell) ascending, take the first nprobe cells
-    val probeArr = transform(
-      slice(array_sort(array(cents.map { case (cellId, cv) =>
-        struct((-Similarity.cosine(col("vec"), cv)).as("na"),
-          lit(cellId).as("cell"))
-      }: _*)), 1, nprobe),
-      s => s.getField("cell"))
+      graft.functions.IvfFunctions.nearestCell(col("vec"), cents, cellIds)
+        .as("cell"))
     val probes = queries.select(col("id").as("query_id"),
-      col("vec").as("q_vec"), explode(probeArr).as("cell"))
+      col("vec").as("q_vec"),
+      explode(graft.functions.IvfFunctions.probeCells(col("vec"), cents,
+        cellIds, nprobe)).as("cell"))
     val scored = probes.join(indexed, "cell")
       .select(col("query_id"), col("id").as("neighbor_id"),
         Similarity.cosine(col("q_vec"), col("vec")).as("cos"),

@@ -183,7 +183,8 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       Pipeline.bucketExpr(Tables.orders(spark, sf),
         Pipeline.Partitioning("o_custkey", ptype = "zorder"))
     }
-    assert(bad.getMessage.contains("Supported types are timestamp and column_hash"))
+    assert(bad.getMessage.contains(
+      "Supported types are timestamp, column_hash and composite"))
   }
 
   test("config out section writes csv through run() (in -> filters -> out)") {

@@ -64,6 +64,19 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
         TextAnalysis.bpeTokenCount($"t").as("b"),
         graft.operators.Dedup.shingles($"t", 3).as("s"))
       assert(out.collect().length === 4)
+      // the IVF coarse-quantizer kernels too (and they must agree with
+      // the interpreted eval path)
+      val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 1.0))
+      val ids = Array(7L, 8L, 9L)
+      val vecs = Seq(Tuple1(Array(2.0f, 0.1f)), Tuple1(Array(0.1f, 3.0f)))
+        .toDF("v")
+      val ivf = vecs.select(
+        graft.functions.IvfFunctions.nearestCell($"v", cents, ids).as("c"),
+        graft.functions.IvfFunctions.probeCells($"v", cents, ids, 2).as("p"))
+        .collect()
+      assert(ivf(0).getLong(0) === 7L && ivf(1).getLong(0) === 8L)
+      assert(ivf(0).getSeq[Long](1) === Seq(7L, 9L))
+      assert(ivf(1).getSeq[Long](1) === Seq(8L, 9L))
     } finally spark.conf.unset("spark.sql.codegen.factoryMode")
   }
 
