@@ -374,7 +374,11 @@ object Queries {
     * levels, so each leaf directory's rows co-locate in one reducer task.
     * The query reads the layout back and aggregates per leaf, so the
     * oracle gates the bucket arithmetic AND that every row landed in its
-    * correct (bucket, status) directory.
+    * correct (bucket, status) directory. The config windows the input to
+    * one year: leaf-directory COUNT (days × statuses) is what costs
+    * locally — at target scale each leaf is gigabytes and the per-file
+    * constant vanishes, but a registered query shouldn't spend its time
+    * creating 7k near-empty files.
     */
   def pipelineConfigComposite(s: SparkSession, dir: String): DataFrame = {
     val outDir =
@@ -382,7 +386,8 @@ object Queries {
     val json = s"""{
       "in": {"path": "$dir/orders.parquet"},
       "filters": [
-        {"type": "where", "predicate": "o_totalprice > 150000.0"}
+        {"type": "where", "predicate":
+          "o_totalprice > 150000.0 AND o_orderdate >= timestamp'1997-01-01 00:00:00' AND o_orderdate < timestamp'1998-01-01 00:00:00'"}
       ],
       "partitioning": {"type": "composite", "column": "o_orderdate",
         "unit": "day", "second_column": "o_orderstatus"},
@@ -401,6 +406,8 @@ object Queries {
        COUNT(*) AS n_orders,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
        FROM orders WHERE o_totalprice > 150000.0
+         AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
        GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** A full training-data CURATION pipeline driven by one JSON config —
