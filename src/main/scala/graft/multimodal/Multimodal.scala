@@ -115,7 +115,9 @@ object Multimodal {
               ((bytes(off + 1) & 0xff) << 16) |
               ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
             val start = off + 4
-            if (len <= 0 || start + len > bytes.length) bad = true
+            // long arithmetic: a crafted length near Int.MaxValue must not
+            // overflow past the bounds check
+            if (len <= 0 || start.toLong + len > bytes.length) bad = true
             else {
               if (frames % stride == 0) {
                 val img = javax.imageio.ImageIO.read(
