@@ -102,9 +102,14 @@ object Bench {
       val lines = scala.io.Source.fromInputStream(p.getInputStream)
         .getLines().toList
       p.waitFor()
+      // nanos as a long: locale-proof across the process boundary
       lines.collectFirst {
-        case l if l.startsWith("FORK_SEC ") => l.stripPrefix("FORK_SEC ").toDouble
-      }.getOrElse(-1.0)
+        case l if l.startsWith("FORK_NANOS ") =>
+          l.stripPrefix("FORK_NANOS ").trim.toLong / 1e9
+      }.getOrElse {
+        System.err.println(s"[bench] fork of $n failed (no FORK_NANOS line)")
+        -1.0
+      }
     }
     val fork = if (forkEnabled) names.map(n => n -> forkOne(n)) else Nil
     val total = inRun.map(_._2).sum
@@ -112,9 +117,10 @@ object Bench {
       if (cold.nonEmpty)
         s""","total_cold":${cold.map(_._2).sum},"queries_cold":${json(cold)}"""
       else ""
+    // failed forks stay visible as -1 per query but never poison the total
     val forkPart =
       if (fork.nonEmpty)
-        s""","total_fork":${fork.map(_._2).sum},"queries_fork":${json(fork)}"""
+        s""","total_fork":${fork.map(_._2).filter(_ >= 0).sum},"queries_fork":${json(fork)}"""
       else ""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(inRun)}$coldPart$forkPart,"sf":"$sfDir"}""")
     spark.stop()
@@ -124,7 +130,8 @@ object Bench {
 /** One query in a bare JVM — the child process of Bench's fork mode.
   * Creates the same session Bench uses, times ONE noop-forced execution
   * (timer starts after the session is up, so the number is the query, not
-  * the bootstrap), prints one `FORK_SEC <sec>` line, exits.
+  * the bootstrap), prints one `FORK_NANOS <long>` line (locale-proof),
+  * exits. A failed query prints nothing — the parent records -1.
   */
 object BenchFork {
   def main(args: Array[String]): Unit = {
@@ -135,8 +142,12 @@ object BenchFork {
     spark.sparkContext.setLogLevel("ERROR")
     val fn = SparkEntry.queries(name)
     val t0 = System.nanoTime()
-    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-    println(f"FORK_SEC ${(System.nanoTime() - t0) / 1e9}%.3f")
+    try {
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(s"FORK_NANOS ${System.nanoTime() - t0}")
+    } catch { case e: Throwable =>
+      System.err.println(s"[benchfork] $name failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

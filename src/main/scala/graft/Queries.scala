@@ -285,6 +285,9 @@ object Queries {
     val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
     while (report.failedTasks < 1 && System.nanoTime() < deadline)
       Thread.sleep(20)
+    // detach: the listener would otherwise record a TaskRow for every task
+    // of the rest of the session
+    s.sparkContext.removeSparkListener(report)
     import s.implicits._
     Seq(
       ("attempts", attempts.toDouble),

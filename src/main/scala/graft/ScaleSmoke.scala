@@ -19,8 +19,10 @@ object ScaleSmoke {
     val pinned = sys.env.get("SPARK_GRAFT_SCALE_DIR")
     val out = pinned.getOrElse(
       java.nio.file.Files.createTempDirectory("graft_scale_").toString)
+    // reuse only a COMPLETE build: "part" is the last table written, and
+    // _SUCCESS marks its job committed — an interrupted build rebuilds
     val rebuild = pinned.forall(d =>
-      !new java.io.File(d, "lineitem.parquet").exists())
+      !new java.io.File(d, "part.parquet/_SUCCESS").exists())
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -27,8 +27,12 @@ import org.apache.spark.sql.types._
   * to the DuckDB oracle's `list_reduce` replay. Ties (equal affinity) go to
   * the LOWEST cell id: cells are scanned in ascending id order and only a
   * strictly greater affinity displaces, which equals the oracle's
-  * `ORDER BY aff DESC, cell ASC`. NaN affinities (zero-norm vectors) never
-  * displace, matching their exclusion from any finite-affinity ranking.
+  * `ORDER BY aff DESC, cell ASC`. A NaN affinity (zero-norm or empty
+  * vector) ranks GREATEST — normalized to +∞ before comparison (a real
+  * cosine is ≤ 1, so the mapping is unambiguous) — because that is how
+  * both Spark's sort order and DuckDB's ORDER BY … DESC place NaN, so the
+  * kernels stay order-identical to the window/oracle formulations even on
+  * degenerate vectors.
   */
 abstract class IvfKernel extends UnaryExpression {
   def cents: Array[Array[Double]]
@@ -46,10 +50,12 @@ abstract class IvfKernel extends UnaryExpression {
         dt.simpleString)
   }
 
-  protected def elemIsFloat: Boolean =
+  @transient protected lazy val elemIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  /** Affinity of `vec` to centroid `c` — CosineSim's exact fold. */
+  /** Affinity of `vec` to centroid `c` — CosineSim's exact fold, with NaN
+    * normalized to +∞ (see class doc).
+    */
   protected final def affinity(vec: ArrayData, cv: Array[Double]): Double = {
     val isF = elemIsFloat
     val n = math.min(vec.numElements(), cv.length)
@@ -62,7 +68,8 @@ abstract class IvfKernel extends UnaryExpression {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb))
+    val a = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb))
+    if (a != a) Double.PositiveInfinity else a
   }
 
   /** Shared generated affinity loop; emits code computing `double $aff`
@@ -81,6 +88,7 @@ abstract class IvfKernel extends UnaryExpression {
         dot += x * y; na += x * x; nb += y * y;
       }
       $aff = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+      if (java.lang.Double.isNaN($aff)) $aff = java.lang.Double.POSITIVE_INFINITY;
     """
   }
 }
@@ -138,6 +146,7 @@ case class IvfNearestCell(child: Expression, cents: Array[Array[Double]],
   */
 case class IvfProbeCells(child: Expression, cents: Array[Array[Double]],
     cellIds: Array[Long], nprobe: Int) extends IvfKernel {
+  require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -174,6 +183,7 @@ case class IvfProbeCells(child: Expression, cents: Array[Array[Double]],
       val bc = ctx.freshName("bc")
       val filled = ctx.freshName("filled")
       val c = ctx.freshName("c")
+      val out = ctx.freshName("out")
       s"""
         int $np = java.lang.Math.min($nprobe, $cs.length);
         double[] $ba = new double[$np];
@@ -195,10 +205,10 @@ case class IvfProbeCells(child: Expression, cents: Array[Array[Double]],
             if ($filled < $np) $filled++;
           }
         }
-        long[] out = new long[$filled];
-        System.arraycopy($bc, 0, out, 0, $filled);
+        long[] $out = new long[$filled];
+        System.arraycopy($bc, 0, $out, 0, $filled);
         ${ev.value} =
-          new org.apache.spark.sql.catalyst.util.GenericArrayData(out);
+          new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
       """
     })
 

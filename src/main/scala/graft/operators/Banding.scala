@@ -87,7 +87,12 @@ object Banding {
       maxStrata + spark.sessionState.conf.numShufflePartitions
     val counts = local.groupBy(col("_pid"), col(stratumCol))
       .agg(count(lit(1)).as("c")).limit(collectCap + 1).collect()
-    if (counts.length > collectCap) {
+    // cap trip = bounded collect truncated; exact distinct count (cheap —
+    // the rows are already on the driver) enforces the documented
+    // "> maxStrata routes to the window path" invariant in the band
+    // between maxStrata and the cap upper bound
+    if (counts.length > collectCap ||
+        counts.iterator.map(_.get(1)).toSet.size > maxStrata) {
       // too many strata for driver-side offsets; the range shuffle above
       // is sunk cost on this rare path — return the lazy window plan over
       // the original frame and release the intermediate

@@ -77,6 +77,14 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
       assert(ivf(0).getLong(0) === 7L && ivf(1).getLong(0) === 8L)
       assert(ivf(0).getSeq[Long](1) === Seq(7L, 9L))
       assert(ivf(1).getSeq[Long](1) === Seq(8L, 9L))
+      // NaN affinity (zero vector) ranks GREATEST with ties to the lowest
+      // cell — the order both Spark's sort and DuckDB's ORDER BY DESC give
+      val zero = Seq(Tuple1(Array(0.0f, 0.0f))).toDF("v").select(
+        graft.functions.IvfFunctions.nearestCell($"v", cents, ids).as("c"),
+        graft.functions.IvfFunctions.probeCells($"v", cents, ids, 2).as("p"))
+        .head()
+      assert(zero.getLong(0) === 7L)
+      assert(zero.getSeq[Long](1) === Seq(7L, 8L))
     } finally spark.conf.unset("spark.sql.codegen.factoryMode")
   }
 
