@@ -1601,6 +1601,57 @@ object Queries {
        ON c_custkey = o_custkey
        ORDER BY custkey"""
 
+  /** Bucketed co-located fact-fact join, oracle-gated (E16): both fact
+    * projections are written `bucketBy(8)` on the join key (sorted within
+    * buckets), so the join — and the aggregation above it — plan with
+    * ZERO hash exchanges; at 100 TB bucketed storage turns every
+    * recurring join/agg on the bucket key from a full shuffle into a
+    * local merge (BucketingSpec asserts the no-exchange plan; this query
+    * gates the RESULT against the same join over the raw parquet).
+    * Broadcast is disabled while the join executes — at real scale
+    * neither fact side broadcasts — and the result is materialized
+    * inside that window so the restore can't re-plan it.
+    */
+  def joinBucketed(s: SparkSession, dir: String): DataFrame = {
+    val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("graft_li_b", "graft_ord_b").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      val d = new java.io.File(wh, t)
+      if (d.exists()) rm(d)
+    }
+    lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("graft_li_b")
+    orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("graft_ord_b")
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      s.table("graft_li_b")
+        .join(s.table("graft_ord_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("sum_total"))
+        .orderBy(col("l_returnflag"))
+        .localCheckpoint(true) // execute within the no-broadcast window
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  val joinBucketedSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY 1 ORDER BY 1"""
+
   /** Time-series gap filling: materialize every day between the corpus min
     * and max and zero-fill days with no events. The day spine is a
     * `sequence` explode off a single min/max agg row — no driver-side
@@ -2335,6 +2386,58 @@ object Queries {
   val dedupStreamExactSql: String =
     """SELECT DISTINCT user_id, event_type, epoch_us(ts) AS t_us
        FROM events ORDER BY user_id, event_type, t_us"""
+
+  /** Watermark lateness, oracle-gated (E12): two file-landing drains over
+    * the watermarked hourly aggregation. Drain 1 processes the full event
+    * history plus one far-future advancer row, pushing the watermark past
+    * every real window. Drain 2 lands a verbatim LATE REPLAY of the
+    * earliest hour's events (now entirely behind the watermark — Spark
+    * must drop them before the aggregation) plus a second advancer, and
+    * append mode emits every real window exactly once with its FINAL
+    * count. If late rows were not dropped, the replayed hour's counts
+    * would double and the hash compare fails — so the oracle (plain
+    * per-hour counts over the original events) gates the lateness
+    * semantics end-to-end. Advancer rows carry a sentinel event_type and
+    * are filtered on readback; their own windows never close.
+    */
+  def streamingLateDrop(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingIngest
+    val tmp = java.nio.file.Files.createTempDirectory("graft_late_").toString
+    val landing = s"$tmp/landing"; val ckpt = s"$tmp/ckpt"
+    val outDir = s"$tmp/out"
+    val ev = events(s, dir).select(col("ts"), col("event_type"), col("value"))
+    val bounds = ev.agg(
+      min(unix_micros(col("ts"))).as("mn"),
+      max(unix_micros(col("ts"))).as("mx")).head()
+    val mnUs = bounds.getLong(0); val mxUs = bounds.getLong(1)
+    val hourUs = 3600L * 1000 * 1000
+    def advancer(tUs: Long) = s.range(1).select(
+      timestamp_micros(lit(tUs)).as("ts"),
+      lit("zz_advance").as("event_type"), lit(0.0).as("value"))
+    def drain(): Unit = StreamingIngest.drainAppendToDir(s, landing,
+      ev.schema, df => StreamingIngest.hourlyCounts(df), ckpt, outDir)
+    // drain 1: full history + advancer → watermark ends past every window
+    ev.coalesce(1).write.mode("overwrite").parquet(landing)
+    advancer(mxUs + 3 * hourUs).coalesce(1).write.mode("append").parquet(landing)
+    drain()
+    // drain 2: late replay of the earliest hour (all behind the watermark
+    // now) + a second advancer; the real windows emit here, late rows die
+    ev.where(unix_micros(col("ts")) < mnUs + hourUs)
+      .coalesce(1).write.mode("append").parquet(landing)
+    advancer(mxUs + 6 * hourUs).coalesce(1).write.mode("append").parquet(landing)
+    drain()
+    s.read.parquet(outDir)
+      .where(col("event_type") =!= "zz_advance")
+      .select(hourBucket(col("hour_start")).as("bucket"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
+  val streamingLateDropSql: String =
+    """SELECT epoch_us(ts) // 3600000000 AS bucket, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
   // -------------------------------------------- L22 line-level dedup ----
 

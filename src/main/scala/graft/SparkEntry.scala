@@ -64,6 +64,7 @@ object SparkEntry {
     "topk_per_key" -> (Queries.topkPerKey _),
     "sessionize" -> (Queries.sessionize _),
     "streaming_sessionize" -> (Queries.streamingSessionize _),
+    "streaming_late_drop" -> (Queries.streamingLateDrop _),
     "dedup_stream_exact" -> (Queries.dedupStreamExact _),
     "rollup_orders" -> (Queries.rollupOrders _),
     "cube_orders" -> (Queries.cubeOrders _),
@@ -74,6 +75,7 @@ object SparkEntry {
     "moving_avg" -> (Queries.movingAvg _),
     "except_intersect" -> (Queries.exceptIntersect _),
     "join_full_outer" -> (Queries.joinFullOuter _),
+    "join_bucketed" -> (Queries.joinBucketed _),
     "gapfill_daily" -> (Queries.gapfillDaily _),
     "approx_percentiles" -> (Queries.approxPercentiles _),
     "sliding_hour_counts" -> (Queries.slidingHourCounts _),
@@ -175,6 +177,7 @@ object SparkEntry {
     "topk_per_key" -> Queries.topkPerKeySql,
     "sessionize" -> Queries.sessionizeSql,
     "streaming_sessionize" -> Queries.streamingSessionizeSql,
+    "streaming_late_drop" -> Queries.streamingLateDropSql,
     "dedup_stream_exact" -> Queries.dedupStreamExactSql,
     "rollup_orders" -> Queries.rollupOrdersSql,
     "cube_orders" -> Queries.cubeOrdersSql,
@@ -185,6 +188,7 @@ object SparkEntry {
     "moving_avg" -> Queries.movingAvgSql,
     "except_intersect" -> Queries.exceptIntersectSql,
     "join_full_outer" -> Queries.joinFullOuterSql,
+    "join_bucketed" -> Queries.joinBucketedSql,
     "gapfill_daily" -> Queries.gapfillDailySql,
     "approx_percentiles" -> Queries.approxPercentilesSql,
     "sliding_hour_counts" -> Queries.slidingHourCountsSql,

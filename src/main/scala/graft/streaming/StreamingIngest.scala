@@ -122,4 +122,26 @@ object StreamingIngest {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Repeated-drain harness: one AvailableNow run of `transform` over the
+    * file landing, writing each batch's APPEND-finalized rows to
+    * `outDir/batch_id=N` against a resumable checkpoint. Landing more
+    * files and draining again processes them as LATER batches over the
+    * same state — the event-time watermark advances between drains
+    * deterministically, which is how the registered E12 gate replays
+    * late-arrival semantics as a batch-comparable query.
+    */
+  def drainAppendToDir(spark: SparkSession, landing: String,
+      schema: StructType, transform: DataFrame => DataFrame,
+      ckpt: String, outDir: String): Unit = {
+    val stream = spark.readStream.schema(schema).parquet(landing)
+    transform(stream).writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$id"); ()
+      }
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+  }
 }
