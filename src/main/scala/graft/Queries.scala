@@ -65,6 +65,26 @@ object Queries {
        CAST(${sqlDec2("o_totalprice")} AS DOUBLE) AS total
        FROM orders WHERE o_totalprice > 100000.0 ORDER BY order_id"""
 
+  /** Temp working dir for the write-then-read-back query harnesses,
+    * deleted recursively at JVM exit. Cleanup must be DEFERRED — the
+    * returned DataFrame reads the dir lazily after the query fn returns —
+    * so a shutdown hook, not inline deletion; without it every bench rep
+    * leaked a landing+checkpoint tree into /tmp for the machine lifetime.
+    */
+  private def tempDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) {
+          val fs = f.listFiles(); if (fs != null) fs.foreach(rm)
+        }
+        f.delete(); ()
+      }
+      rm(d.toFile)
+    }))
+    d.toString
+  }
+
   // ------------------------------------------- R2/R3 timestamp buckets ----
 
   private def hourBucket(ts: Column) =
@@ -342,7 +362,7 @@ object Queries {
     */
   def pipelineConfigOut(s: SparkSession, dir: String): DataFrame = {
     val outDir =
-      java.nio.file.Files.createTempDirectory("graft_cfg_out_").toString
+      tempDir("graft_cfg_out_")
     val json = s"""{
       "in": {"path": "$dir/orders.parquet"},
       "filters": [
@@ -385,7 +405,7 @@ object Queries {
     */
   def pipelineConfigComposite(s: SparkSession, dir: String): DataFrame = {
     val outDir =
-      java.nio.file.Files.createTempDirectory("graft_cfg_comp_").toString
+      tempDir("graft_cfg_comp_")
     val json = s"""{
       "in": {"path": "$dir/orders.parquet"},
       "filters": [
@@ -1546,7 +1566,7 @@ object Queries {
     // landing dir (the continuous-ingest layout this operator serves)
     val raw = s.read.parquet(s"$dir/events.parquet")
     val landing =
-      java.nio.file.Files.createTempDirectory("graft_hourly_land_").toString
+      tempDir("graft_hourly_land_")
     raw.write.mode("overwrite").parquet(landing)
     val staged = s.read.parquet(landing)
     val stream0 = s.readStream.schema(staged.schema).parquet(landing)
@@ -1603,26 +1623,20 @@ object Queries {
 
   /** Bucketed co-located fact-fact join, oracle-gated (E16): both fact
     * projections are written `bucketBy(8)` on the join key (sorted within
-    * buckets), so the join — and the aggregation above it — plan with
-    * ZERO hash exchanges; at 100 TB bucketed storage turns every
-    * recurring join/agg on the bucket key from a full shuffle into a
-    * local merge (BucketingSpec asserts the no-exchange plan; this query
-    * gates the RESULT against the same join over the raw parquet).
-    * Broadcast is disabled while the join executes — at real scale
-    * neither fact side broadcasts — and the result is materialized
-    * inside that window so the restore can't re-plan it.
+    * buckets), so the JOIN plans with no exchange on either side — at
+    * 100 TB bucketed storage turns every recurring join on the bucket key
+    * from a full shuffle into a local merge. (The `l_returnflag`
+    * aggregation above the join keys on a DIFFERENT column and pays its
+    * own tiny post-join exchange, as it would on any storage;
+    * BucketingSpec asserts the zero-exchange plan for the agg-on-bucket-
+    * key shape. This query gates the RESULT against the same join over
+    * the raw parquet.) Broadcast is disabled while the join executes —
+    * at real scale neither fact side broadcasts — and the result is
+    * materialized inside that window so the restore can't re-plan it.
     */
   def joinBucketed(s: SparkSession, dir: String): DataFrame = {
-    val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
-    Seq("graft_li_b", "graft_ord_b").foreach { t =>
-      s.sql(s"DROP TABLE IF EXISTS $t")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      val d = new java.io.File(wh, t)
-      if (d.exists()) rm(d)
-    }
+    Seq("graft_li_b", "graft_ord_b")
+      .foreach(graft.sources.Sinks.dropManagedTable(s, _))
     lineitem(s, dir)
       .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
@@ -1745,7 +1759,7 @@ object Queries {
     * operators instead of test-only coverage.
     */
   def dedupIncrementalStream(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_").toString
+    val tmp = tempDir("graft_stream_")
     val landing = s"$tmp/landing"; val fpDir = s"$tmp/fps"
     val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     val d = documents(s, dir).select(col("doc_id"), col("text"))
@@ -2337,7 +2351,7 @@ object Queries {
     */
   def streamingSessionize(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.StatefulSessionize
-    val tmp = java.nio.file.Files.createTempDirectory("graft_sess_stream_").toString
+    val tmp = tempDir("graft_sess_stream_")
     val landing = s"$tmp/landing"; val ckpt = s"$tmp/ckpt"
     val outDir = s"$tmp/out"
     val ev = events(s, dir)
@@ -2367,7 +2381,7 @@ object Queries {
     * same distinct set.)
     */
   def dedupStreamExact(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_dstream_").toString
+    val tmp = tempDir("graft_dstream_")
     val landing = s"$tmp/landing"
     val ev = events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
     ev.coalesce(1).write.mode("overwrite").parquet(landing)
@@ -2402,7 +2416,7 @@ object Queries {
     */
   def streamingLateDrop(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.StreamingIngest
-    val tmp = java.nio.file.Files.createTempDirectory("graft_late_").toString
+    val tmp = tempDir("graft_late_")
     val landing = s"$tmp/landing"; val ckpt = s"$tmp/ckpt"
     val outDir = s"$tmp/out"
     val ev = events(s, dir).select(col("ts"), col("event_type"), col("value"))

@@ -75,6 +75,25 @@ object Sinks {
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).save(path)
   }
 
+  /** Drop a managed table AND its warehouse directory. The in-memory
+    * catalog is fresh per JVM but `spark-warehouse/<table>` dirs persist
+    * on disk, so `DROP TABLE IF EXISTS` alone leaves stale files that a
+    * later `saveAsTable` with the same name trips over — every bucketed-
+    * table site needs both layers cleared.
+    */
+  def dropManagedTable(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    val d = new java.io.File(wh, table)
+    if (d.exists()) rm(d)
+  }
+
   def parquet(df: DataFrame, path: String, bucket: Option[Column] = None): Unit =
     write(df, path, "parquet", bucket)
 

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
 
 /** Custom streaming state: gap-based sessionization via
@@ -62,13 +62,8 @@ object StatefulSessionize {
   def drainToDir(spark: SparkSession, landing: String, schema: StructType,
       ckpt: String, outDir: String): Unit = {
     import spark.implicits._
-    val stream = spark.readStream.schema(schema).parquet(landing).as[Event]
-    sessions(stream)(spark).writeStream
-      .foreachBatch { (batch: Dataset[SessionOut], id: Long) =>
-        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$id"); ()
-      }
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start().awaitTermination()
+    // one drain harness in the codebase: delegate to the generic helper
+    StreamingIngest.drainAppendToDir(spark, landing, schema,
+      df => sessions(df.as[Event])(spark).toDF(), ckpt, outDir)
   }
 }

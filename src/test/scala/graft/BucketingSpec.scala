@@ -14,20 +14,8 @@ class BucketingSpec extends AnyFunSuite with SparkFixture {
   test("join of two tables bucketed on the key plans no shuffle exchange") {
     // the in-memory catalog is fresh per JVM but spark-warehouse dirs
     // persist on disk — clear both layers
-    spark.sql("DROP TABLE IF EXISTS li_b")
-    spark.sql("DROP TABLE IF EXISTS ord_b")
-    val wh = new java.net.URI(
-      spark.conf.get("spark.sql.warehouse.dir")).getPath
-    Seq("li_b", "ord_b").foreach { t =>
-      val d = new java.io.File(wh, t)
-      if (d.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(d)
-      }
-    }
+    Seq("li_b", "ord_b")
+      .foreach(graft.sources.Sinks.dropManagedTable(spark, _))
     Tables.lineitem(spark, sf)
       .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
