@@ -11,8 +11,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // warehouse + shuffle-local dirs on the same tmpfs base the query
+    // harness temp dirs use: join_bucketed's table writes and shuffle
+    // spill then never touch the data disk, so a write-demo neighbour
+    // can't inflate an unrelated pure query's timing (the r8 regression)
+    val wh = java.nio.file.Files
+      .createTempDirectory(Queries.tempBase, "graft_wh_")
     val spark = GraftSession.builder(s"local[$cpus]", cpus)
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.warehouse.dir", wh.toUri.toString)
+      .config("spark.local.dir", wh.resolve("local").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -28,8 +36,15 @@ object Bench {
     val skip = Set("task_report", "task_report_retry")
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val names = SparkEntry.queries.keys.toSeq.filterNot(skip).sorted
+    // class-sequenced: every pure query is measured before any write-demo
+    // or streaming-harness query runs, within class alphabetical — so the
+    // pure-class column is mechanically diffable round over round and
+    // harness I/O can only trail it, never precede it
+    val qClass = SparkEntry.queryClass
+    val classOrder = Map("pure" -> 0, "write_demo" -> 1, "stream_harness" -> 2)
+    val names = SparkEntry.queries.keys.toSeq.filterNot(skip)
       .filter(n => only.forall(_.contains(n)))
+      .sortBy(n => (classOrder(qClass(n)), n))
 
     // two passes, reported side by side (the r5 verdict's honest-signal
     // fix: in-run numbers are warm-flattered by cache/codegen reuse from
@@ -57,7 +72,12 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // the timed DataFrame is dead after the noop write: drop the
+      // harness temp dirs it queued so reps don't stack landing trees
+      // (tmpfs RAM) and nothing lingers into a neighbour's timing
+      Queries.purgeTempDirs()
+      dt
     }
     def json(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -99,8 +119,22 @@ object Bench {
         "-cp", sys.props("java.class.path"),
         "graft.BenchFork", n, sfDir, cpus.toString)
       val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
-      val lines = scala.io.Source.fromInputStream(p.getInputStream)
-        .getLines().toList
+      // watchdog: a hung child keeps stdout open, which would block the
+      // stream read below forever and wedge the whole bench run — kill it
+      // after the deadline so the read unblocks and the query records -1
+      val deadlineMs = sys.env
+        .getOrElse("SPARK_GRAFT_BENCH_FORK_TIMEOUT_S", "600").toLong * 1000L
+      val watchdog = new Thread(() => {
+        if (!p.waitFor(deadlineMs,
+            _root_.java.util.concurrent.TimeUnit.MILLISECONDS)) {
+          System.err.println(s"[bench] fork of $n timed out after ${deadlineMs / 1000}s; killing")
+          p.destroyForcibly(); ()
+        }
+      })
+      watchdog.setDaemon(true)
+      watchdog.start()
+      val src = scala.io.Source.fromInputStream(p.getInputStream)
+      val lines = try src.getLines().toList finally src.close()
       p.waitFor()
       // nanos as a long: locale-proof across the process boundary
       lines.collectFirst {
@@ -113,6 +147,19 @@ object Bench {
     }
     val fork = if (forkEnabled) names.map(n => n -> forkOne(n)) else Nil
     val total = inRun.map(_._2).sum
+    // per-class subtotals: the `pure` number is the engine-regression
+    // signal to diff round over round; write_demo / stream_harness pay
+    // their own (deliberate) I/O and are reported separately
+    def byClass(rs: Seq[(String, Double)]): Seq[(String, Double)] =
+      rs.groupBy { case (k, _) => qClass(k) }.toSeq.sortBy(_._1)
+        .map { case (c, xs) => c -> xs.map(_._2).sum }
+    val classPart = {
+      val inPart = s""","by_class":${json(byClass(inRun))}"""
+      val coldCls =
+        if (cold.nonEmpty) s""","by_class_cold":${json(byClass(cold))}"""
+        else ""
+      inPart + coldCls
+    }
     val coldPart =
       if (cold.nonEmpty)
         s""","total_cold":${cold.map(_._2).sum},"queries_cold":${json(cold)}"""
@@ -122,7 +169,7 @@ object Bench {
       if (fork.nonEmpty)
         s""","total_fork":${fork.map(_._2).filter(_ >= 0).sum},"queries_fork":${json(fork)}"""
       else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(inRun)}$coldPart$forkPart,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(inRun)}$coldPart$forkPart$classPart,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

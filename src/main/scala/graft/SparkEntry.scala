@@ -52,6 +52,8 @@ object SparkEntry {
     "pipeline_config_curation" -> (Queries.pipelineConfigCuration _),
     "pipeline_config_quota_bands" -> (Queries.pipelineConfigQuotaBands _),
     "pipeline_config_decontaminate" -> (Queries.pipelineConfigDecontaminate _),
+    // R10 cross-job partial-done recovery (retry_tasks resume)
+    "pipeline_resume_partial" -> (Queries.pipelineResumePartial _),
     // E1/E2 core joins + aggs
     "q1_pricing" -> (Queries.q1Pricing _),
     "q3_top_orders" -> (Queries.q3TopOrders _),
@@ -134,6 +136,29 @@ object SparkEntry {
     "line_dedup" -> (Queries.lineDedup _),
   )
 
+  /** Bench class per registered query — `pure` (compute only),
+    * `write_demo` (the write IS the demonstration: bucketed tables,
+    * partitioned layouts, resumable sinks), or `stream_harness` (stages a
+    * landing dir and runs checkpointed drains). Bench sequences pure
+    * queries first and reports per-class subtotals so write/harness I/O
+    * can't masquerade as engine regression — the r8 cold column showed
+    * four pure queries regress 2.7–4.2× with unchanged code from sharing
+    * a run with three new write-heavy neighbours.
+    */
+  def queryClass: Map[String, String] = {
+    val writeDemo = Set(
+      "pipeline_config_out", "pipeline_config_composite", "join_bucketed",
+      "pipeline_resume_partial")
+    val streamHarness = Set(
+      "streaming_hourly_counts", "streaming_sessionize", "streaming_late_drop",
+      "dedup_stream_exact", "dedup_incremental_stream")
+    queries.keys.map { n =>
+      n -> (if (writeDemo(n)) "write_demo"
+            else if (streamHarness(n)) "stream_harness"
+            else "pure")
+    }.toMap
+  }
+
   /** DuckDB oracle SQL per query — every registered query has one.
     * Non-replayable internals are oracled through their *contract*:
     * `task_report` via observed row counts recomputed from the data,
@@ -168,6 +193,7 @@ object SparkEntry {
     "pipeline_config_curation" -> Queries.pipelineConfigCurationSql,
     "pipeline_config_quota_bands" -> Queries.pipelineConfigQuotaBandsSql,
     "pipeline_config_decontaminate" -> Queries.pipelineConfigDecontaminateSql,
+    "pipeline_resume_partial" -> Queries.pipelineResumePartialSql,
     "q1_pricing" -> Queries.q1PricingSql,
     "q3_top_orders" -> Queries.q3TopOrdersSql,
     "q5_region_revenue" -> Queries.q5RegionRevenueSql,

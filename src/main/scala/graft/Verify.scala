@@ -7,8 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // managed-table queries (join_bucketed, resume harness) write through
+    // the warehouse: keep it on the harness tmpfs, not the repo CWD
+    val wh = Files.createTempDirectory(Queries.tempBase, "graft_wh_")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.warehouse.dir", wh.toUri.toString)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -84,10 +84,15 @@ object Sinks {
   def dropManagedTable(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val wh = new java.net.URI(
-      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    // resolve via Hadoop Path, not raw URI.getPath: the conf value may be
+    // a file: URI or a bare relative path (the default `spark-warehouse`),
+    // and raw getPath on the latter is null/CWD-ambiguous
+    val wh = new java.io.File(new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir")).toUri.getPath).getAbsoluteFile
     def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
+      if (f.isDirectory) {
+        val fs = f.listFiles(); if (fs != null) fs.foreach(rm)
+      }
       f.delete(); ()
     }
     val d = new java.io.File(wh, table)

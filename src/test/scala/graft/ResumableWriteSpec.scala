@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.ResumableWrite
+
+/** Cross-job partial-done recovery (`AttemptState.java:1-170` semantics at
+  * the Spark layer): a partitioned write that crashes mid-run must leave
+  * completed waves durable, resume by writing ONLY the missing waves, and
+  * skip everything on a third pass.
+  */
+class ResumableWriteSpec extends AnyFunSuite with SparkFixture {
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_resume_spec_")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private def data = spark.read.parquet(s"$sf/events.parquet")
+    .select(col("ts"), col("value"))
+  private def bucket =
+    graft.operators.TimePartitioning.bucket(
+      col("ts"), graft.operators.TimePartitioning.Day)
+
+  test("pass 1 crashes after 2 of 4 waves; only those waves are durable") {
+    val out = freshDir()
+    val caught = intercept[ResumableWrite.InjectedFault] {
+      ResumableWrite.run(spark, data, bucket, out, waves = 4, pass = 1,
+        failAfterWaves = Some(2))
+    }
+    assert(caught.afterWaves === 2)
+    assert(ResumableWrite.completedWaves(spark, out) === Set(0, 1))
+    // every durable bucket belongs to a committed wave — nothing from the
+    // crashed wave leaked into the visible layout
+    val buckets = ResumableWrite.readBack(spark, out)
+      .select(col("bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    assert(buckets.nonEmpty)
+    assert(buckets.forall(b => b % 4 == 0 || b % 4 == 1))
+  }
+
+  test("resume writes only missing waves; third pass skips everything") {
+    val out = freshDir()
+    intercept[ResumableWrite.InjectedFault] {
+      ResumableWrite.run(spark, data, bucket, out, waves = 4, pass = 1,
+        failAfterWaves = Some(2))
+    }
+    val resumed = ResumableWrite.run(spark, data, bucket, out,
+      waves = 4, pass = 2)
+    assert(resumed === 2) // exactly the two waves the crash left unwritten
+    // skip proof: a completed layout resumes to zero work
+    assert(ResumableWrite.run(spark, data, bucket, out, waves = 4,
+      pass = 3) === 0)
+    // manifest: every bucket written exactly once, by the expected pass
+    val m = ResumableWrite.manifest(spark, out)
+      .select(col("bucket").cast("long").as("b"), col("pass"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    assert(m.map(_._1).distinct.length === m.length)
+    assert(m.forall { case (b, p) => p === (if (b % 4 < 2) 1 else 2) })
+    // resumed layout is bit-identical (same per-bucket rows) to a direct
+    // unfaulted write
+    val direct = freshDir()
+    ResumableWrite.run(spark, data, bucket, direct, waves = 4, pass = 1)
+    val a = ResumableWrite.readBack(spark, out)
+      .select(col("bucket").cast("long").as("bucket"), col("ts"), col("value"))
+    val b = ResumableWrite.readBack(spark, direct)
+      .select(col("bucket").cast("long").as("bucket"), col("ts"), col("value"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.count() === data.count())
+  }
+
+  test("wave re-run after manifest-append crash window is idempotent") {
+    val out = freshDir()
+    // simulate the crash BETWEEN a wave's data commit and its manifest
+    // append: write wave 0's data directly, leave no manifest, then run —
+    // wave 0 re-runs (dynamic overwrite replaces its leaves) and the final
+    // layout carries no duplicates
+    val w0 = data.withColumn("bucket", bucket)
+      .where(pmod(col("bucket"), lit(4)) === lit(0))
+    w0.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(out)
+    val wrote = ResumableWrite.run(spark, data, bucket, out, waves = 4,
+      pass = 1)
+    assert(wrote === 4) // no manifest → all four waves run
+    assert(ResumableWrite.readBack(spark, out).count() === data.count())
+  }
+}
