@@ -117,7 +117,13 @@ object Bench {
       val cmd = Seq(java) ++ addOpens ++ Seq(
         s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
         "-cp", sys.props("java.class.path"),
-        "graft.BenchFork", n, sfDir, cpus.toString)
+        // the child gets the same tmpfs warehouse/local-dir treatment as
+        // the parent (fourth arg) — without it fork-mode write_demo
+        // queries write spark-warehouse under the repo CWD and spill
+        // shuffle to disk, making queries_fork incomparable to the
+        // in-run/cold columns
+        "graft.BenchFork", n, sfDir, cpus.toString,
+        wh.resolve(s"fork_$n").toString)
       val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
       // watchdog: a hung child keeps stdout open, which would block the
       // stream read below forever and wedge the whole bench run — kill it
@@ -171,6 +177,10 @@ object Bench {
       else ""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(inRun)}$coldPart$forkPart$classPart,"sf":"$sfDir"}""")
     spark.stop()
+    // the wh tree (warehouse + spark.local.dir + fork subtrees) lives on
+    // RAM-backed tmpfs: reclaim it now — it can't go through tempDirs,
+    // whose purge runs between timings while the session still needs it
+    Queries.rmTree(wh.toFile)
   }
 }
 
@@ -182,9 +192,17 @@ object Bench {
   */
 object BenchFork {
   def main(args: Array[String]): Unit = {
-    val Array(name, sfDir, cpus) = args
+    val Array(name, sfDir, cpus, whBase) = args
+    // own tmpfs subtree (under the parent's wh dir, so the parent's
+    // end-of-run cleanup reclaims it even if this JVM dies): warehouse
+    // for write_demo managed tables, local for shuffle spill — same
+    // I/O isolation as the parent's in-run/cold columns
+    val wh = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(whBase))
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.warehouse.dir", wh.toUri.toString)
+      .config("spark.local.dir", wh.resolve("local").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = SparkEntry.queries(name)

@@ -81,7 +81,7 @@ object Queries {
   private val tempDirs =
     new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
 
-  private def rmTree(f: java.io.File): Unit = {
+  private[graft] def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) {
       val fs = f.listFiles(); if (fs != null) fs.foreach(rmTree)
     }
@@ -105,8 +105,18 @@ object Queries {
     val base = sys.env.get("SPARK_GRAFT_TMPDIR")
       .map(java.nio.file.Paths.get(_))
       .orElse {
+        // prefer RAM-backed tmpfs ONLY when it has real headroom: many
+        // containers mount /dev/shm at the 64 MB default, and with the
+        // warehouse + spark.local.dir (shuffle spill) also pointed here a
+        // tiny shm fails mid-run with ENOSPC. 4 GiB floor ≈ the largest
+        // harness residue observed at sf0.1 plus shuffle spill margin.
         val shm = java.nio.file.Paths.get("/dev/shm")
-        if (java.nio.file.Files.isWritable(shm)) Some(shm) else None
+        val usable = try {
+          if (java.nio.file.Files.isWritable(shm))
+            java.nio.file.Files.getFileStore(shm).getUsableSpace
+          else 0L
+        } catch { case _: java.io.IOException => 0L }
+        if (usable >= (4L << 30)) Some(shm) else None
       }
       .getOrElse(java.nio.file.Paths.get(sys.props("java.io.tmpdir")))
     java.nio.file.Files.createDirectories(base)
@@ -515,10 +525,14 @@ object Queries {
   }
 
   val pipelineResumePartialSql: String =
+    // pass replays the engine's pmod(bucket, 4) wave arithmetic; DuckDB %
+    // follows the dividend's sign, so wrap to the pmod range [0,4) or a
+    // pre-1970 bucket (-1 % 4 = -1 < 2) would flip pass 2 → 1
     """SELECT epoch_us(ts) // 86400000000 AS bucket,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-       CASE WHEN (epoch_us(ts) // 86400000000) % 4 < 2 THEN 1 ELSE 2 END AS pass
+       CASE WHEN (((epoch_us(ts) // 86400000000) % 4) + 4) % 4 < 2
+            THEN 1 ELSE 2 END AS pass
        FROM events GROUP BY 1 ORDER BY 1"""
 
   /** A full training-data CURATION pipeline driven by one JSON config —
@@ -1227,6 +1241,83 @@ object Queries {
              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
          FROM cand)
        WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** IVF-cell ANN over a Lloyd-REFINED index (`IvfIndex.refine`: 2
+    * deterministic k-means rounds over the seeded centroids, cells keep
+    * their seed ids, an emptied cell keeps its previous centroid).
+    * Refinement only moves cell BOUNDARIES — in-cell search stays exact —
+    * so the oracle replays the whole algorithm: the two rounds unroll as
+    * CTE pairs (argmax assignment → per-dimension AVG means), then probe
+    * + search against the final centroids with the same left-fold cosine.
+    * Both engines average the identical member sets, so the refined
+    * centroids (and every discrete cell/probe decision downstream) agree.
+    */
+  def annIvfRefined(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cent = IvfIndex.refine(e, nCells = 16, rounds = 2)
+    IvfIndex.annTopKWith(e.where(col("id") < 10), e, k = 5, nprobe = 4, cent)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annIvfRefinedSql: String = {
+    val dims = 64
+    // one Lloyd round: argmax assignment under the previous centroids,
+    // then per-(cell, dim) member means folded back into a list (cells
+    // with no members keep the previous centroid via the left join)
+    def round(prev: String, a: String, m: String, next: String): String =
+      s"""$a AS (
+         SELECT vec_id, embedding, cell FROM (
+           SELECT e.vec_id, e.embedding, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ${cosSql("e.embedding", "c.c_vec")} DESC, c.cell)
+               AS rn
+           FROM embeddings e CROSS JOIN $prev c)
+         WHERE rn = 1),
+       $m AS (
+         SELECT a.cell, d.d AS dim,
+           AVG(CAST(a.embedding[d.d] AS DOUBLE)) AS m
+         FROM $a a CROSS JOIN range(1, ${dims + 1}) d(d)
+         GROUP BY a.cell, d.d),
+       $next AS (
+         SELECT c.cell, COALESCE(l.mv, c.c_vec) AS c_vec
+         FROM $prev c LEFT JOIN (
+           SELECT cell, list(m ORDER BY dim) AS mv FROM $m GROUP BY cell
+         ) l USING (cell))"""
+    s"""WITH cent0 AS (
+         SELECT vec_id AS cell,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_vec
+         FROM embeddings WHERE vec_id < 16),
+       ${round("cent0", "a0", "m0", "cent1")},
+       ${round("cent1", "a1", "m1", "cent2")},
+       assign AS (
+         SELECT vec_id, embedding, cell FROM (
+           SELECT e.vec_id, e.embedding, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ${cosSql("e.embedding", "c.c_vec")} DESC, c.cell)
+               AS rn
+           FROM embeddings e CROSS JOIN cent2 c)
+         WHERE rn = 1),
+       probes AS (
+         SELECT query_id, q_vec, cell FROM (
+           SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.cell,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY ${cosSql("q.embedding", "c.c_vec")} DESC, c.cell)
+               AS rn
+           FROM embeddings q CROSS JOIN cent2 c WHERE q.vec_id < 10)
+         WHERE rn <= 4),
+       cand AS (
+         SELECT p.query_id, a.vec_id AS neighbor_id,
+           ${cosSql("p.q_vec", "a.embedding")} AS cos
+         FROM probes p JOIN assign a
+           ON p.cell = a.cell AND a.vec_id != p.query_id)
+       SELECT query_id, neighbor_id, cos, rank FROM (
+         SELECT query_id, neighbor_id, cos,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         FROM cand)
+       WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
 
   /** The L6 ANN scale path, oracle-gated: `Similarity.annTopKLsh` bucket
     * candidates + exact re-rank. Like `ann_ivf`, the deterministic index

@@ -19,15 +19,21 @@ object ScaleSmoke {
     val pinned = sys.env.get("SPARK_GRAFT_SCALE_DIR")
     val out = pinned.getOrElse(
       java.nio.file.Files.createTempDirectory("graft_scale_").toString)
-    // reuse only a COMPLETE build: "part" is the last table written, and
-    // _SUCCESS marks its job committed — an interrupted build rebuilds
-    val rebuild = pinned.forall(d =>
-      !new java.io.File(d, "part.parquet/_SUCCESS").exists())
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    // reuse only a COMPLETE build OF THIS SHAPE: the marker (written after
+    // the last table commits) records base+factor, so a pinned dir built
+    // at 10× is rebuilt — not silently reused — when a 30× run asks for
+    // it. Pre-marker dirs (or interrupted builds) always rebuild.
+    val marker = new java.io.File(out, "_graft_scale_build")
+    val stamp = s"base=$base factor=$factor"
+    val rebuild = pinned.forall { _ =>
+      !marker.exists() ||
+        scala.util.Try(java.nio.file.Files.readString(marker.toPath).trim)
+          .getOrElse("") != stamp
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     def amplify(name: String, keyCols: Map[String, Long]): Unit = {
       val src = Tables.table(spark, base, name)
       val copies = (0 until factor).map { r =>
@@ -49,6 +55,8 @@ object ScaleSmoke {
         Tables.table(spark, base, t).write.mode("overwrite")
           .parquet(s"$out/$t.parquet")
       }
+      java.nio.file.Files.writeString(marker.toPath, stamp + "\n")
+      ()
     }
 
     // the full registered surface (the report queries drain the listener

@@ -100,6 +100,7 @@ object SparkEntry {
     "ann_topk" -> (Queries.annTopk _),
     "ann_topk_lsh" -> (Queries.annTopkLsh _),
     "ann_ivf" -> (Queries.annIvf _),
+    "ann_ivf_refined" -> (Queries.annIvfRefined _),
     "knn_label" -> (Queries.knnLabel _),
     "knn_label_ivf" -> (Queries.knnLabelIvf _),
     // corpus curation (incremental dedup, compaction, sampling, chunking)
@@ -173,6 +174,7 @@ object SparkEntry {
     "approx_distinct_users" -> Queries.approxDistinctUsersSql,
     "dedup_simhash" -> Queries.dedupSimhashSql,
     "ann_ivf" -> Queries.annIvfSql,
+    "ann_ivf_refined" -> Queries.annIvfRefinedSql,
     "knn_label" -> Queries.knnLabelSql,
     "knn_label_ivf" -> Queries.knnLabelIvfSql,
     "etl_map_only" -> Queries.etlMapOnlySql,

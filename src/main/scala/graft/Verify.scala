@@ -54,5 +54,8 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // reclaim the tmpfs warehouse tree now that the session is closed
+    // (it can't ride tempDirs — purgeTempDirs runs mid-dump)
+    Queries.rmTree(wh.toFile)
   }
 }

@@ -36,30 +36,6 @@ object Multimodal {
     df.withColumn("payload", src.cast("binary"))
       .withColumn("meta", meta(col("payload"), modality))
 
-  /** STUB image decode: "dimensions" derived deterministically from the
-    * content hash — stands in for a real decode returning (width, height,
-    * channels). Pure column expr ⇒ stays in codegen; a real decoder would be
-    * a `mapInPandas`/`mapPartitions` batch over the same schema.
-    */
-  def stubDecodeImage(payload: Column): Column = {
-    val h = abs(xxhash64(payload))
-    struct(
-      (pmod(h, lit(1920L)) + 1L).as("width"),
-      (pmod(call_function("shiftright", h, lit(11)), lit(1080L)) + 1L).as("height"),
-      lit(3L).as("channels"))
-  }
-
-  /** STUB resize: scales stub dimensions, keeping aspect semantics. */
-  def stubResize(decoded: Column, maxSide: Int): Column = {
-    val w = decoded.getField("width")
-    val h = decoded.getField("height")
-    val scaleDen = greatest(w, h)
-    struct(
-      call_function("div", w * maxSide, scaleDen).as("width"),
-      call_function("div", h * maxSide, scaleDen).as("height"),
-      decoded.getField("channels").as("channels"))
-  }
-
   /** The MJPEG-style video container: concatenated
     * [4-byte big-endian length][PNG frame] records. Intra-coded (every
     * frame self-contained), so frame sampling needs only the length

@@ -160,9 +160,17 @@ object IvfIndex {
 
   /** Top-k neighbors searching only each query's `nprobe` best cells. */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nCells: Int, nprobe: Int): DataFrame = {
+      nCells: Int, nprobe: Int): DataFrame =
+    annTopKWith(queries, corpus, k, nprobe, seedCentroids(corpus, nCells))
+
+  /** [[annTopK]] against a caller-supplied centroid set — the entry point
+    * for Lloyd-refined indexes ([[refine]]), where balanced cells mean
+    * balanced probe work at scale. Same plan shape: centroids broadcast,
+    * corpus shuffles once on `cell`, candidates from the cell equi-join.
+    */
+  def annTopKWith(queries: DataFrame, corpus: DataFrame, k: Int,
+      nprobe: Int, centroids: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centroids = seedCentroids(corpus, nCells)
     val indexed = assign(corpus, centroids)
     val probes = probeCells(queries, centroids, nprobe)
 

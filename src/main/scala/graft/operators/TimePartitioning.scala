@@ -1,7 +1,39 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Analysis-time guard for [[TimePartitioning.bucket]]: pass-through for
+  * timestamp-like inputs, analysis ERROR for numeric ones. Without it a
+  * long column (e.g. raw parquet nano-epochs under `nanosAsLong=true`)
+  * silently rides `cast("timestamp")`'s interpret-as-SECONDS semantics and
+  * every row garbage-buckets — the failure mode that red-flagged
+  * ResumableWriteSpec in round 9. Identity in both eval and codegen, so it
+  * costs nothing inside whole-stage codegen.
+  */
+case class RequireTimestampLike(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = child.dataType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case TimestampType | TimestampNTZType | DateType | StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"TimePartitioning.bucket requires a timestamp-like column " +
+      s"(timestamp, timestamp_ntz, date, or castable string); got " +
+      s"${other.simpleString}. For unix-time long columns use " +
+      s"bucketOfLong with an explicit unit (sec/milli/micro/nano) — a " +
+      s"blind cast would interpret the long as SECONDS.")
+  }
+  override protected def nullSafeEval(input: Any): Any = input
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => c)
+  override protected def withNewChildInternal(newChild: Expression)
+      : RequireTimestampLike = copy(child = newChild)
+}
 
 /** Time-bucket partitioning — the reference's only built-in partitioner
   * (`TimestampPartitioning.java`), re-expressed as integer Catalyst
@@ -65,8 +97,12 @@ object TimePartitioning {
     * makes NTZ inputs work too (interpreted in the session zone — UTC per
     * the engine contract, `TimestampPartitioning.java:128-131`).
     */
-  def bucket(ts: Column, unit: BucketUnit): Column =
-    floorDiv(unix_micros(ts.cast("timestamp")), unit.seconds * 1000000L).cast("long")
+  def bucket(ts: Column, unit: BucketUnit): Column = {
+    val guarded = ColumnBridge.column(
+      RequireTimestampLike(ColumnBridge.expression(ts)))
+    floorDiv(unix_micros(guarded.cast("timestamp")),
+      unit.seconds * 1000000L).cast("long")
+  }
 
   /** Bucket id for a long unix-time column in the given unit. */
   def bucketOfLong(v: Column, unixUnit: UnixUnit, unit: BucketUnit): Column =

@@ -41,16 +41,35 @@ object ResumableWrite {
 
   private def manifestDir(outDir: String) = s"$outDir/_graft_manifest"
 
-  /** Waves whose manifest rows are already durable (empty set when no
-    * manifest exists yet). O(waves) collect of an aggregate — never
-    * per-bucket data to the driver.
+  /** Fixed manifest schema — read with it explicitly, never inferred: a
+    * crash DURING the first manifest-append job leaves `_graft_manifest`
+    * existing with zero committed part files, and schema inference over
+    * that would throw instead of resuming (the exact crash window this
+    * component exists to tolerate).
+    */
+  private val manifestSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "bucket LONG, n_rows LONG, pass INT, wave INT")
+
+  private def hadoopFs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private val WaveMarker = "_wave_(\\d+)\\.done".r
+
+  /** Waves already durable, from per-wave marker files — NOT from manifest
+    * rows: a wave whose slice is EMPTY appends zero manifest rows, so a
+    * row-derived set would re-run it on every pass and break the
+    * "third pass returns 0" skip contract. Markers are written
+    * unconditionally after each wave commits; listing them is one
+    * O(waves) FileSystem call (HDFS/S3A-portable), no Spark job at all.
     */
   def completedWaves(spark: SparkSession, outDir: String): Set[Int] = {
-    val dir = new java.io.File(manifestDir(outDir))
-    if (!dir.exists()) Set.empty
-    else spark.read.parquet(manifestDir(outDir))
-      .select(col("wave")).distinct().collect()
-      .map(_.getInt(0)).toSet
+    val (fs, dir) = hadoopFs(spark, manifestDir(outDir))
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).iterator.map(_.getPath.getName).collect {
+      case WaveMarker(n) => n.toInt
+    }.toSet
   }
 
   /** Run (or resume) the partitioned write of `df` bucketed by `bucket`
@@ -80,21 +99,34 @@ object ResumableWrite {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
         .parquet(outDir)
+      // per-wave hive-style subdir, OVERWRITE mode: a wave re-run (crash
+      // between manifest commit and marker create) replaces its own
+      // manifest slice instead of appending duplicate rows. `wave` is the
+      // directory key, recovered as a partition column on read.
       slice.groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_rows"))
         .withColumn("pass", lit(pass))
-        .withColumn("wave", lit(w))
-        .write.mode("append").parquet(manifestDir(outDir))
+        .write.mode("overwrite").parquet(s"${manifestDir(outDir)}/wave=$w")
+      // completion marker AFTER both jobs commit, unconditionally — an
+      // empty wave writes no manifest rows but is still complete (the
+      // row-derived set would re-run it forever). `_`-prefixed, so
+      // Spark's file listing and partition discovery both skip it.
+      val (fs, marker) = hadoopFs(spark,
+        s"${manifestDir(outDir)}/_wave_$w.done")
+      fs.create(marker, true).close()
       wrote += 1
     }
     wrote
   }
 
   /** The manifest as a DataFrame: `(bucket, n_rows, pass, wave)` — one row
-    * per leaf directory per writing pass.
+    * per leaf directory per writing pass (`wave` recovered from the
+    * hive-style subdir). Explicit schema: a wave subdir the crash left
+    * with zero committed part files must read as empty, not throw on
+    * inference.
     */
   def manifest(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(manifestDir(outDir))
+    spark.read.schema(manifestSchema).parquet(manifestDir(outDir))
 
   /** The written layout read back (partition column `bucket` included). */
   def readBack(spark: SparkSession, outDir: String): DataFrame =

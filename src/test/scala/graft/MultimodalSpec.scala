@@ -17,23 +17,6 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(r.getString(2) === "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
   }
 
-  test("stub decode is deterministic and resize respects max side") {
-    val df = Multimodal.withPayload(
-      Tables.documents(spark, sf).limit(20), $"text", "image")
-      .withColumn("dec", Multimodal.stubDecodeImage($"payload"))
-      .withColumn("small", Multimodal.stubResize($"dec", 256))
-    val rows = df.select($"dec.width", $"dec.height",
-      $"small.width", $"small.height").collect()
-    rows.foreach { r =>
-      assert(r.getLong(0) >= 1 && r.getLong(0) <= 1920)
-      assert(r.getLong(1) >= 1 && r.getLong(1) <= 1080)
-      assert(r.getLong(2) <= 256 && r.getLong(3) <= 256)
-    }
-    // determinism: same payload → same stub decode
-    val again = df.select($"dec.width").collect().map(_.getLong(0))
-    assert(again.toSeq === rows.map(_.getLong(0)).toSeq)
-  }
-
   test("real javax.imageio decode: PNG dimensions, channels, pixel hash") {
     // build real PNG payloads in-memory: a 7x5 RGB gradient and a 3x3
     // solid; plus one garbage payload that must fail soft, not kill the task

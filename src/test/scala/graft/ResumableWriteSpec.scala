@@ -17,8 +17,11 @@ class ResumableWriteSpec extends AnyFunSuite with SparkFixture {
     d.toString
   }
 
-  private def data = spark.read.parquet(s"$sf/events.parquet")
-    .select(col("ts"), col("value"))
+  // through Tables.events, NOT a raw parquet read: the session's
+  // nanosAsLong=true delivers raw `ts` as a long of nanoseconds, which
+  // bucket() must reject (see the type-guard test below) — Tables.events
+  // converts it to the engine's canonical µs timestamp
+  private def data = Tables.events(spark, sf).select(col("ts"), col("value"))
   private def bucket =
     graft.operators.TimePartitioning.bucket(
       col("ts"), graft.operators.TimePartitioning.Day)
@@ -85,5 +88,24 @@ class ResumableWriteSpec extends AnyFunSuite with SparkFixture {
       pass = 1)
     assert(wrote === 4) // no manifest → all four waves run
     assert(ResumableWrite.readBack(spark, out).count() === data.count())
+  }
+
+  test("empty waves are recorded complete — the skip contract holds") {
+    // only wave-0 buckets survive the filter, so waves 1-3 write zero
+    // rows; completion must come from the per-wave marker, not manifest
+    // rows, or the empty waves re-run on every subsequent pass
+    val out = freshDir()
+    val sliver = data.where(
+      pmod(graft.operators.TimePartitioning.bucket(
+        col("ts"), graft.operators.TimePartitioning.Day), lit(4)) === lit(0))
+    assert(ResumableWrite.run(spark, sliver, bucket, out, waves = 4,
+      pass = 1) === 4)
+    assert(ResumableWrite.completedWaves(spark, out) === Set(0, 1, 2, 3))
+    assert(ResumableWrite.run(spark, sliver, bucket, out, waves = 4,
+      pass = 2) === 0)
+    // manifest reads back with its explicit schema even though three wave
+    // subdirs hold no data rows
+    assert(ResumableWrite.manifest(spark, out)
+      .select(col("wave")).distinct().count() === 1)
   }
 }

@@ -50,6 +50,33 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("IVF Lloyd refine: deterministic, seed-id-keyed, and moves a centroid") {
+    import graft.operators.IvfIndex
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val r1 = IvfIndex.refine(e, nCells = 8, rounds = 2)
+    val r2 = IvfIndex.refine(e, nCells = 8, rounds = 2)
+    val c1 = r1.orderBy($"id").collect()
+    val c2 = r2.orderBy($"id").collect()
+    // determinism: bit-identical centroids run to run (the oracle-replay
+    // precondition — nothing in assign/means may depend on partitioning)
+    assert(c1.map(_.getLong(0)).toSeq === c2.map(_.getLong(0)).toSeq)
+    assert(c1.zip(c2).forall { case (a, b) =>
+      a.getSeq[Double](1) == b.getSeq[Double](1) })
+    // cells keep their seed ids; each centroid has the corpus dims
+    assert(c1.map(_.getLong(0)).toSet === (0L until 8L).toSet)
+    val dims = e.select(size($"vec")).head().getInt(0)
+    assert(c1.forall(_.getSeq[Double](1).length == dims))
+    // refinement actually moved at least one centroid off its seed
+    val seeds = IvfIndex.seedCentroids(e, 8).orderBy($"id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    assert(c1.exists(r => r.getSeq[Double](1) != seeds(r.getLong(0))))
+    // refined cells stay non-degenerate: every member still joins a cell,
+    // so a probe over refined centroids sees the whole corpus partitioned
+    val assigned = IvfIndex.assign(e, r1)
+    assert(assigned.count() === e.count())
+  }
+
   test("duplicate-vector collapse: amplified corpus equals the naive pairs") {
     val e = Tables.embeddings(spark, sf)
       .select($"vec_id", $"embedding")

@@ -44,6 +44,20 @@ class TimePartitioningSpec extends AnyFunSuite with SparkFixture {
     assert(buckets(1) === 0L) // -1 s / 3600 truncates to 0, as in Java
   }
 
+  test("bucket() rejects long columns at analysis time (no silent seconds cast)") {
+    // the round-9 failure mode: raw parquet nano-epochs arrive as LONG
+    // under nanosAsLong=true; a blind cast would bucket them as seconds
+    val df = Seq(1704072600000000000L).toDF("ts")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(TimePartitioning.bucket($"ts", Hour)).collect()
+    }
+    assert(e.getMessage.contains("bucketOfLong"))
+    // date and string stay accepted (cast path unchanged)
+    val ok = Seq("2024-01-01 01:30:00").toDF("s")
+      .select(TimePartitioning.bucket($"s", Hour)).head().getLong(0)
+    assert(ok === 1704072600L / 3600)
+  }
+
   test("unit parsing matches the reference's config errors") {
     assert(BucketUnit.of("hour") === Hour)
     assert(BucketUnit.of("day") === Day)
