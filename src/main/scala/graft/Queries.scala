@@ -1539,6 +1539,62 @@ object Queries {
        CAST(length(text) AS BIGINT) AS chars
        FROM documents WHERE doc_id < 50 ORDER BY doc_id"""
 
+  /** L10 token budgeting under the REAL merges table (`graft/bpe_merges
+    * .txt`, trained deterministically by `graft.BpeTrain`, GPT-2
+    * merges.txt format): per-doc pre-token and true-BPE token counts.
+    * The oracle replays the entire tokenizer in DuckDB — the merges embed
+    * as a VALUES table and a recursive CTE applies them in rank order to
+    * every distinct word (sound because a trained merge's sides always
+    * form at strictly lower ranks, so rank-sequential application equals
+    * the encoder's min-rank loop; pair replacement is left-to-right
+    * non-overlapping in both, `replace()` vs the kernel's single pass).
+    */
+  def textBpeTokens(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.QualityFunctions.bpeCount(col("text"))
+          .as("n_pretokens"),
+        graft.functions.BpeFunctions.bpeTokenCount(col("text"))
+          .as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  val textBpeTokensSql: String = {
+    val merges = graft.functions.BpeVocab.resourceMerges
+    val values = merges.zipWithIndex
+      .map { case ((l, r), i) => s"($i,'$l','$r')" }.mkString(",")
+    val m = merges.length
+    s"""WITH RECURSIVE
+       toks AS (
+         SELECT doc_id, unnest(regexp_extract_all(text,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS w
+         FROM documents),
+       words AS (
+         SELECT DISTINCT w FROM toks
+         WHERE length(w) > 1 AND w SIMILAR TO '[A-Za-z0-9]+'),
+       merges(rnk, l, r) AS (VALUES $values),
+       steps(w, s, rnk) AS (
+         SELECT w, rtrim(regexp_replace(w, '(.)', '\\1' || chr(31), 'g'),
+           chr(31)), 0
+         FROM words
+         UNION ALL
+         SELECT st.w, replace(st.s, m.l || chr(31) || m.r, m.l || m.r),
+           st.rnk + 1
+         FROM steps st JOIN merges m ON m.rnk = st.rnk),
+       enc AS (
+         SELECT w, len(string_split(s, chr(31))) AS ntok
+         FROM steps WHERE rnk = $m),
+       perdoc AS (
+         SELECT t.doc_id, COUNT(*) AS n_pre,
+           SUM(COALESCE(e.ntok, 1)) AS n_bpe
+         FROM toks t LEFT JOIN enc e ON t.w = e.w
+         GROUP BY 1)
+       SELECT d.doc_id,
+         CAST(COALESCE(p.n_pre, 0) AS BIGINT) AS n_pretokens,
+         CAST(COALESCE(p.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+       FROM documents d LEFT JOIN perdoc p USING (doc_id)
+       ORDER BY d.doc_id"""
+  }
+
   def langId(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
       .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
@@ -2086,6 +2142,74 @@ object Queries {
            UNNEST(range(0, greatest(1, CAST(ceil(len(w) / 50.0) AS BIGINT))))
              AS u(ci))
        ORDER BY doc_id, chunk_idx"""
+
+  /** L19 sequence packing with the budget in REAL BPE tokens (the
+    * merges-table count of each chunk's text, [[graft.functions
+    * .BpeFunctions.bpeTokenCount]]) instead of the whitespace-word proxy —
+    * the accounting a training pipeline actually bills against. Same
+    * two-level prefix-sum pack assignment as `doc_packing`; the oracle
+    * recomputes every chunk's token count with the recursive-CTE
+    * tokenizer replay and packs with the global window.
+    */
+  def docPackingBpe(s: SparkSession, dir: String): DataFrame = {
+    val chunks = Chunking.byWords(documents(s, dir).where(col("doc_id") < 200),
+      col("doc_id"), col("text"), chunkWords = 50)
+      .withColumn("n_bpe",
+        graft.functions.BpeFunctions.bpeTokenCount(col("chunk_text")))
+    Chunking.packByBudget(chunks, Seq("id", "chunk_idx"),
+        col("n_bpe"), budgetWords = 256L)
+      .select(col("id").as("doc_id"), col("chunk_idx"), col("n_bpe"),
+        col("pack_id"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val docPackingBpeSql: String = {
+    val merges = graft.functions.BpeVocab.resourceMerges
+    val values = merges.zipWithIndex
+      .map { case ((l, r), i) => s"($i,'$l','$r')" }.mkString(",")
+    val m = merges.length
+    s"""WITH RECURSIVE
+       chunks AS (
+         SELECT doc_id, ci AS chunk_idx,
+           array_to_string(list_slice(w, ci * 50 + 1, ci * 50 + 50), ' ')
+             AS ctext
+         FROM (SELECT doc_id, string_split($normalizeSql, ' ') AS w
+               FROM documents WHERE doc_id < 200),
+           UNNEST(range(0, greatest(1, CAST(ceil(len(w) / 50.0) AS BIGINT))))
+             AS u(ci)),
+       ctoks AS (
+         SELECT doc_id, chunk_idx, unnest(regexp_extract_all(ctext,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS w
+         FROM chunks),
+       words AS (
+         SELECT DISTINCT w FROM ctoks
+         WHERE length(w) > 1 AND w SIMILAR TO '[A-Za-z0-9]+'),
+       merges(rnk, l, r) AS (VALUES $values),
+       steps(w, s, rnk) AS (
+         SELECT w, rtrim(regexp_replace(w, '(.)', '\\1' || chr(31), 'g'),
+           chr(31)), 0
+         FROM words
+         UNION ALL
+         SELECT st.w, replace(st.s, m.l || chr(31) || m.r, m.l || m.r),
+           st.rnk + 1
+         FROM steps st JOIN merges m ON m.rnk = st.rnk),
+       enc AS (
+         SELECT w, len(string_split(s, chr(31))) AS ntok
+         FROM steps WHERE rnk = $m),
+       cbpe AS (
+         SELECT t.doc_id, t.chunk_idx, SUM(COALESCE(e.ntok, 1)) AS n_bpe
+         FROM ctoks t LEFT JOIN enc e ON t.w = e.w
+         GROUP BY 1, 2),
+       allc AS (
+         SELECT c.doc_id, c.chunk_idx,
+           CAST(COALESCE(b.n_bpe, 0) AS BIGINT) AS n_bpe
+         FROM chunks c LEFT JOIN cbpe b USING (doc_id, chunk_idx))
+       SELECT doc_id, chunk_idx, n_bpe,
+         CAST(COALESCE(SUM(n_bpe) OVER (ORDER BY doc_id, chunk_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256
+           AS BIGINT) AS pack_id
+       FROM allc ORDER BY doc_id, chunk_idx"""
+  }
 
   /** Corpus-frequency fluency score — the engine-native stand-in for a
     * CCNet-style LM quality filter: a document whose distinct word bigrams

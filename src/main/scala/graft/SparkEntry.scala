@@ -112,6 +112,7 @@ object SparkEntry {
     "sample_exact_n" -> (Queries.sampleExactN _),
     "doc_chunking" -> (Queries.docChunking _),
     "doc_packing" -> (Queries.docPacking _),
+    "doc_packing_bpe" -> (Queries.docPackingBpe _),
     "quality_bands" -> (Queries.qualityBands _),
     "tfidf_topterms" -> (Queries.tfidfTopterms _),
     "decontaminate" -> (Queries.decontaminate _),
@@ -126,6 +127,7 @@ object SparkEntry {
     // L8-L11 text analysis
     "text_stats" -> (Queries.textStats _),
     "text_tokens" -> (Queries.textTokens _),
+    "text_bpe_tokens" -> (Queries.textBpeTokens _),
     "lang_id" -> (Queries.langId _),
     "quality_score" -> (Queries.qualityScore _),
     "corpus_freq_score" -> (Queries.corpusFreqScore _),
@@ -241,6 +243,7 @@ object SparkEntry {
     "sample_exact_n" -> Queries.sampleExactNSql,
     "doc_chunking" -> Queries.docChunkingSql,
     "doc_packing" -> Queries.docPackingSql,
+    "doc_packing_bpe" -> Queries.docPackingBpeSql,
     "quality_bands" -> Queries.qualityBandsSql,
     "tfidf_topterms" -> Queries.tfidfToptermsSql,
     "decontaminate" -> Queries.decontaminateSql,
@@ -253,6 +256,7 @@ object SparkEntry {
     "source_quota" -> Queries.sourceQuotaSql,
     "text_stats" -> Queries.textStatsSql,
     "text_tokens" -> Queries.textTokensSql,
+    "text_bpe_tokens" -> Queries.textBpeTokensSql,
     "lang_id" -> Queries.langIdSql,
     "quality_score" -> Queries.qualityScoreSql,
     "corpus_freq_score" -> Queries.corpusFreqScoreSql,
