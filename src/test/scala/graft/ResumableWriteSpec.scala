@@ -27,6 +27,13 @@ class ResumableWriteSpec extends AnyFunSuite with SparkFixture {
       col("ts"), graft.operators.TimePartitioning.Day)
 
   test("pass 1 crashes after 2 of 4 waves; only those waves are durable") {
+    // fixture self-check (the r9 failure mode made waves 0-2 empty and
+    // the assertions vacuous): the corpus must actually populate several
+    // waves, or the fixture — not the component — is broken
+    val residues = data
+      .select(pmod(bucket, lit(4)).as("r")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(residues.size >= 2, s"fixture degenerate: wave residues $residues")
     val out = freshDir()
     val caught = intercept[ResumableWrite.InjectedFault] {
       ResumableWrite.run(spark, data, bucket, out, waves = 4, pass = 1,

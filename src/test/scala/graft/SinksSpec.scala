@@ -72,6 +72,47 @@ class SinksSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("second_column"))
   }
 
+  test("composite + map_side_partition_split compose: leaves bounded by " +
+      "the split factor, content identical to the unsalted layout") {
+    // the r8 open interaction case: a compound (day, status) layout WITH
+    // hot-bucket salting. The shuffle key is (bucket, status, salt), so a
+    // leaf's rows spread over at most `split` reducer tasks — never more
+    // files than that per leaf — while the directory layout and the row
+    // content stay exactly the unsalted result.
+    val split = 3
+    val out = tmp("graft_comp_salt_")
+    val cfg = graft.pipeline.ConfigJson.parse(s"""{
+      "in": {"path": "$sf/orders.parquet"},
+      "partitioning": {"type": "composite", "column": "o_orderdate",
+        "unit": "day", "second_column": "o_orderstatus",
+        "map_side_partition_split": $split},
+      "reducers": 8
+    }""")
+    graft.pipeline.Pipeline.run(spark, cfg, out)
+    val leaves = new java.io.File(out).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
+      .flatMap(_.listFiles())
+      .filter(d => d.isDirectory && d.getName.startsWith("o_orderstatus="))
+    assert(leaves.nonEmpty)
+    leaves.foreach { leaf =>
+      val files = leaf.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.nonEmpty && files.length <= split,
+        s"${leaf.getName}: ${files.length} files for split=$split")
+    }
+    // salt widens parallelism only — the landed rows are the source rows
+    val back = spark.read.parquet(out)
+      .groupBy($"bucket".cast("long").as("bucket"), $"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast("decimal(18,2)")).as("s"))
+    val want = Tables.orders(spark, sf)
+      .groupBy(TimePartitioning.bucket($"o_orderdate", TimePartitioning.Day)
+        .as("bucket"), $"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast("decimal(18,2)")).as("s"))
+    assert(back.collect().map(_.toString).sorted.toSeq ===
+      want.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("splitHotBuckets spreads a hot bucket of identical duplicate rows") {
     // the r5 verdict's case: a hot bucket made of verbatim duplicates. The
     // old all-column row-hash salt collided every duplicate onto ONE salt
