@@ -1247,15 +1247,23 @@ object Queries {
     * their seed ids, an emptied cell keeps its previous centroid).
     * Refinement only moves cell BOUNDARIES — in-cell search stays exact —
     * so the oracle replays the whole algorithm: the two rounds unroll as
-    * CTE pairs (argmax assignment → per-dimension AVG means), then probe
+    * CTE pairs (argmax assignment → per-dimension means), then probe
     * + search against the final centroids with the same left-fold cosine.
-    * Both engines average the identical member sets, so the refined
-    * centroids (and every discrete cell/probe decision downstream) agree.
+    * Double summation is non-associative, so "both engines average the
+    * same member set" is NOT enough for bit-equality — both sides
+    * therefore compute each (cell, dim) mean as a sequential left fold
+    * over the members in id order (`orderedMeans = true` on the Spark
+    * side, `list(… ORDER BY vec_id)` + `list_reduce` in the oracle),
+    * making every centroid — and every discrete cell/probe decision
+    * downstream of an argmax over them — deterministic and
+    * engine-independent. Production refinement keeps the O(1)-state
+    * `avg()` path; see [[graft.operators.IvfIndex.refine]].
     */
   def annIvfRefined(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val cent = IvfIndex.refine(e, nCells = 16, rounds = 2)
+    val cent = IvfIndex.refine(e, nCells = 16, rounds = 2,
+      orderedMeans = true)
     IvfIndex.annTopKWith(e.where(col("id") < 10), e, k = 5, nprobe = 4, cent)
       .orderBy(col("query_id"), col("rank"))
   }
@@ -1276,7 +1284,10 @@ object Queries {
          WHERE rn = 1),
        $m AS (
          SELECT a.cell, d.d AS dim,
-           AVG(CAST(a.embedding[d.d] AS DOUBLE)) AS m
+           list_reduce(
+             [0.0] || list(CAST(a.embedding[d.d] AS DOUBLE)
+               ORDER BY a.vec_id),
+             (x, y) -> x + y) / COUNT(*) AS m
          FROM $a a CROSS JOIN range(1, ${dims + 1}) d(d)
          GROUP BY a.cell, d.d),
        $next AS (
@@ -1544,10 +1555,8 @@ object Queries {
     * merges.txt format): per-doc pre-token and true-BPE token counts.
     * The oracle replays the entire tokenizer in DuckDB — the merges embed
     * as a VALUES table and a recursive CTE applies them in rank order to
-    * every distinct word (sound because a trained merge's sides always
-    * form at strictly lower ranks, so rank-sequential application equals
-    * the encoder's min-rank loop; pair replacement is left-to-right
-    * non-overlapping in both, `replace()` vs the kernel's single pass).
+    * every distinct word (see [[bpeReplaySql]] for the symbol-aligned
+    * encoding and its soundness argument).
     */
   def textBpeTokens(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
@@ -1558,11 +1567,51 @@ object Queries {
           .as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
 
-  val textBpeTokensSql: String = {
+  /** Shared DuckDB tokenizer-replay CTEs (`merges`, `steps`, `enc`) over a
+    * preceding `words(w)` CTE of distinct multi-char alphanumeric
+    * pre-tokens.
+    *
+    * Symbol-aligned encoding: every symbol is delimited on BOTH sides
+    * with chr(31), so k symbols render as `•s1••s2•…•sk•` (one separator
+    * at each end, two between adjacent symbols). A merge (l,r) replaces
+    * the pattern `•l••r•` with `•lr•`, which preserves that invariant and
+    * can ONLY match whole symbols: l and r contain no separator, a
+    * separator occurs immediately before a character only at a symbol
+    * start, and the pattern's middle `••` occurs only between adjacent
+    * symbols — so a mid-symbol fragment (e.g. the 'in' inside 'join')
+    * never matches. Adjacent occurrences never overlap (each consumes one
+    * separator of the interior pair), so one left-to-right `replace()`
+    * per rank merges exactly the occurrences the kernel's merge round
+    * does, and rank-sequential application equals the encoder's min-rank
+    * loop because a trained merge's two sides always form at strictly
+    * lower ranks. (The previous single-separator encoding `s1•s2` was
+    * unsound: `replace(s, l||•||r, …)` matched across symbol boundaries
+    * whenever a symbol ended with l or the next began with r.)
+    */
+  private lazy val bpeReplaySql: String = {
     val merges = graft.functions.BpeVocab.resourceMerges
     val values = merges.zipWithIndex
       .map { case ((l, r), i) => s"($i,'$l','$r')" }.mkString(",")
     val m = merges.length
+    s"""merges(rnk, l, r) AS (VALUES $values),
+       steps(w, s, rnk) AS (
+         SELECT w, regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31),
+           'g'), 0
+         FROM words
+         UNION ALL
+         SELECT st.w,
+           replace(st.s,
+             chr(31) || m.l || chr(31) || chr(31) || m.r || chr(31),
+             chr(31) || m.l || m.r || chr(31)),
+           st.rnk + 1
+         FROM steps st JOIN merges m ON m.rnk = st.rnk),
+       enc AS (
+         SELECT w, len(list_filter(string_split(s, chr(31)),
+           x -> x <> '')) AS ntok
+         FROM steps WHERE rnk = $m)"""
+  }
+
+  val textBpeTokensSql: String =
     s"""WITH RECURSIVE
        toks AS (
          SELECT doc_id, unnest(regexp_extract_all(text,
@@ -1571,18 +1620,7 @@ object Queries {
        words AS (
          SELECT DISTINCT w FROM toks
          WHERE length(w) > 1 AND w SIMILAR TO '[A-Za-z0-9]+'),
-       merges(rnk, l, r) AS (VALUES $values),
-       steps(w, s, rnk) AS (
-         SELECT w, rtrim(regexp_replace(w, '(.)', '\\1' || chr(31), 'g'),
-           chr(31)), 0
-         FROM words
-         UNION ALL
-         SELECT st.w, replace(st.s, m.l || chr(31) || m.r, m.l || m.r),
-           st.rnk + 1
-         FROM steps st JOIN merges m ON m.rnk = st.rnk),
-       enc AS (
-         SELECT w, len(string_split(s, chr(31))) AS ntok
-         FROM steps WHERE rnk = $m),
+       $bpeReplaySql,
        perdoc AS (
          SELECT t.doc_id, COUNT(*) AS n_pre,
            SUM(COALESCE(e.ntok, 1)) AS n_bpe
@@ -1593,7 +1631,6 @@ object Queries {
          CAST(COALESCE(p.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
        FROM documents d LEFT JOIN perdoc p USING (doc_id)
        ORDER BY d.doc_id"""
-  }
 
   def langId(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
@@ -2163,11 +2200,7 @@ object Queries {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
-  val docPackingBpeSql: String = {
-    val merges = graft.functions.BpeVocab.resourceMerges
-    val values = merges.zipWithIndex
-      .map { case ((l, r), i) => s"($i,'$l','$r')" }.mkString(",")
-    val m = merges.length
+  val docPackingBpeSql: String =
     s"""WITH RECURSIVE
        chunks AS (
          SELECT doc_id, ci AS chunk_idx,
@@ -2184,18 +2217,7 @@ object Queries {
        words AS (
          SELECT DISTINCT w FROM ctoks
          WHERE length(w) > 1 AND w SIMILAR TO '[A-Za-z0-9]+'),
-       merges(rnk, l, r) AS (VALUES $values),
-       steps(w, s, rnk) AS (
-         SELECT w, rtrim(regexp_replace(w, '(.)', '\\1' || chr(31), 'g'),
-           chr(31)), 0
-         FROM words
-         UNION ALL
-         SELECT st.w, replace(st.s, m.l || chr(31) || m.r, m.l || m.r),
-           st.rnk + 1
-         FROM steps st JOIN merges m ON m.rnk = st.rnk),
-       enc AS (
-         SELECT w, len(string_split(s, chr(31))) AS ntok
-         FROM steps WHERE rnk = $m),
+       $bpeReplaySql,
        cbpe AS (
          SELECT t.doc_id, t.chunk_idx, SUM(COALESCE(e.ntok, 1)) AS n_bpe
          FROM ctoks t LEFT JOIN enc e ON t.w = e.w
@@ -2209,7 +2231,6 @@ object Queries {
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256
            AS BIGINT) AS pack_id
        FROM allc ORDER BY doc_id, chunk_idx"""
-  }
 
   /** Corpus-frequency fluency score — the engine-native stand-in for a
     * CCNet-style LM quality filter: a document whose distinct word bigrams

@@ -57,17 +57,41 @@ object IvfIndex {
     * Each round is two shuffles (assignment agg + mean agg) over
     * (cell, dim, value) triples; `localCheckpoint` truncates the
     * per-round lineage.
+    *
+    * `orderedMeans = false` (production): means via `avg()` — O(1) agg
+    * state, map-side partial aggregation, the only shape that holds at
+    * corpus scale. Its accumulation ORDER is partitioning-dependent, so
+    * two runs (or two engines) can differ in the last ulp — irrelevant to
+    * clustering quality, fatal to a bit-exact replay: a one-ulp centroid
+    * difference can flip a discrete argmax assignment downstream.
+    * `orderedMeans = true` (oracle-gated demo): each (cell, dim) mean is
+    * a sequential left fold over the members in id order — bit-identical
+    * to any engine folding the same values in the same order (the DuckDB
+    * oracle does exactly that) at the cost of O(cell members) agg state,
+    * which is fine at demo scale and wrong at 100 TB.
     */
-  def refine(vectors: DataFrame, nCells: Int, rounds: Int): DataFrame = {
+  def refine(vectors: DataFrame, nCells: Int, rounds: Int,
+      orderedMeans: Boolean = false): DataFrame = {
     // widen to double once so refined means coalesce type-cleanly
     var cent = seedCentroids(vectors, nCells)
       .select(col("id"), transform(col("vec"), x => x.cast("double")).as("vec"))
       .localCheckpoint()
     for (_ <- 0 until rounds) {
-      val means = assign(vectors, cent)
-        .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "v")))
-        .groupBy(col("cell"), col("dim"))
-        .agg(avg(col("v")).as("m"))
+      val assigned = assign(vectors, cent)
+        .select(col("cell"), col("id"), posexplode(col("vec")).as(Seq("dim", "v")))
+      val dimMeans =
+        if (orderedMeans)
+          assigned.groupBy(col("cell"), col("dim"))
+            .agg(array_sort(collect_list(
+              struct(col("id"), col("v").cast("double").as("v")))).as("vs"))
+            .select(col("cell"), col("dim"),
+              (aggregate(col("vs"), lit(0.0d),
+                (a, s) => a + s.getField("v")) /
+                size(col("vs")).cast("double")).as("m"))
+        else
+          assigned.groupBy(col("cell"), col("dim"))
+            .agg(avg(col("v")).as("m"))
+      val means = dimMeans
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("sm"))
         .select(col("cell").as("id"),

@@ -126,11 +126,20 @@ object ResumableWrite {
       // whole pass total ONE extra read of the output, not waves× reads
       // of the input. (The per-wave input re-scan in `slice` above is the
       // deliberate recovery-granularity trade; see the scaladoc.)
-      spark.read.parquet(outDir)
-        .where(pmod(col("bucket").cast("long"), lit(waves.toLong)) === lit(w.toLong))
-        // partition-value inference types `bucket` as int; cast to the
-        // manifest schema's LONG before writing
-        .groupBy(col("bucket").cast("long").as("bucket"))
+      //
+      // Explicit schema, never inferred: when the first non-skipped wave's
+      // slice is empty (buckets spanning fewer residues than `waves`),
+      // outDir holds only _SUCCESS and inference would throw — the layout
+      // must read as empty instead. Declaring `bucket` LONG here also
+      // replaces the old partition-value-inference int → long cast.
+      val layoutSchema = org.apache.spark.sql.types.StructType(
+        slice.schema.fields.map(f =>
+          if (f.name == "bucket")
+            f.copy(dataType = org.apache.spark.sql.types.LongType)
+          else f))
+      spark.read.schema(layoutSchema).parquet(outDir)
+        .where(pmod(col("bucket"), lit(waves.toLong)) === lit(w.toLong))
+        .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_rows"))
         .withColumn("pass", lit(pass))
         .write.mode("overwrite").parquet(s"${manifestDir(outDir)}/wave=$w")

@@ -115,4 +115,26 @@ class ResumableWriteSpec extends AnyFunSuite with SparkFixture {
     assert(ResumableWrite.manifest(spark, out)
       .select(col("wave")).distinct().count() === 1)
   }
+
+  test("empty FIRST wave: manifest read-back before any data has landed") {
+    // only wave-2 buckets survive, so waves 0 and 1 are empty BEFORE any
+    // data exists in outDir — the wave-0 manifest read-back sees a layout
+    // holding nothing but _SUCCESS and must read it as empty under the
+    // explicit schema, not throw 'Unable to infer schema for Parquet'
+    val out = freshDir()
+    val sliver = data.where(
+      pmod(graft.operators.TimePartitioning.bucket(
+        col("ts"), graft.operators.TimePartitioning.Day), lit(4)) === lit(2))
+    assert(sliver.count() > 0, "fixture degenerate: no wave-2 rows")
+    assert(ResumableWrite.run(spark, sliver, bucket, out, waves = 4,
+      pass = 1) === 4)
+    assert(ResumableWrite.completedWaves(spark, out) === Set(0, 1, 2, 3))
+    assert(ResumableWrite.run(spark, sliver, bucket, out, waves = 4,
+      pass = 2) === 0)
+    // the one populated wave's manifest slice carries the right counts
+    val m = ResumableWrite.manifest(spark, out)
+      .select(col("bucket"), col("n_rows"), col("wave")).collect()
+    assert(m.nonEmpty && m.forall(_.getInt(2) === 2))
+    assert(m.map(_.getLong(1)).sum === sliver.count())
+  }
 }
