@@ -1632,6 +1632,44 @@ object Queries {
        FROM documents d LEFT JOIN perdoc p USING (doc_id)
        ORDER BY d.doc_id"""
 
+  /** BPE token counts over ID-heavy text (customer names: a word plus a
+    * 9-digit zero-padded run) — the surface that actually exercises the
+    * vocabulary's DEEP digit-pair merge tree, which `text_bpe_tokens`'
+    * 31-word document corpus never touches. Real training corpora are
+    * full of identifiers and numbers; how hard the vocabulary compresses
+    * them decides the token bill. The oracle replays the full tokenizer
+    * over every distinct name with the same symbol-aligned CTE.
+    */
+  def textBpeNames(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        graft.functions.QualityFunctions.bpeCount(col("c_name"))
+          .as("n_pretokens"),
+        graft.functions.BpeFunctions.bpeTokenCount(col("c_name"))
+          .as("n_bpe_tokens"))
+      .orderBy(col("c_custkey"))
+
+  val textBpeNamesSql: String =
+    s"""WITH RECURSIVE
+       toks AS (
+         SELECT c_custkey, unnest(regexp_extract_all(c_name,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS w
+         FROM customer),
+       words AS (
+         SELECT DISTINCT w FROM toks
+         WHERE length(w) > 1 AND w SIMILAR TO '[A-Za-z0-9]+'),
+       $bpeReplaySql,
+       percust AS (
+         SELECT t.c_custkey, COUNT(*) AS n_pre,
+           SUM(COALESCE(e.ntok, 1)) AS n_bpe
+         FROM toks t LEFT JOIN enc e ON t.w = e.w
+         GROUP BY 1)
+       SELECT c.c_custkey,
+         CAST(COALESCE(p.n_pre, 0) AS BIGINT) AS n_pretokens,
+         CAST(COALESCE(p.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+       FROM customer c LEFT JOIN percust p USING (c_custkey)
+       ORDER BY c.c_custkey"""
+
   def langId(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
       .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))

@@ -128,6 +128,7 @@ object SparkEntry {
     "text_stats" -> (Queries.textStats _),
     "text_tokens" -> (Queries.textTokens _),
     "text_bpe_tokens" -> (Queries.textBpeTokens _),
+    "text_bpe_names" -> (Queries.textBpeNames _),
     "lang_id" -> (Queries.langId _),
     "quality_score" -> (Queries.qualityScore _),
     "corpus_freq_score" -> (Queries.corpusFreqScore _),
@@ -257,6 +258,7 @@ object SparkEntry {
     "text_stats" -> Queries.textStatsSql,
     "text_tokens" -> Queries.textTokensSql,
     "text_bpe_tokens" -> Queries.textBpeTokensSql,
+    "text_bpe_names" -> Queries.textBpeNamesSql,
     "lang_id" -> Queries.langIdSql,
     "quality_score" -> Queries.qualityScoreSql,
     "corpus_freq_score" -> Queries.corpusFreqScoreSql,

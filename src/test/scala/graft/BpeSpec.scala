@@ -58,11 +58,18 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
   test("kernel equals the rank-sequential reference on every corpus word") {
     val merges = BpeVocab.resourceMerges
     val ranks = BpeVocab.ranksOf(merges)
-    val words = Tables.documents(spark, sf)
+    // document words exercise the letter merges; customer names (9-digit
+    // zero-padded runs) exercise the vocabulary's deep digit merge tree
+    val words = (Tables.documents(spark, sf)
       .select(explode(expr(
         """regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)"""))
-        .as("w")).distinct().collect().map(_.getString(0))
-    assert(words.nonEmpty)
+        .as("w"))
+      unionAll Tables.customer(spark, sf)
+      .select(explode(expr(
+        """regexp_extract_all(c_name, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)"""))
+        .as("w")))
+      .distinct().collect().map(_.getString(0))
+    assert(words.length > 100)
     words.foreach { w =>
       assert(BpeEncodeKernel.encodeCount(w, ranks) === rankOrderCount(w, merges),
         s"word '$w'")
@@ -70,17 +77,18 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("trainer: deterministic, and the checked-in resource reproduces") {
-    val wordCounts = Tables.documents(spark, "/root/testdata/sf0.01")
-      .select(explode(expr(
-        """regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)"""))
-        .as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // greedy training is prefix-stable in maxMerges: the first 200 merges
+    // of the checked-in 1910-merge table must equal a fresh 200-merge run
+    // over the SAME corpus surface (full 1910-merge reproduction is
+    // BpeTrain's one-off job; the prefix pins provenance at spec cost)
+    val wordCounts = BpeTrain.corpusWordCounts(spark, "/root/testdata/sf0.1")
     val t1 = BpeTrainer.train(wordCounts, 200)
     val t2 = BpeTrainer.train(scala.util.Random.shuffle(wordCounts.toList), 200)
     assert(t1 === t2) // input order never leaks into the merges
-    assert(t1.toArray.toSeq === BpeVocab.resourceMerges.toSeq,
-      "checked-in graft/bpe_merges.txt no longer matches BpeTrain over sf0.01")
+    assert(t1.toArray.toSeq === BpeVocab.resourceMerges.toSeq.take(200),
+      "checked-in graft/bpe_merges.txt no longer matches BpeTrain over sf0.1")
+    assert(BpeVocab.resourceMerges.length > 1500,
+      "production-shape vocabulary expected (~1.9k merges)")
   }
 
   test("corpus bounds: pretokens <= bpe tokens <= chars, and merging bites") {
