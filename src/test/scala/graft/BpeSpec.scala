@@ -91,6 +91,48 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
       "production-shape vocabulary expected (~1.9k merges)")
   }
 
+  test("fuzz: codegen kernel equals the rank-sequential reference on " +
+      "adversarial UTF-8") {
+    // the classes of input that can break the encode path: NULs in TEXT
+    // (the rank-map key separator — must stay inert as data), lone and
+    // paired surrogates, 4-byte codepoints glued to ASCII runs, digit
+    // runs through the deep merge tree, and huge single words (worst-case
+    // merge-loop length, far past any memo benefit within one row)
+    val merges = BpeVocab.resourceMerges
+    val pre = """[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]""".r
+    def reference(t: String): Long =
+      pre.findAllIn(t).map { m =>
+        if (m.head < 128 && m.head.isLetterOrDigit)
+          rankOrderCount(m, merges).toLong
+        else 1L // one per non-run codepoint, whitespace dropped by `pre`
+      }.sum
+
+    val edges = Seq("", " ", "\u0000", "a\u0000b", "\u000B\u000C",
+      "😀😀", "a😀b", "𝄞clef42", "42😀42", "\uD83D", "\uDE00",
+      "😀", "\uDE00\uD83D", "Customer#000000042",
+      "é中\u0000", "﻿00123", ("ab" + "\u0000" + "cd") * 3,
+      "0" * 50000, "123456789" * 2000, "the" * 9000)
+    val rnd = new scala.util.Random(23)
+    val pool = Vector("the", "customer", "Customer", "000", "000000123",
+      "42", "0", "99999", "#", "!", " ", "\t", "\u0000", "😀", "𝄞", "é",
+      "中", "​", "\r\n", "a", "Z", "q")
+    val fuzz = (0 until 1000).map { _ =>
+      val n = rnd.nextInt(20)
+      (0 until n).map(_ => pool(rnd.nextInt(pool.length)))
+        .mkString(if (rnd.nextBoolean()) " " else "")
+    }
+    // through the DataFrame path, so doGenCode (not just nullSafeEval)
+    // is what's being pinned
+    val rows = (edges ++ fuzz).toDF("t")
+      .select($"t", BpeFunctions.bpeTokenCount($"t").as("k")).collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val show = t.take(24).flatMap(c =>
+        if (c < ' ' || c >= 0xD800) f"\\u$c%04X" else s"$c")
+      assert(r.getLong(1) === reference(t), s"text '$show' len=${t.length}")
+    }
+  }
+
   test("corpus bounds: pretokens <= bpe tokens <= chars, and merging bites") {
     val df = Queries.textBpeTokens(spark, sf)
     val r = df.agg(sum($"n_pretokens"), sum($"n_bpe_tokens")).head()
