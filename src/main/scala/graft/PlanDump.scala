@@ -37,7 +37,12 @@ object PlanDump {
       "pipeline_config_quota_bands" -> "JSON config -> TopKPerKey quota cut feeding the two-level exact-ntile band cut — no window, no corpus sort, all from the declarative filter chain",
       "knn_label" -> "label propagation: the FIXED query side broadcasts against the streaming labeled-corpus scan; per-query argmax through TopKPerKey — corpus never shuffles",
       "knn_label_ivf" -> "label propagation at query-set scale: native IvfNearestCell/IvfProbeCells kernels (centroid matrix as a reference object, fused codegen loops) -> cell equi-join candidates -> TopKPerKey argmax; no nested-loop join anywhere",
-      "corpus_freq_score" -> "narrow bigram explode -> one groupBy(bigram) pass -> co-partitioned join back on the bigram key -> groupBy(doc) — all linear, count table stays distributed")
+      "corpus_freq_score" -> "narrow bigram explode -> one groupBy(bigram) pass -> co-partitioned join back on the bigram key -> groupBy(doc) — all linear, count table stays distributed",
+      "ann_ivf_refined" -> "Lloyd refinement stays an aggregate over the cell equi-join assignment — 2 rounds = 2 small agg jobs on the collected centroid matrix, the corpus scans stay candidate-pruned",
+      "text_bpe_tokens" -> "real-vocab BPE counting is ONE narrow codegen map (BpeTokenCount kernel, ranks + memo as reference objects) — zero exchanges before the output sort",
+      "doc_packing_bpe" -> "same two-level prefix-sum packing as doc_packing, billed by the BPE kernel in the same narrow map — token cost adds no shuffle",
+      "text_bpe_names" -> "BPE over the customer-name digit-run surface: the deep merge tree runs entirely inside the narrow kernel map",
+      "pipeline_resume_partial" -> "cross-job resume read-back: the oracle-gated output scan after a faulted+resumed wave write — partition-pruned leaves, counts never rescan the input")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` on `$sf`. Audit notes per plan;\n")

@@ -51,11 +51,33 @@ object ResumeTradeBench {
         waves = waves, pass = 1)
       ()
     }
+    // the recovery path itself: a pass that dies mid-write after
+    // waves/2 commits, then a resume pass that must skip the committed
+    // waves and write only the lost ones — faulted + resume should sum
+    // to ≈ the unfaulted pass (the skip check is a marker listing, and
+    // each wave's input scan is paid by whichever pass writes it)
+    val faultDir = freshDir()
+    val faulted = timed {
+      try {
+        graft.pipeline.ResumableWrite.run(spark, data, bucket, faultDir,
+          waves = waves, pass = 1, failAfterWaves = Some(waves / 2))
+        ()
+      } catch { case _: graft.pipeline.ResumableWrite.InjectedFault => () }
+    }
+    val resumed = timed {
+      graft.pipeline.ResumableWrite.run(spark, data, bucket, faultDir,
+        waves = waves, pass = 2)
+      ()
+    }
     println(f"""{"metric":"resume_trade","plain_write_sec":$plain%.2f,""" +
       f""""resumable_pass_sec":$resumable%.2f,"waves":$waves,""" +
-      f""""ratio":${resumable / plain}%.2f,"dir":"$dir"}""")
+      f""""ratio":${resumable / plain}%.2f,""" +
+      f""""faulted_pass_sec":$faulted%.2f,"resume_pass_sec":$resumed%.2f,""" +
+      f""""recovery_total_ratio":${(faulted + resumed) / plain}%.2f,""" +
+      f""""dir":"$dir"}""")
     Queries.rmTree(new java.io.File(plainDir))
     Queries.rmTree(new java.io.File(resumeDir))
+    Queries.rmTree(new java.io.File(faultDir))
     spark.stop()
   }
 }

@@ -41,10 +41,13 @@ import org.apache.spark.sql.functions._
   * manifests add only ONE extra read of the OUTPUT per pass total: each
   * wave's counts come from a partition-pruned read-back of its own
   * leaves, never a second input scan. Measured (`graft.ResumeTradeBench`,
-  * BASELINE.md r10 rows): waves=4 unfaulted pass = 2.35× a plain
-  * partitioned write at 10× events, 2.47× at 30× — flat across the
+  * BASELINE.md r11 rows): waves=4 unfaulted pass = 2.0–2.5× a plain
+  * partitioned write at both 10× and 30× events — flat across the
   * decade, and well under the naive 4× because pushdown discards the
-  * other waves' rows at the scan.
+  * other waves' rows at the scan. The recovery path: a pass faulted
+  * after 2 of 4 waves plus its resume pass totals ~1.8× a plain write
+  * (the resume skips committed waves; crash recovery costs roughly one
+  * extra half-pass, not a rewrite).
   */
 object ResumableWrite {
 
