@@ -1605,10 +1605,11 @@ object Queries {
              chr(31) || m.l || m.r || chr(31)),
            st.rnk + 1
          FROM steps st JOIN merges m ON m.rnk = st.rnk),
-       enc AS (
-         SELECT w, len(list_filter(string_split(s, chr(31)),
-           x -> x <> '')) AS ntok
-         FROM steps WHERE rnk = $m)"""
+       wsyms AS (
+         SELECT w, list_filter(string_split(s, chr(31)),
+           x -> x <> '') AS syms
+         FROM steps WHERE rnk = $m),
+       enc AS (SELECT w, len(syms) AS ntok FROM wsyms)"""
   }
 
   val textBpeTokensSql: String =
@@ -1669,6 +1670,61 @@ object Queries {
          CAST(COALESCE(p.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
        FROM customer c LEFT JOIN percust p USING (c_custkey)
        ORDER BY c.c_custkey"""
+
+  /** L10 tokenizer OUTPUT — the per-doc token-id sequence a training
+    * pipeline actually materializes (counts budget it; this writes it).
+    * The registered query posexplodes the id array so the oracle compares
+    * scalar rows, but the production shape is the array column itself —
+    * one narrow codegen map ([[graft.functions.BpeEncode]]), zero
+    * shuffles, at any corpus size. Id scheme: single-codepoint symbol →
+    * its codepoint; merged symbol → 0x110000 + min(rank) (disjoint
+    * ranges — 0x110000 is one past the last Unicode codepoint). The
+    * oracle replays the tokenizer with the shared symbol-aligned CTE,
+    * expands each word's final symbol LIST with ordinality, and maps
+    * symbols to ids with the same min-rank vocab rule.
+    */
+  def textBpeEncode(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).where(col("doc_id") < 100)
+      .select(col("doc_id"),
+        posexplode(graft.functions.BpeFunctions.bpeEncode(col("text"))))
+      .toDF("doc_id", "pos", "token_id")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("token_id").cast("long").as("token_id"))
+      .orderBy(col("doc_id"), col("pos"))
+
+  val textBpeEncodeSql: String =
+    s"""WITH RECURSIVE
+       docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+       pret AS (SELECT doc_id, regexp_extract_all(text,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS arr FROM docs),
+       toks AS (
+         SELECT doc_id, i AS wpos, arr[i + 1] AS w
+         FROM (SELECT doc_id, arr, unnest(range(len(arr))) AS i FROM pret)),
+       words AS (
+         SELECT DISTINCT w FROM toks
+         WHERE length(w) > 1 AND w SIMILAR TO '[A-Za-z0-9]+'),
+       $bpeReplaySql,
+       vocab AS (
+         SELECT l || r AS sym, 1114112 + MIN(rnk) AS id
+         FROM merges GROUP BY 1),
+       persym AS (
+         SELECT t.doc_id, t.wpos, COALESCE(ws.syms, [t.w]) AS syms
+         FROM toks t LEFT JOIN wsyms ws ON t.w = ws.w),
+       flat AS (
+         SELECT doc_id, wpos, j AS spos, syms[j + 1] AS sym
+         FROM (SELECT doc_id, wpos, syms, unnest(range(len(syms))) AS j
+               FROM persym)),
+       ids AS (
+         SELECT f.doc_id, f.wpos, f.spos,
+           CASE WHEN length(f.sym) = 1 THEN unicode(f.sym) ELSE v.id END
+             AS tid
+         FROM flat f LEFT JOIN vocab v ON f.sym = v.sym)
+       SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+           ORDER BY wpos, spos) - 1 AS BIGINT) AS pos,
+         CAST(tid AS BIGINT) AS token_id
+       FROM ids
+       ORDER BY doc_id, pos"""
 
   def langId(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)

@@ -129,6 +129,7 @@ object SparkEntry {
     "text_tokens" -> (Queries.textTokens _),
     "text_bpe_tokens" -> (Queries.textBpeTokens _),
     "text_bpe_names" -> (Queries.textBpeNames _),
+    "text_bpe_encode" -> (Queries.textBpeEncode _),
     "lang_id" -> (Queries.langId _),
     "quality_score" -> (Queries.qualityScore _),
     "corpus_freq_score" -> (Queries.corpusFreqScore _),
@@ -259,6 +260,7 @@ object SparkEntry {
     "text_tokens" -> Queries.textTokensSql,
     "text_bpe_tokens" -> Queries.textBpeTokensSql,
     "text_bpe_names" -> Queries.textBpeNamesSql,
+    "text_bpe_encode" -> Queries.textBpeEncodeSql,
     "lang_id" -> Queries.langIdSql,
     "quality_score" -> Queries.qualityScoreSql,
     "corpus_freq_score" -> Queries.corpusFreqScoreSql,

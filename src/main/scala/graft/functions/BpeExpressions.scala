@@ -67,12 +67,12 @@ object BpeVocab {
 
 object BpeEncodeKernel {
 
-  /** Number of BPE tokens for one pre-token word under `ranks`.
+  /** Final symbol sequence for one pre-token word under `ranks`.
     * Min-rank merge loop over the symbol array; each round merges all
     * left-to-right non-overlapping occurrences of the winning pair.
     */
-  def encodeCount(word: String, ranks: java.util.HashMap[String, Integer]): Int = {
-    if (word.length <= 1) return word.length min 1
+  def encodeSyms(word: String,
+      ranks: java.util.HashMap[String, Integer]): java.util.ArrayList[String] = {
     // split into codepoints (corpus words are ASCII; stay correct beyond)
     var syms = new java.util.ArrayList[String](word.length)
     var i = 0
@@ -106,8 +106,13 @@ object BpeEncodeKernel {
         syms = merged
       }
     }
-    syms.size
+    syms
   }
+
+  /** Number of BPE tokens for one pre-token word under `ranks`. */
+  def encodeCount(word: String, ranks: java.util.HashMap[String, Integer]): Int =
+    if (word.length <= 1) word.length min 1
+    else encodeSyms(word, ranks).size
 
   private val CacheCap = 1 << 16
 
@@ -158,6 +163,111 @@ object BpeEncodeKernel {
     }
     count
   }
+
+  /** Token-id base for merged symbols: 0x110000 is one past the last
+    * Unicode codepoint, so merged-symbol ids (`IdBase + rank`) can never
+    * collide with a single-codepoint symbol's id (its codepoint value).
+    */
+  val IdBase = 0x110000
+
+  /** symbol → id for merged symbols: `IdBase + min(rank)` over the merges
+    * producing that string (two merges CAN produce the same string via
+    * different splits — (a,bc) and (ab,c) both yield "abc" — so the map
+    * keeps the lowest rank, matching the oracle's `MIN(rnk)`).
+    */
+  def vocabOf(merges: Array[(String, String)]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    var i = 0
+    while (i < merges.length) {
+      m.putIfAbsent(merges(i)._1 + merges(i)._2, IdBase + i); i += 1
+    }
+    m
+  }
+
+  /** Token-id sequence for one pre-token word: final symbols from the
+    * min-rank loop, each mapped to its id (codepoint for single-codepoint
+    * symbols; `IdBase + min-rank` for merged ones — every multi-codepoint
+    * final symbol was produced by some merge, so the vocab lookup total).
+    */
+  def encodeIds(word: String, ranks: java.util.HashMap[String, Integer],
+      vocab: java.util.HashMap[String, Integer]): Array[Int] = {
+    val syms = encodeSyms(word, ranks)
+    val out = new Array[Int](syms.size)
+    var i = 0
+    while (i < syms.size) {
+      val s0 = syms.get(i)
+      out(i) =
+        if (s0.codePointCount(0, s0.length) == 1) s0.codePointAt(0)
+        else vocab.get(s0).intValue()
+      i += 1
+    }
+    out
+  }
+
+  private val EmptyIds = new Array[Int](0)
+
+  /** Full token-id sequence of a text — the tokenizer OUTPUT, not just its
+    * count. Same pre-token scan as [[compute]]; per-word id arrays come
+    * from the capped `cache`. Returns a primitive int array wrapped as
+    * Catalyst array data (token ids fit in int: codepoints < 0x110000,
+    * merged ids = 0x110000 + rank).
+    */
+  def computeIds(input: UTF8String,
+      ranks: java.util.HashMap[String, Integer],
+      vocab: java.util.HashMap[String, Integer],
+      cache: java.util.concurrent.ConcurrentHashMap[String, Array[Int]])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = input.toString
+    val n = s.length
+    var buf = new Array[Int](math.max(8, n / 2))
+    var len = 0
+    def append(ids: Array[Int]): Unit = {
+      if (len + ids.length > buf.length) {
+        buf = java.util.Arrays.copyOf(buf,
+          math.max(buf.length * 2, len + ids.length))
+      }
+      System.arraycopy(ids, 0, buf, len, ids.length)
+      len += ids.length
+    }
+    def append1(id: Int): Unit = {
+      if (len == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+      buf(len) = id; len += 1
+    }
+    def runEnd(start: Int, letter: Boolean): Int = {
+      var e = start
+      while (e < n && {
+        val c = s.charAt(e)
+        if (letter) (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+        else c >= '0' && c <= '9'
+      }) e += 1
+      e
+    }
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      val isL = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+      val isD = c >= '0' && c <= '9'
+      if (isL || isD) {
+        val e = runEnd(i, isL)
+        val w = s.substring(i, e)
+        var ids = cache.get(w)
+        if (ids == null) {
+          ids = if (w.isEmpty) EmptyIds else encodeIds(w, ranks, vocab)
+          if (cache.size < CacheCap) cache.put(w, ids)
+        }
+        append(ids)
+        i = e
+      } else {
+        val wide = Character.isHighSurrogate(c) && i + 1 < n &&
+          Character.isLowSurrogate(s.charAt(i + 1))
+        if (!(c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' ||
+            c == '\r')) append1(if (wide) s.codePointAt(i) else c.toInt)
+        i += (if (wide) 2 else 1)
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(buf, len))
+  }
 }
 
 /** Merges-table-driven BPE token count of a text column. The ranks map and
@@ -198,6 +308,51 @@ case class BpeTokenCount(child: Expression, merges: Array[(String, String)])
   override def prettyName: String = "bpe_token_count"
 }
 
+/** Full BPE ENCODE of a text column — the array of token ids, i.e. what a
+  * training pipeline actually writes out, not just the budget count.
+  * Id scheme (replayed exactly by the DuckDB oracle): a single-codepoint
+  * symbol's id is its codepoint; a merged symbol's id is
+  * `0x110000 + min(rank)` over merges producing it — disjoint ranges, so
+  * the mapping needs no global vocabulary table beyond the merges file.
+  * Ranks map, symbol-id vocab, and the per-word id-array cache all ride
+  * into generated code as reference objects (same codegen-size rule as
+  * [[BpeTokenCount]]).
+  */
+case class BpeEncode(child: Expression, merges: Array[(String, String)])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode requires a string input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val ranks = BpeVocab.ranksOf(merges)
+  @transient private lazy val vocab = BpeEncodeKernel.vocabOf(merges)
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
+
+  override def nullSafeEval(input: Any): Any =
+    BpeEncodeKernel.computeIds(input.asInstanceOf[UTF8String], ranks, vocab, cache)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("bpeRanks", ranks,
+      "java.util.HashMap<String, Integer>")
+    val vocabRef = ctx.addReferenceObj("bpeVocab", vocab,
+      "java.util.HashMap<String, Integer>")
+    val cacheRef = ctx.addReferenceObj("bpeIdCache", cache,
+      "java.util.concurrent.ConcurrentHashMap<String, int[]>")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeEncodeKernel.computeIds($c, $ranksRef, $vocabRef, $cacheRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "bpe_encode"
+}
+
 object BpeFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -208,4 +363,12 @@ object BpeFunctions {
   /** Real-vocab BPE token count under an explicit merges table. */
   def bpeTokenCount(text: Column, merges: Array[(String, String)]): Column =
     ColumnBridge.column(BpeTokenCount(ColumnBridge.expression(text), merges))
+
+  /** Full BPE token-id encode using the checked-in merges table. */
+  def bpeEncode(text: Column): Column =
+    bpeEncode(text, BpeVocab.resourceMerges)
+
+  /** Full BPE token-id encode under an explicit merges table. */
+  def bpeEncode(text: Column, merges: Array[(String, String)]): Column =
+    ColumnBridge.column(BpeEncode(ColumnBridge.expression(text), merges))
 }

@@ -133,6 +133,35 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("bpeEncode: ids decode back to text-minus-whitespace, length " +
+      "equals bpeTokenCount, id ranges disjoint") {
+    val merges = BpeVocab.resourceMerges
+    // reverse map: id -> symbol string (codepoint below IdBase, else the
+    // FIRST merge producing the id's rank — ids use min-rank, so the
+    // rank's own l+r is the symbol)
+    def symOf(id: Int): String =
+      if (id < BpeEncodeKernel.IdBase) new String(Character.toChars(id))
+      else { val (l, r) = merges(id - BpeEncodeKernel.IdBase); l + r }
+    val ws = Set(' ', '\t', '\n', 0x0B.toChar, '\f', '\r')
+    // corpus texts through the DataFrame path (doGenCode pinned), plus
+    // the fuzz-edge shapes that stress the id scheme's codepoint branch
+    val texts = Tables.documents(spark, sf).select($"text").as[String]
+      .collect().toSeq ++ Seq("", "a😀b 42", "𝄞clef Customer#000000042")
+    val rows = texts.toDF("t").select($"t",
+      BpeFunctions.bpeEncode($"t").as("ids"),
+      BpeFunctions.bpeTokenCount($"t").as("k")).collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val ids = r.getSeq[Int](1)
+      assert(ids.length.toLong === r.getLong(2),
+        s"encode length != count for '${t.take(40)}'")
+      assert(ids.map(symOf).mkString === t.filterNot(ws),
+        s"decode round-trip failed for '${t.take(40)}'")
+    }
+    // merged-symbol ids start one past the last codepoint: disjoint ranges
+    assert(BpeEncodeKernel.IdBase === Character.MAX_CODE_POINT + 1)
+  }
+
   test("corpus bounds: pretokens <= bpe tokens <= chars, and merging bites") {
     val df = Queries.textBpeTokens(spark, sf)
     val r = df.agg(sum($"n_pretokens"), sum($"n_bpe_tokens")).head()
