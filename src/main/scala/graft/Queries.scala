@@ -2205,6 +2205,40 @@ object Queries {
          FROM events)
        WHERE rn = 1 ORDER BY user_id"""
 
+  /** SCD type-2 history (operators/Scd2.scala): the events changelog
+    * reduced to per-user `event_type` VERSION intervals — change points
+    * found by `lag`, `[valid_from, valid_to)` bounds by `lead` over the
+    * survivors. One shuffle on user_id serves both windows (the narrow
+    * change filter preserves partitioning and order — PlanSpec asserts
+    * one Exchange, one Sort). The latest_by_key compaction is this
+    * history's open interval.
+    */
+  def scd2History(s: SparkSession, dir: String): DataFrame =
+    operators.Scd2.history(
+      events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"), col("event_id")),
+      key = "user_id", ord = Seq("t_us", "event_id"),
+      attr = "event_type", from = "t_us")
+      .orderBy(col("user_id"), col("version"))
+
+  val scd2HistorySql: String =
+    """WITH c AS (
+         SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id) AS prev
+         FROM events),
+       ch AS (
+         SELECT user_id, t_us, event_id, event_type FROM c
+         WHERE prev IS NULL OR prev <> event_type)
+       SELECT user_id,
+         CAST(row_number() OVER w AS BIGINT) AS version,
+         event_type,
+         t_us AS valid_from,
+         lead(t_us) OVER w AS valid_to
+       FROM ch
+       WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+       ORDER BY user_id, version"""
+
   /** Deterministic stratified sampling: keep 8/16 of English docs and 4/16
     * of the rest, decided by the first md5 nibble of the content — same
     * rows kept on every engine and every rerun (Sampling.scala).

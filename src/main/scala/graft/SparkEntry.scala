@@ -108,6 +108,7 @@ object SparkEntry {
     "dedup_incremental_stream" -> (Queries.dedupIncrementalStream _),
     "dedup_incremental_bloom" -> (Queries.dedupIncrementalBloom _),
     "latest_by_key" -> (Queries.latestByKey _),
+    "scd2_history" -> (Queries.scd2History _),
     "sample_stratified" -> (Queries.sampleStratified _),
     "sample_exact_n" -> (Queries.sampleExactN _),
     "doc_chunking" -> (Queries.docChunking _),
@@ -241,6 +242,7 @@ object SparkEntry {
     "ann_topk_lsh" -> Queries.annTopkLshSql,
     "streaming_hourly_counts" -> Queries.streamingHourlyCountsSql,
     "latest_by_key" -> Queries.latestByKeySql,
+    "scd2_history" -> Queries.scd2HistorySql,
     "sample_stratified" -> Queries.sampleStratifiedSql,
     "sample_exact_n" -> Queries.sampleExactNSql,
     "doc_chunking" -> Queries.docChunkingSql,

@@ -94,6 +94,20 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("TopKPerKey"), plan.take(3000))
   }
 
+  test("scd2_history: one exchange and one sort serve both windows") {
+    // the change-point filter between lag and lead/row_number is narrow
+    // and order-preserving — a second Exchange or Sort would mean the
+    // filter broke partitioning/ordering reuse and the operator pays the
+    // shuffle twice at scale
+    val plan = physical(Queries.scd2History(spark, sf))
+    // drop the final ORDER BY's range exchange+sort from the count
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    val sorts = "(?m)^[^\\n]*\\bSort \\[".r.findAllIn(plan).length
+    assert(hashEx === 1, s"want 1 hash exchange:\n${plan.take(3000)}")
+    assert(sorts <= 2, // one window sort + the output ORDER BY's sort
+      s"want <=2 sorts (window + output order):\n${plan.take(3000)}")
+  }
+
   test("tfidf_topterms takes the bounded-heap TopKPerKeyExec path") {
     val df = Queries.tfidfTopterms(spark, sf)
     df.collect()
