@@ -2239,6 +2239,31 @@ object Queries {
        WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
        ORDER BY user_id, version"""
 
+  /** Training-export shuffle + shard (operators/TrainExport.scala): the
+    * corpus in seeded pseudo-random order with exactly-balanced
+    * round-robin shards — global rank via the two-level prefix scheme,
+    * never a global sort. The oracle IS the single-window spec the
+    * two-level computation provably equals.
+    */
+  def shuffleShard(s: SparkSession, dir: String): DataFrame =
+    operators.TrainExport.shuffleShard(
+      documents(s, dir).select(col("doc_id")), "doc_id",
+      seed = 23L, nShards = 16)
+      .select(col("doc_id"), col("shuffle_pos"), col("shard"))
+      .orderBy(col("doc_id"))
+
+  val shuffleShardSql: String =
+    """WITH r AS (
+         SELECT doc_id, md5('23:' || CAST(doc_id AS VARCHAR)) AS k
+         FROM documents),
+       p AS (
+         SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY k, doc_id) - 1 AS BIGINT)
+             AS shuffle_pos
+         FROM r)
+       SELECT doc_id, shuffle_pos, shuffle_pos % 16 AS shard
+       FROM p ORDER BY doc_id"""
+
   /** Deterministic stratified sampling: keep 8/16 of English docs and 4/16
     * of the rest, decided by the first md5 nibble of the content — same
     * rows kept on every engine and every rerun (Sampling.scala).

@@ -110,6 +110,7 @@ object SparkEntry {
     "latest_by_key" -> (Queries.latestByKey _),
     "scd2_history" -> (Queries.scd2History _),
     "sample_stratified" -> (Queries.sampleStratified _),
+    "shuffle_shard" -> (Queries.shuffleShard _),
     "sample_exact_n" -> (Queries.sampleExactN _),
     "doc_chunking" -> (Queries.docChunking _),
     "doc_packing" -> (Queries.docPacking _),
@@ -244,6 +245,7 @@ object SparkEntry {
     "latest_by_key" -> Queries.latestByKeySql,
     "scd2_history" -> Queries.scd2HistorySql,
     "sample_stratified" -> Queries.sampleStratifiedSql,
+    "shuffle_shard" -> Queries.shuffleShardSql,
     "sample_exact_n" -> Queries.sampleExactNSql,
     "doc_chunking" -> Queries.docChunkingSql,
     "doc_packing" -> Queries.docPackingSql,

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Chunking, Compaction, Dedup, Sampling, TextAnalysis}
+import graft.operators.{Chunking, Compaction, Dedup, Sampling, TextAnalysis, TrainExport}
 
 /** Corpus-curation operators: incremental dedup, changelog compaction,
   * deterministic sampling, token-window chunking.
@@ -121,6 +121,32 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     val packIds = base.map(_.getLong(2)).distinct
     assert(packIds === (packIds.min to packIds.max))
     assert(packIds.head === 0L)
+  }
+
+  test("shuffleShard: seeded permutation, exact shard balance, any " +
+      "partitioning") {
+    val docs = Tables.documents(spark, sf).select($"doc_id")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TrainExport.shuffleShard(df, "doc_id", seed = 23L, nShards = 16)
+        .select($"doc_id", $"shuffle_pos", $"shard")
+        .orderBy($"doc_id").collect().toSeq
+    val base = run(docs)
+    val n = base.length
+    // shuffle_pos is a permutation of 0..n-1
+    assert(base.map(_.getLong(1)).sorted === (0L until n.toLong))
+    // round-robin shards: sizes differ by at most 1, all 16 present
+    val sizes = base.groupBy(_.getLong(2)).view.mapValues(_.size).toMap
+    assert(sizes.keySet === (0L until 16L).toSet)
+    assert(sizes.values.max - sizes.values.min <= 1)
+    // shard is determined by position (round-robin), so a shard's members
+    // are spread across the whole shuffled order, not clustered
+    base.foreach(r => assert(r.getLong(2) === r.getLong(1) % 16))
+    // partition-boundary independence + determinism across reruns
+    assert(run(docs.repartition(7)) === base)
+    assert(run(docs.coalesce(1)) === base)
+    // the order really is shuffled: the identity order would be a
+    // astronomically-unlikely fixed point of the seeded hash
+    assert(base.map(_.getLong(1)) !== (0L until n.toLong))
   }
 
   test("chunking covers the document exactly, in order, with no shuffle") {
