@@ -1957,6 +1957,45 @@ object Queries {
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
        FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Stream-stream funnel join (streaming/StreamJoin.scala): view →
+    * purchase within 6 hours per user, run as a real watermarked
+    * stream-stream inner join over an availableNow drain of the staged
+    * events — the batch join IS the oracle, so the streaming join's
+    * row-level emission is gated exactly. Append-mode memory sink: each
+    * matched pair is finalized once.
+    */
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val landing = tempDir("graft_ssj_land_")
+    raw.write.mode("overwrite").parquet(landing)
+    val staged = s.read.parquet(landing)
+    val stream0 = s.readStream.schema(staged.schema).parquet(landing)
+    val stream =
+      if (staged.schema("ts").dataType == LongType)
+        stream0.withColumn("ts",
+          timestamp_micros(call_function("div", col("ts"), lit(1000L))))
+      else stream0
+    val joined = graft.streaming.StreamJoin
+      .funnel(stream, "view", "purchase", "6 hours")
+      .select(col("a_id").as("view_id"), col("b_id").as("purchase_id"),
+        col("a_user").as("user_id"),
+        (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("delay_us"))
+    val name = s"graft_ssj_${System.nanoTime()}"
+    graft.streaming.StreamingIngest.runAvailableNowAppend(joined, name)
+      .awaitTermination()
+    s.table(name).orderBy(col("view_id"), col("purchase_id"))
+  }
+
+  val streamStreamJoinSql: String =
+    """SELECT a.event_id AS view_id, b.event_id AS purchase_id, a.user_id,
+       epoch_us(b.ts) - epoch_us(a.ts) AS delay_us
+       FROM events a JOIN events b
+         ON a.user_id = b.user_id
+         AND a.event_type = 'view' AND b.event_type = 'purchase'
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+       ORDER BY view_id, purchase_id"""
+
   /** Full-outer join: every customer and every order bucket survives,
     * unmatched sides null-filled — the remaining join-type surface after
     * inner/left/semi/anti/asof/range.

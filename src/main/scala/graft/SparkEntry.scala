@@ -68,6 +68,7 @@ object SparkEntry {
     "streaming_sessionize" -> (Queries.streamingSessionize _),
     "streaming_late_drop" -> (Queries.streamingLateDrop _),
     "dedup_stream_exact" -> (Queries.dedupStreamExact _),
+    "stream_stream_join" -> (Queries.streamStreamJoin _),
     "rollup_orders" -> (Queries.rollupOrders _),
     "cube_orders" -> (Queries.cubeOrders _),
     "pivot_event_values" -> (Queries.pivotEventValues _),
@@ -158,7 +159,7 @@ object SparkEntry {
       "pipeline_resume_partial")
     val streamHarness = Set(
       "streaming_hourly_counts", "streaming_sessionize", "streaming_late_drop",
-      "dedup_stream_exact", "dedup_incremental_stream")
+      "dedup_stream_exact", "dedup_incremental_stream", "stream_stream_join")
     queries.keys.map { n =>
       n -> (if (writeDemo(n)) "write_demo"
             else if (streamHarness(n)) "stream_harness"
@@ -213,6 +214,7 @@ object SparkEntry {
     "streaming_sessionize" -> Queries.streamingSessionizeSql,
     "streaming_late_drop" -> Queries.streamingLateDropSql,
     "dedup_stream_exact" -> Queries.dedupStreamExactSql,
+    "stream_stream_join" -> Queries.streamStreamJoinSql,
     "rollup_orders" -> Queries.rollupOrdersSql,
     "cube_orders" -> Queries.cubeOrdersSql,
     "pivot_event_values" -> Queries.pivotEventValuesSql,

@@ -34,6 +34,39 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("stream-stream funnel join: inclusive window bounds, per-user " +
+      "pairing, equals the batch join") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // synthetic boundary corpus: user 1's purchases at +0s, exactly +6h,
+    // and +6h+1µs after the view; user 2 purchases but never views; the
+    // +6h+1µs row must be excluded by the CLOSED upper bound
+    val h6us = 6L * 3600L * 1000000L
+    val base = 1700000000000000L
+    val rows = Seq(
+      (1L, base, 10L, "view"),
+      (1L, base, 20L, "purchase"),          // same instant: included
+      (1L, base + h6us, 21L, "purchase"),   // exactly +6h: included
+      (1L, base + h6us + 1L, 22L, "purchase"), // +6h+1µs: excluded
+      (2L, base + 60L, 30L, "purchase"))    // no view: unmatched
+    val landing = java.nio.file.Files.createTempDirectory("graft_ssj_spec_")
+    rows.toDF("user_id", "t_us", "event_id", "event_type")
+      .select($"user_id", timestamp_micros($"t_us").as("ts"),
+        $"event_id", $"event_type")
+      .write.mode("overwrite").parquet(landing.toString)
+    val schema = spark.read.parquet(landing.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(landing.toString)
+    val joined = graft.streaming.StreamJoin
+      .funnel(stream, "view", "purchase", "6 hours")
+      .select($"a_id", $"b_id")
+    val q = StreamingIngest.runAvailableNowAppend(joined, "graft_ssj_spec")
+    q.awaitTermination(120000)
+    val got = spark.table("graft_ssj_spec")
+      .orderBy($"a_id", $"b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((10L, 20L), (10L, 21L)))
+  }
+
   test("streaming partitioned parquet sink: one directory per time bucket") {
     import spark.implicits._
     val raw = spark.read.parquet(s"$sf/events.parquet")
