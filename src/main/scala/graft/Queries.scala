@@ -2484,6 +2484,39 @@ object Queries {
            ORDER BY md5(text), doc_id) AS rn
          FROM documents) WHERE rn <= 25 ORDER BY doc_id"""
 
+  /** Temperature-flattened source mixture (α = 0.5): 300 docs drawn with
+    * per-source quotas ∝ isqrt(count) by integer largest-remainder
+    * apportionment — no floating-point weights anywhere, so the split
+    * replays bit-exact in the oracle. The corpus cut heap-prunes through
+    * TopKPerKey at the max quota; only dimension-sized frames see
+    * windows (operators/Sampling.scala `temperatureMixture`).
+    */
+  def mixtureSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.temperatureMixture(
+      documents(s, dir), "source", "doc_id", md5(col("text")),
+      totalN = 300L)
+      .orderBy(col("doc_id"))
+
+  val mixtureSampleSql: String =
+    """WITH n AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY 1),
+       w AS (SELECT source, CAST(floor(sqrt(cnt)) AS BIGINT) AS wt FROM n),
+       tot AS (SELECT SUM(wt) AS W FROM w),
+       app AS (
+         SELECT source, wt, (300 * wt) // W AS base, (300 * wt) % W AS rem
+         FROM w, tot),
+       fin AS (
+         SELECT source, base + CASE WHEN
+             row_number() OVER (ORDER BY rem DESC, source ASC)
+               <= 300 - (SELECT SUM(base) FROM app)
+             THEN 1 ELSE 0 END AS quota
+         FROM app),
+       r AS (
+         SELECT doc_id, source, row_number() OVER (PARTITION BY source
+           ORDER BY md5(text) ASC, doc_id ASC) AS rn
+         FROM documents)
+       SELECT r.doc_id, r.source FROM r JOIN fin USING (source)
+       WHERE rn <= quota ORDER BY doc_id"""
+
   /** Quality banding: per-language ntile(4) over the quality score — the
     * "keep the top quartile" curation cut, with a deterministic total
     * order (score, doc_id). Computed by `Banding.ntileByStratum` (two-level

@@ -113,6 +113,7 @@ object SparkEntry {
     "sample_stratified" -> (Queries.sampleStratified _),
     "shuffle_shard" -> (Queries.shuffleShard _),
     "sample_exact_n" -> (Queries.sampleExactN _),
+    "mixture_sample" -> (Queries.mixtureSample _),
     "doc_chunking" -> (Queries.docChunking _),
     "doc_packing" -> (Queries.docPacking _),
     "doc_packing_bpe" -> (Queries.docPackingBpe _),
@@ -249,6 +250,7 @@ object SparkEntry {
     "sample_stratified" -> Queries.sampleStratifiedSql,
     "shuffle_shard" -> Queries.shuffleShardSql,
     "sample_exact_n" -> Queries.sampleExactNSql,
+    "mixture_sample" -> Queries.mixtureSampleSql,
     "doc_chunking" -> Queries.docChunkingSql,
     "doc_packing" -> Queries.docPackingSql,
     "doc_packing_bpe" -> Queries.docPackingBpeSql,

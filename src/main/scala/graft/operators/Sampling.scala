@@ -34,4 +34,50 @@ object Sampling {
     }
     hashSample(df, key, cutoff)
   }
+
+  /** Temperature-flattened source mixture: draw `totalN` rows with
+    * per-source quotas ∝ `isqrt(count_s)` (the α = 0.5 temperature that
+    * keeps big sources from drowning small ones — the standard
+    * multi-corpus mixing move), WITHOUT floating-point apportionment:
+    * quotas come from integer largest-remainder division, so the split is
+    * bit-reproducible in any engine. A quota larger than its source keeps
+    * the whole source (sampling is without replacement; output may then
+    * be < totalN).
+    *
+    * Scale shape: the quota table is DIMENSION-sized (one row per
+    * source) — its windows and the one `max(quota)` driver scalar are
+    * O(sources), never corpus work. The corpus-side cut heap-prunes
+    * through [[graft.plans.TopKPerKey]] at the max quota BELOW the
+    * shuffle, then ranks only the ≤ maxQuota × sources survivors.
+    */
+  def temperatureMixture(df: DataFrame, srcCol: String, idCol: String,
+      hash: Column, totalN: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = col(srcCol)
+    val w = df.groupBy(src).agg(count(lit(1)).as("cnt"))
+      .withColumn("wt", floor(sqrt(col("cnt"))).cast("long"))
+    val tot = w.agg(sum(col("wt")).as("W"))
+    val app = w.crossJoin(broadcast(tot))
+      .withColumn("base",
+        call_function("div", lit(totalN) * col("wt"), col("W")))
+      .withColumn("rem", (lit(totalN) * col("wt")) % col("W"))
+    val sumBase = app.agg(sum(col("base")).as("SB"))
+    // single-task window over the dimension-sized frame (documented above)
+    val quotas = app.crossJoin(broadcast(sumBase))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("rem").desc, src.asc)))
+      .withColumn("quota", col("base") +
+        when(col("rk") <= lit(totalN) - col("SB"), 1L).otherwise(0L))
+      .select(src, col("quota"))
+    val maxQ = quotas.agg(max(col("quota"))).head().getLong(0)
+    val keyed = df.select(col(idCol), src, hash.as("_h"))
+    val pruned = graft.plans.TopKPerKey.topK(keyed, Seq(srcCol),
+      order = Seq("_h" -> "asc", idCol -> "asc"), k = maxQ.toInt)
+    pruned
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(src).orderBy(col("_h").asc, col(idCol).asc)))
+      .join(broadcast(quotas), srcCol)
+      .where(col("rn") <= col("quota"))
+      .select(col(idCol), src)
+  }
 }

@@ -149,6 +149,33 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(base.map(_.getLong(1)) !== (0L until n.toLong))
   }
 
+  test("temperatureMixture: integer apportionment sums to N, flattens " +
+      "the source skew, caps at source size") {
+    val docs = Tables.documents(spark, sf)
+    val out = Sampling.temperatureMixture(docs, "source", "doc_id",
+      md5($"text"), totalN = 300L)
+    val base = out.orderBy($"doc_id").collect().toSeq
+    assert(base.length === 300) // quotas sum exactly to N (no source exhausted)
+    // determinism across partitionings
+    val re = Sampling.temperatureMixture(docs.repartition(7), "source",
+      "doc_id", md5($"text"), totalN = 300L).orderBy($"doc_id").collect().toSeq
+    assert(re === base)
+    // temperature flattening: a 9x bigger source gets ~3x (sqrt) the
+    // quota, not 9x — and a tiny source is upsample-capped at its size
+    val skewed = ((1 to 900).map(i => (i.toLong, s"t$i", "big")) ++
+      (1 to 100).map(i => (1000L + i, s"u$i", "mid")) ++
+      Seq((2001L, "v", "tiny"))).toDF("doc_id", "text", "source")
+    val got = Sampling.temperatureMixture(skewed, "source", "doc_id",
+        md5($"text"), totalN = 40L)
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // weights: isqrt(900)=30, isqrt(100)=10, isqrt(1)=1 → 40*(30/41)≈29,
+    // 40*(10/41)≈9, 40*(1/41)≈0 with largest-remainder topping up
+    assert(got("big").toDouble / got("mid") < 4.0) // ~3x, NOT 9x
+    assert(got("big") + got("mid") + got.getOrElse("tiny", 0L) === 40L)
+    assert(got.getOrElse("tiny", 0L) <= 1L) // can never exceed its size
+  }
+
   test("chunking covers the document exactly, in order, with no shuffle") {
     val docs = Seq((1L, ("w " * 120).trim), (2L, "a b c"), (3L, ""))
       .toDF("doc_id", "text")
