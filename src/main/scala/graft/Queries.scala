@@ -2424,6 +2424,53 @@ object Queries {
            AS BIGINT) AS pack_id
        FROM allc ORDER BY doc_id, chunk_idx"""
 
+  /** GPT-style pretraining block packing (L19 twin of `doc_packing`): the
+    * corpus BPE-token stream concatenated in doc order and cut into fixed
+    * 512-token blocks, documents SPLIT across boundaries — one row per
+    * (block, doc) overlap with the in-doc token slice each block reads.
+    * Token counts are the real merges-table BPE; the prefix sum is the
+    * same two-level machinery as `doc_packing` (no global sort, no
+    * global window).
+    */
+  def docBlocks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.blockSlice(
+      documents(s, dir),
+      "doc_id",
+      graft.functions.BpeFunctions.bpeTokenCount(col("text")),
+      blockTokens = 512L)
+      .orderBy(col("block_id"), col("doc_id"))
+
+  val docBlocksSql: String =
+    s"""WITH RECURSIVE
+       toks AS (
+         SELECT doc_id, unnest(regexp_extract_all(text,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS w
+         FROM documents),
+       words AS (
+         SELECT DISTINCT w FROM toks
+         WHERE length(w) > 1 AND w SIMILAR TO '[A-Za-z0-9]+'),
+       $bpeReplaySql,
+       perdoc AS (
+         SELECT t.doc_id, SUM(COALESCE(e.ntok, 1)) AS n_bpe
+         FROM toks t LEFT JOIN enc e ON t.w = e.w GROUP BY 1),
+       po AS (
+         SELECT doc_id, CAST(n_bpe AS BIGINT) AS n_bpe,
+           CAST(COALESCE(SUM(n_bpe) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS prior
+         FROM perdoc WHERE n_bpe > 0),
+       blk AS (
+         SELECT doc_id, n_bpe, prior,
+           unnest(range(prior // 512, (prior + n_bpe - 1) // 512 + 1))
+             AS block_id
+         FROM po)
+       SELECT CAST(block_id AS BIGINT) AS block_id, doc_id,
+         CAST(GREATEST(prior, block_id * 512) - prior AS BIGINT)
+           AS tok_start,
+         CAST(LEAST(prior + n_bpe, (block_id + 1) * 512)
+           - GREATEST(prior, block_id * 512) AS BIGINT) AS tok_len
+       FROM blk ORDER BY block_id, doc_id"""
+
   /** Corpus-frequency fluency score — the engine-native stand-in for a
     * CCNet-style LM quality filter: a document whose distinct word bigrams
     * are common across the corpus reads like the corpus; one whose bigrams

@@ -117,6 +117,7 @@ object SparkEntry {
     "doc_chunking" -> (Queries.docChunking _),
     "doc_packing" -> (Queries.docPacking _),
     "doc_packing_bpe" -> (Queries.docPackingBpe _),
+    "doc_blocks" -> (Queries.docBlocks _),
     "quality_bands" -> (Queries.qualityBands _),
     "tfidf_topterms" -> (Queries.tfidfTopterms _),
     "decontaminate" -> (Queries.decontaminate _),
@@ -254,6 +255,7 @@ object SparkEntry {
     "doc_chunking" -> Queries.docChunkingSql,
     "doc_packing" -> Queries.docPackingSql,
     "doc_packing_bpe" -> Queries.docPackingBpeSql,
+    "doc_blocks" -> Queries.docBlocksSql,
     "quality_bands" -> Queries.qualityBandsSql,
     "tfidf_topterms" -> Queries.tfidfToptermsSql,
     "decontaminate" -> Queries.decontaminateSql,

@@ -176,6 +176,42 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(got.getOrElse("tiny", 0L) <= 1L) // can never exceed its size
   }
 
+  test("blockSlice: blocks tile the token stream exactly, docs tile " +
+      "their own token ranges, any partitioning") {
+    val docs = Tables.documents(spark, sf).select($"doc_id",
+      graft.functions.BpeFunctions.bpeTokenCount($"text").as("n_tok"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Chunking.blockSlice(df, "doc_id", $"n_tok", blockTokens = 512L)
+        .orderBy($"block_id", $"doc_id").collect().toSeq
+    val base = run(docs)
+    val total = docs.where($"n_tok" > 0).agg(sum($"n_tok")).head().getLong(0)
+    // every block holds exactly 512 tokens except the last partial one
+    val perBlock = base.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(3)).sum).toMap
+    val lastBlock = perBlock.keys.max
+    assert(perBlock.keySet === (0L to lastBlock).toSet)
+    perBlock.foreach { case (b, n) =>
+      if (b < lastBlock) assert(n === 512L, s"block $b")
+      else assert(n === total - 512L * lastBlock)
+    }
+    // each doc's slices tile [0, n_tok) contiguously in block order
+    val byDoc = base.groupBy(_.getLong(1))
+    val nTok = docs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc.foreach { case (d, rows) =>
+      val sorted = rows.sortBy(_.getLong(0))
+      val starts = sorted.map(_.getLong(2))
+      val lens = sorted.map(_.getLong(3))
+      assert(starts.head === 0L)
+      assert(starts.zip(lens).map { case (s0, l) => s0 + l }.dropRight(1)
+        === starts.tail, s"doc $d slices not contiguous")
+      assert(starts.last + lens.last === nTok(d), s"doc $d not fully tiled")
+    }
+    // zero-token docs contribute nothing; partitioning never matters
+    assert(byDoc.keySet === nTok.filter(_._2 > 0).keySet)
+    assert(run(docs.repartition(7)) === base)
+    assert(run(docs.coalesce(1)) === base)
+  }
+
   test("chunking covers the document exactly, in order, with no shuffle") {
     val docs = Seq((1L, ("w " * 120).trim), (2L, "a b c"), (3L, ""))
       .toDF("doc_id", "text")
