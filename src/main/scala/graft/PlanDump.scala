@@ -42,7 +42,12 @@ object PlanDump {
       "text_bpe_tokens" -> "real-vocab BPE counting is ONE narrow codegen map (BpeTokenCount kernel, ranks + memo as reference objects) — zero exchanges before the output sort",
       "doc_packing_bpe" -> "same two-level prefix-sum packing as doc_packing, billed by the BPE kernel in the same narrow map — token cost adds no shuffle",
       "text_bpe_names" -> "BPE over the customer-name digit-run surface: the deep merge tree runs entirely inside the narrow kernel map",
-      "pipeline_resume_partial" -> "cross-job resume read-back: the oracle-gated output scan after a faulted+resumed wave write — partition-pruned leaves, counts never rescan the input")
+      "pipeline_resume_partial" -> "cross-job resume read-back: the oracle-gated output scan after a faulted+resumed wave write — partition-pruned leaves, counts never rescan the input",
+      "scd2_history" -> "SCD2: ONE hash exchange + ONE sort serve both windows — the narrow change-point filter preserves partitioning and order between lag and lead/row_number",
+      "shuffle_shard" -> "seeded corpus shuffle: range exchange on the hash key + per-partition row_number + broadcast offset join — global rank with NO global sort",
+      "mixture_sample" -> "temperature mixture: windows touch only the dimension-sized quota frame; the corpus cut heap-prunes through TopKPerKeyExec at the max quota",
+      "doc_blocks" -> "GPT block packing: two-level prefix sum (range exchange + local window + broadcast offsets) -> narrow per-doc block explode; BPE billing inside the same codegen map",
+      "text_bpe_encode" -> "tokenizer output: the id-array BpeEncode kernel and its posexplode stay one narrow codegen span — zero exchanges before the output sort")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` on `$sf`. Audit notes per plan;\n")
