@@ -1821,6 +1821,41 @@ object Queries {
              FROM documents WHERE doc_id < 200)
        ORDER BY doc_id"""
 
+  /** Cross-doc duplicated-span fractions (operators/SpanDedup.scala):
+    * rolling 8-word windows at every offset, shared-by-≥2-docs windows
+    * counted per doc — the ExactSubstr-style signal L22's aligned lines
+    * quantize away. int/int dup_frac, total ORDER BY.
+    */
+  def spanDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SpanDedup.spanStats(
+      documents(s, dir), col("doc_id"), col("text"), n = 8)
+      .orderBy(col("doc_id"))
+
+  val spanDedupSql: String =
+    s"""WITH base AS (
+         SELECT doc_id, string_split($normalizeSql, ' ') AS w
+         FROM documents),
+       b2 AS (SELECT doc_id, w, len(w) AS nw FROM base),
+       wins AS (
+         SELECT doc_id, i, md5(array_to_string(w[i+1:i+8], ' ')) AS h
+         FROM (SELECT doc_id, w, nw, unnest(range(nw - 7)) AS i
+               FROM b2 WHERE nw >= 8)),
+       shared AS (
+         SELECT h FROM (
+           SELECT h, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY 1)
+         WHERE nd >= 2),
+       dup AS (
+         SELECT doc_id, COUNT(*) AS n_dup
+         FROM wins JOIN shared USING (h) GROUP BY 1)
+       SELECT b2.doc_id,
+         CAST(GREATEST(nw - 7, 0) AS BIGINT) AS n_windows,
+         CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup,
+         CASE WHEN nw >= 8
+           THEN CAST(COALESCE(n_dup, 0) AS DOUBLE) / CAST(nw - 7 AS DOUBLE)
+           ELSE 0.0 END AS dup_frac
+       FROM b2 LEFT JOIN dup USING (doc_id)
+       ORDER BY doc_id"""
+
   def fingerprintQ(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).where(col("doc_id") < 50)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))

@@ -144,6 +144,7 @@ object SparkEntry {
     "pii_redact" -> (Queries.piiRedact _),
     // L22 line-level dedup
     "line_dedup" -> (Queries.lineDedup _),
+    "span_dedup" -> (Queries.spanDedup _),
   )
 
   /** Bench class per registered query — `pure` (compute only),
@@ -278,5 +279,6 @@ object SparkEntry {
     "fingerprint" -> Queries.fingerprintSql,
     "pii_redact" -> Queries.piiRedactSql,
     "line_dedup" -> Queries.lineDedupSql,
+    "span_dedup" -> Queries.spanDedupSql,
   )
 }

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cross-document duplicated-SPAN detection — the word-window
+  * approximation of exact-substring training-data dedup (the
+  * suffix-array ExactSubstr pass): rolling `n`-word windows at EVERY word
+  * offset (stride 1 — contrast the aligned stride-10 segmentation of
+  * line-level dedup), hashed to 16 bytes; a window is duplicated when it
+  * occurs in ≥ 2 distinct documents.
+  *
+  * Recall is structural: any shared span of ≥ n words contains a shared
+  * n-window at every offset inside it, so span-level duplication is never
+  * missed, only quantized to window granularity.
+  *
+  * Scale shape: the window explode is narrow (≈ words-per-doc rows, each
+  * a 16-byte hash + ids — the text itself never rides the shuffle); ONE
+  * groupBy on the hash finds cross-doc windows; the join back is
+  * co-partitioned on the same hash key (exchange reuse); one final
+  * groupBy(doc) — every stage linear in corpus size, nothing quadratic,
+  * no driver state.
+  */
+object SpanDedup {
+
+  /** Per-document duplicated-span statistics: `n_windows` (rolling
+    * `n`-word windows in the normalized text), `n_dup` (how many of them
+    * also occur in another document), `dup_frac` (int/int double; 0.0
+    * for docs shorter than `n` words).
+    */
+  def spanStats(docs: DataFrame, id: Column, text: Column,
+      n: Int): DataFrame = {
+    require(n >= 2, s"window must be >= 2 words, got $n")
+    val base = docs
+      .select(id.as("doc_id"), split(TextAnalysis.normalize(text), " ").as("w"))
+      .withColumn("nw", size(col("w")).cast("long"))
+    val wins = base.where(col("nw") >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), (col("nw") - n).cast("int")),
+          i => md5(array_join(slice(col("w"), i + 1, lit(n)), " ")))))
+      .toDF("doc_id", "pos", "h")
+    val shared = wins.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2).select(col("h"))
+    val dup = wins.join(shared, "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    base
+      .select(col("doc_id"),
+        greatest(col("nw") - (n - 1), lit(0L)).as("n_windows"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(col("n_windows") > 0L,
+          coalesce(col("n_dup"), lit(0L)).cast("double") /
+            col("n_windows").cast("double"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+}

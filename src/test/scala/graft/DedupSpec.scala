@@ -97,6 +97,33 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(sim === truth)
   }
 
+  test("spanDedup: planted shared spans found, window counts exact, " +
+      "short docs zero") {
+    import spark.implicits._
+    val span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"one two three $span four five"),   // shares the 10-word span
+      (2L, s"$span completely different tail words here now"),
+      (3L, "totally unrelated text with enough words to form windows ok"),
+      (4L, "short doc")                          // < 8 words: no windows
+    ).toDF("doc_id", "text")
+    val out = graft.operators.SpanDedup
+      .spanStats(docs, $"doc_id", $"text", n = 8)
+      .orderBy($"doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc 1: 15 words -> 8 windows; the 10-word shared span contributes
+    // 3 shared 8-windows (offsets 0..2 within the span)
+    assert(byId(1L)._1 === 8L)
+    assert(byId(1L)._2 === 3L)
+    // doc 2: 16 words -> 9 windows, same 3 shared
+    assert(byId(2L)._1 === 9L)
+    assert(byId(2L)._2 === 3L)
+    assert(byId(3L)._2 === 0L)
+    assert(byId(4L) === ((0L, 0L, 0.0)))
+    assert(byId(1L)._3 === 3.0 / 8.0)
+  }
+
   test("operator caches are released: cache manager empty after dedup queries") {
     // the r3 verdict's headline leak: operator-internal .cache() pinned
     // shingle/band/affinity tables for the session lifetime. Every cache
