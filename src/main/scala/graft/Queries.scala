@@ -1398,6 +1398,65 @@ object Queries {
            WHERE q.vec_id < 10))
        WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** ANN over int8-QUANTIZED embeddings (operators/Quantize.scala): the
+    * retrieval-scale memory move — 4× smaller vectors, integer dot
+    * products — run as the same broadcast-queries + TopKPerKey shape as
+    * `ann_topk`. Quantized scores are integer-exact until one final
+    * double division, so the oracle replays them bit-identically; the
+    * rank-5 lists land within one code of the full-precision lists on
+    * this corpus (the quantization-error contract SimilaritySpec pins).
+    */
+  def annTopkQ8(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quantize
+    val q8 = embeddings(s, dir)
+      .select(col("vec_id"), Quantize.int8Codes(col("embedding")).as("q"))
+    val q = q8.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"))
+    val c = q8.select(col("vec_id").as("neighbor_id"), col("q").as("qb"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Quantize.qcos(col("qa"), col("qb")).as("qcos"))
+    val top = graft.plans.TopKPerKey.topK(scored, keys = Seq("query_id"),
+      order = Seq("qcos" -> "desc", "neighbor_id" -> "asc"), k = 5)
+    // rank over the ≤ 5 surviving rows per query (bounded window)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("qcos").desc, col("neighbor_id").asc)).cast("long"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def qdotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, len($a) + 1),
+        i -> $a[i] * $b[i]), (x, y) -> x + y)"""
+
+  val annTopkQ8Sql: String = {
+    val qcos = s"""CAST(${qdotSql("a.q", "b.q")} AS DOUBLE)
+        / (sqrt(CAST(${qdotSql("a.q", "a.q")} AS DOUBLE))
+         * sqrt(CAST(${qdotSql("b.q", "b.q")} AS DOUBLE)))"""
+    s"""WITH qz AS (
+         SELECT vec_id,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+             / 127.0 AS scale,
+           embedding
+         FROM embeddings),
+       qv AS (
+         SELECT vec_id, list_transform(embedding, x -> CASE WHEN scale = 0
+             THEN CAST(0 AS BIGINT)
+             ELSE CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT) END) AS q
+         FROM qz)
+       SELECT query_id, neighbor_id, qcos, rank FROM (
+         SELECT query_id, neighbor_id, qcos,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY qcos DESC, neighbor_id) AS BIGINT) AS rank
+         FROM (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             $qcos AS qcos
+           FROM qv a JOIN qv b ON b.vec_id != a.vec_id
+           WHERE a.vec_id < 10))
+       WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
   /** kNN label propagation — assign each unlabeled vector the label of its
     * nearest labeled neighbor, the retrieval-based labeling/curation pass
     * (domain tagging, weak supervision) every embedding-equipped pipeline

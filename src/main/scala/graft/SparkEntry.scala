@@ -100,6 +100,7 @@ object SparkEntry {
     // L6 similarity search
     "ann_topk" -> (Queries.annTopk _),
     "ann_topk_lsh" -> (Queries.annTopkLsh _),
+    "ann_topk_q8" -> (Queries.annTopkQ8 _),
     "ann_ivf" -> (Queries.annIvf _),
     "ann_ivf_refined" -> (Queries.annIvfRefined _),
     "knn_label" -> (Queries.knnLabel _),
@@ -246,6 +247,7 @@ object SparkEntry {
     "dedup_incremental_stream" -> Queries.dedupIncrementalStreamSql,
     "dedup_incremental_bloom" -> Queries.dedupIncrementalBloomSql,
     "ann_topk_lsh" -> Queries.annTopkLshSql,
+    "ann_topk_q8" -> Queries.annTopkQ8Sql,
     "streaming_hourly_counts" -> Queries.streamingHourlyCountsSql,
     "latest_by_key" -> Queries.latestByKeySql,
     "scd2_history" -> Queries.scd2HistorySql,

@@ -77,6 +77,38 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(assigned.count() === e.count())
   }
 
+  test("int8 quantization: codes bounded, reconstruction within scale/2, " +
+      "q8 top-5 recall vs full precision") {
+    import spark.implicits._
+    import graft.operators.Quantize
+    val e = Tables.embeddings(spark, sf)
+    // codes live in [-127, 127]; dequantized error <= scale/2 per element
+    val checked = e.select($"vec_id", $"embedding",
+        Quantize.int8Scale($"embedding").as("scale"),
+        Quantize.int8Codes($"embedding").as("q"))
+      .select($"vec_id", $"scale",
+        aggregate($"q", lit(0), (m, x) => greatest(m, abs(x))).as("max_code"),
+        aggregate(zip_with($"embedding", $"q",
+            (v, c) => abs(v.cast("double") - c.cast("double") * $"scale")),
+          lit(0.0), (m, x) => greatest(m, x)).as("max_err"))
+      .collect()
+    checked.foreach { r =>
+      assert(r.getAs[Int]("max_code") <= 127)
+      assert(r.getAs[Double]("max_err") <= r.getAs[Double]("scale") / 2 + 1e-12)
+    }
+    // retrieval quality: q8 rank-5 lists recover >= 80% of the
+    // full-precision rank-5 neighbors on this corpus
+    val full = Queries.annTopk(spark, sf)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q8 = Queries.annTopkQ8(spark, sf)
+      .where($"query_id" < 10) // annTopk's query set
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (full intersect q8).size.toDouble / full.size
+    assert(recall >= 0.8, s"q8 recall@5 = $recall")
+  }
+
   test("duplicate-vector collapse: amplified corpus equals the naive pairs") {
     val e = Tables.embeddings(spark, sf)
       .select($"vec_id", $"embedding")
