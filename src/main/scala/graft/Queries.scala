@@ -2658,6 +2658,27 @@ object Queries {
        SELECT r.doc_id, r.source FROM r JOIN fin USING (source)
        WHERE rn <= quota ORDER BY doc_id"""
 
+  /** One-pass numeric table profile (operators/Profile.scala): per-column
+    * rows/nulls/exact-distincts/range over the lineitem measures — one
+    * aggregation job (multi-distinct via a single Expand), unpivoted
+    * with `stack`, no second scan.
+    */
+  def profileTable(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.numeric(lineitem(s, dir),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy(col("col_name"))
+
+  val profileTableSql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         COUNT($c) AS n_nonnull, COUNT(DISTINCT $c) AS n_distinct,
+         CAST(MIN($c) AS DOUBLE) AS min_v, CAST(MAX($c) AS DOUBLE) AS max_v
+         FROM lineitem"""
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(one).mkString("SELECT * FROM (", " UNION ALL ",
+        ") ORDER BY col_name")
+  }
+
   /** Quality banding: per-language ntile(4) over the quality score — the
     * "keep the top quartile" curation cut, with a deterministic total
     * order (score, doc_id). Computed by `Banding.ntileByStratum` (two-level

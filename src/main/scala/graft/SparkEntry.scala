@@ -28,6 +28,7 @@ object SparkEntry {
     // R1 map-only ETL
     "etl_map_only" -> (Queries.etlMapOnly _),
     "etl_cast_rename" -> (Queries.etlCastRename _),
+    "profile_table" -> (Queries.profileTable _),
     // R2/R3 timestamp partitioning
     "partition_hour_ts" -> (Queries.partitionHourTs _),
     "partition_day_ts" -> (Queries.partitionDayTs _),
@@ -190,6 +191,7 @@ object SparkEntry {
     "knn_label_ivf" -> Queries.knnLabelIvfSql,
     "etl_map_only" -> Queries.etlMapOnlySql,
     "etl_cast_rename" -> Queries.etlCastRenameSql,
+    "profile_table" -> Queries.profileTableSql,
     "partition_hour_ts" -> Queries.partitionHourTsSql,
     "partition_day_ts" -> Queries.partitionDayTsSql,
     "partition_day_orders" -> Queries.partitionDayOrdersSql,

@@ -52,6 +52,26 @@ class ExtrasSpec extends AnyFunSuite with SparkFixture {
     assert(stateful.nonEmpty)
   }
 
+  test("profile: nulls excluded from distinct/range, one row per column") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, null), (1.0, 2.0), (3.0, null), (null, 2.0))
+      .toDF("a", "b")
+    val out = graft.operators.Profile.numeric(df, Seq("a", "b"))
+      .orderBy($"col_name").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("a", "b"))
+    val a = out(0); val b = out(1)
+    assert((a.getLong(1), a.getLong(2), a.getLong(3)) === ((4L, 3L, 2L)))
+    assert((a.getDouble(4), a.getDouble(5)) === ((1.0, 3.0)))
+    assert((b.getLong(1), b.getLong(2), b.getLong(3)) === ((4L, 2L, 1L)))
+    assert((b.getDouble(4), b.getDouble(5)) === ((2.0, 2.0)))
+    // one aggregation job: a single scan feeds the profile (no per-column
+    // re-scan of the source)
+    val plan = graft.operators.Profile.numeric(df, Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    assert("Scan ExistingRDD|LocalTableScan".r.findAllIn(plan).length <= 1)
+  }
+
   test("IVF ANN: probes restrict candidates, scores stay exact") {
     val e = Tables.embeddings(spark, sf)
       .select($"vec_id".as("id"), $"embedding".as("vec"))
