@@ -2658,6 +2658,32 @@ object Queries {
        SELECT r.doc_id, r.source FROM r JOIN fin USING (source)
        WHERE rn <= quota ORDER BY doc_id"""
 
+  /** Z-order layout key (operators/ZOrder.scala): Morton interleave of
+    * (order day, customer) — the 2-D clustering key an `optimize zorder`
+    * write sorts by so parquet footer stats prune BOTH dimensions. Pure
+    * integer bit arithmetic, bit-identical in the oracle. The write-side
+    * use is `repartitionByRange(zval).sortWithinPartitions(zval)`; the
+    * registered query gates the key computation + total order.
+    */
+  def zorderKey(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir).select(col("o_orderkey"),
+      graft.operators.ZOrder.zValue(
+        dayBucket(col("o_orderdate")), col("o_custkey"), bits = 16)
+        .as("zval"))
+      .orderBy(col("zval"), col("o_orderkey"))
+
+  val zorderKeySql: String = {
+    val mask = (1L << 16) - 1
+    val am = s"((epoch_us(o_orderdate) // 86400000000) & $mask)"
+    val bm = s"(o_custkey & $mask)"
+    val terms = (0 until 16).map { i =>
+      s"((($am >> $i) & 1) * ${1L << (2 * i)}) | " +
+        s"((($bm >> $i) & 1) * ${1L << (2 * i + 1)})"
+    }.mkString("(", " | ", ")")
+    s"""SELECT o_orderkey, $terms AS zval
+       FROM orders ORDER BY zval, o_orderkey"""
+  }
+
   /** One-pass numeric table profile (operators/Profile.scala): per-column
     * rows/nulls/exact-distincts/range over the lineitem measures — one
     * aggregation job (multi-distinct via a single Expand), unpivoted

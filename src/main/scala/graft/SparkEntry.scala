@@ -29,6 +29,7 @@ object SparkEntry {
     "etl_map_only" -> (Queries.etlMapOnly _),
     "etl_cast_rename" -> (Queries.etlCastRename _),
     "profile_table" -> (Queries.profileTable _),
+    "zorder_key" -> (Queries.zorderKey _),
     // R2/R3 timestamp partitioning
     "partition_hour_ts" -> (Queries.partitionHourTs _),
     "partition_day_ts" -> (Queries.partitionDayTs _),
@@ -192,6 +193,7 @@ object SparkEntry {
     "etl_map_only" -> Queries.etlMapOnlySql,
     "etl_cast_rename" -> Queries.etlCastRenameSql,
     "profile_table" -> Queries.profileTableSql,
+    "zorder_key" -> Queries.zorderKeySql,
     "partition_hour_ts" -> Queries.partitionHourTsSql,
     "partition_day_ts" -> Queries.partitionDayTsSql,
     "partition_day_orders" -> Queries.partitionDayOrdersSql,

@@ -72,6 +72,44 @@ class ExtrasSpec extends AnyFunSuite with SparkFixture {
     assert("Scan ExistingRDD|LocalTableScan".r.findAllIn(plan).length <= 1)
   }
 
+  test("zValue: matches the reference interleave, and z-layout bounds " +
+      "2-D boxes where a 1-D sort cannot") {
+    import spark.implicits._
+    import graft.operators.ZOrder
+    def zRef(a: Long, b: Long): Long =
+      (0 until 16).map(i => ((((a >> i) & 1L) << (2 * i)) |
+        (((b >> i) & 1L) << (2 * i + 1)))).reduce(_ | _)
+    val pts = for (a <- 0L to 40L; b <- 0L to 40L) yield (a, b)
+    val got = pts.toDF("a", "b")
+      .select($"a", $"b", ZOrder.zValue($"a", $"b", bits = 16).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (a, b) => assert(got((a, b)) === zRef(a, b)) }
+    // layout claim: partition by z, each partition's (a, b) bounding box
+    // is TIGHT in both dims; partition by a alone, the b-extent of every
+    // partition spans the whole domain — so a 2-D box predicate can skip
+    // most z-partitions but no a-partitions on footer-style stats
+    def boxes(sorted: org.apache.spark.sql.DataFrame) = sorted
+      .withColumn("pid", spark_partition_id())
+      .groupBy($"pid").agg(min($"a"), max($"a"), min($"b"), max($"b"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val df = pts.toDF("a", "b")
+      .select($"a", $"b", ZOrder.zValue($"a", $"b", bits = 16).as("z"))
+    val zParts = boxes(df.repartitionByRange(16, $"z")
+      .sortWithinPartitions($"z"))
+    val aParts = boxes(df.repartitionByRange(16, $"a")
+      .sortWithinPartitions($"a"))
+    // box query selective in the NON-sort dim: b in [8,11], a unbounded —
+    // the a-sorted layout cannot prune it at all, z-order can
+    def overlaps(p: (Long, Long, Long, Long)) =
+      p._3 <= 11 && p._4 >= 8
+    val zTouched = zParts.count(overlaps)
+    val aTouched = aParts.count(overlaps)
+    assert(zTouched < aTouched,
+      s"z-layout touched $zTouched of ${zParts.length}, " +
+        s"a-sort touched $aTouched of ${aParts.length}")
+  }
+
   test("IVF ANN: probes restrict candidates, scores stay exact") {
     val e = Tables.embeddings(spark, sf)
       .select($"vec_id".as("id"), $"embedding".as("vec"))
