@@ -47,7 +47,11 @@ object PlanDump {
       "shuffle_shard" -> "seeded corpus shuffle: range exchange on the hash key + per-partition row_number + broadcast offset join — global rank with NO global sort",
       "mixture_sample" -> "temperature mixture: windows touch only the dimension-sized quota frame; the corpus cut heap-prunes through TopKPerKeyExec at the max quota",
       "doc_blocks" -> "GPT block packing: two-level prefix sum (range exchange + local window + broadcast offsets) -> narrow per-doc block explode; BPE billing inside the same codegen map",
-      "text_bpe_encode" -> "tokenizer output: the id-array BpeEncode kernel and its posexplode stay one narrow codegen span — zero exchanges before the output sort")
+      "text_bpe_encode" -> "tokenizer output: the id-array BpeEncode kernel and its posexplode stay one narrow codegen span — zero exchanges before the output sort",
+      "span_dedup" -> "rolling-window span dedup: narrow window explode (16-byte hashes, text never shuffles) -> one hash groupBy -> co-partitioned join back -> one doc groupBy; all linear",
+      "ann_topk_q8" -> "quantized ANN: int8 codes in a narrow map, broadcast query side, integer-dot scoring, bounded-heap TopKPerKey argmax — corpus never shuffles",
+      "profile_table" -> "one-pass profile: single scan -> Expand (multi-distinct) -> one aggregation -> stack unpivot; no per-column re-scan",
+      "zorder_key" -> "z-order key: pure bit-arithmetic projection inside one WholeStageCodegen span; only the output ORDER BY exchanges")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` on `$sf`. Audit notes per plan;\n")
