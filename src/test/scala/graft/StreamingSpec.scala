@@ -10,6 +10,17 @@ import graft.streaming.StreamingIngest
   */
 class StreamingSpec extends AnyFunSuite with SparkFixture {
 
+  /** Raw `ts` arrives as a nano-epoch long only when the parquet was
+    * written with TIMESTAMP(NANOS) (read under `nanosAsLong=true`);
+    * µs-precision testdata already lands as a proper timestamp. Mirror
+    * the conditional conversion `Tables.events` applies.
+    */
+  private def tsToTimestamp(df: org.apache.spark.sql.DataFrame) =
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(
+        call_function("div", col("ts"), lit(1000L))))
+    else df
+
   test("availableNow hourly counts equal the batch aggregation") {
     import spark.implicits._
     val batchEvents = Tables.events(spark, sf)
@@ -17,10 +28,8 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     // file streams need a directory: stage the parquet into a temp landing dir
     val landing = java.nio.file.Files.createTempDirectory("graft_stream_")
     raw.write.mode("overwrite").parquet(landing.toString)
-    val stream = StreamingIngest.readParquetStream(
-        spark, landing.toString, raw.schema)
-      .withColumn("ts", timestamp_micros(
-        call_function("div", col("ts"), lit(1000L))))
+    val stream = tsToTimestamp(StreamingIngest.readParquetStream(
+        spark, landing.toString, raw.schema))
     val q = StreamingIngest.runAvailableNow(
       StreamingIngest.hourlyCounts(stream), "graft_stream_test")
     q.awaitTermination(120000)
@@ -74,10 +83,8 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     raw.write.mode("overwrite").parquet(landing.toString)
     val outDir = java.nio.file.Files.createTempDirectory("graft_psink_out_")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_psink_ck_")
-    val stream = StreamingIngest.readParquetStream(
-        spark, landing.toString, raw.schema)
-      .withColumn("ts", timestamp_micros(
-        call_function("div", col("ts"), lit(1000L))))
+    val stream = tsToTimestamp(StreamingIngest.readParquetStream(
+        spark, landing.toString, raw.schema))
       .withColumn("bucket", graft.operators.TimePartitioning
         .bucket($"ts", graft.operators.TimePartitioning.Day))
     // the reference's signature map -> shuffle-by-bucket -> reduce-side
