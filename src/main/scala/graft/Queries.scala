@@ -3273,4 +3273,191 @@ object Queries {
              FROM documents WHERE doc_id < 200)
        ORDER BY doc_id"""
   }
+
+  // ------------------------------------------- L25 NFC text canonicalize --
+
+  /** NFC canonicalization (functions/NormalizeExpressions.scala): the
+    * synthetic corpus is pure ASCII (NFC-invariant), so — like pii_redact —
+    * each document is salted in-query with DECOMPOSED sequences (e + U+0301
+    * combining acute, u + U+0308 diaeresis) plus control-char whitespace;
+    * the kernel must compose them to single codepoints and collapse the
+    * controls. The oracle replays the identical splice with `chr()` and
+    * gates via `nfc_normalize` + the contract regex. Output carries both
+    * the cleaned length and the md5 (exact bytes) plus a readable head.
+    */
+  def textNfcClean(s: SparkSession, dir: String): DataFrame = {
+    val salted = documents(s, dir).where(col("doc_id") < 300)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" ne\u0301e fiance\u0301"),
+          lit("\tZu\u0308rich"), lit("\u000B\u000B x \u001F.")).as("t"))
+    salted.select(col("doc_id"),
+      length(graft.functions.NormalizeFunctions.nfcClean(col("t")))
+        .cast("long").as("n_clean"),
+      md5(graft.functions.NormalizeFunctions.nfcClean(col("t")))
+        .as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textNfcCleanSql: String =
+    """SELECT doc_id,
+       CAST(length(c) AS BIGINT) AS n_clean, md5(c) AS clean_md5
+       FROM (SELECT doc_id,
+               trim(regexp_replace(nfc_normalize(
+                 text || ' ne' || chr(769) || 'e fiance' || chr(769)
+                      || chr(9) || 'Zu' || chr(776) || 'rich'
+                      || chr(11) || chr(11) || ' x ' || chr(31) || '.'),
+                 '[\x00-\x20\x7F]+', ' ', 'g')) AS c
+             FROM documents WHERE doc_id < 300)
+       ORDER BY doc_id"""
+
+  // --------------------------------------------------- E23 CDC merge ------
+
+  /** CDC MERGE (operators/Compaction.scala mergeChangelog): a derived
+    * changelog upserts every 5th order (status 'M', price doubled — exact
+    * decimal) and then deletes every 10th; the merged snapshot must show
+    * doubled-not-deleted keys mutated, %10 keys gone, the rest untouched.
+    * One union + max_by hash agg — the oracle runs the textbook window
+    * formulation the operator exists to avoid.
+    */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus").as("status"),
+      dec2(col("o_totalprice")).cast("double").as("total"))
+    val ups = orders(s, dir).where(pmod(col("o_orderkey"), lit(5)) === 0)
+      .select(col("o_orderkey"), lit(1L).as("seq"), lit("U").as("op"),
+        col("o_custkey"), lit("M").as("status"),
+        (dec2(col("o_totalprice")) * lit(2).cast("decimal(2,0)"))
+          .cast("double").as("total"))
+    val dels = orders(s, dir).where(pmod(col("o_orderkey"), lit(10)) === 0)
+      .select(col("o_orderkey"), lit(2L).as("seq"), lit("D").as("op"),
+        col("o_custkey"), lit(null).cast("string").as("status"),
+        lit(null).cast("double").as("total"))
+    Compaction.mergeChangelog(base, ups.unionByName(dels), "o_orderkey",
+        "seq", "op", Seq("o_custkey", "status", "total"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val mergeUpsertSql: String =
+    s"""WITH changes AS (
+         SELECT o_orderkey, 1 AS seq, 'U' AS op, o_custkey,
+                'M' AS status,
+                CAST(${sqlDec2("o_totalprice")} * 2 AS DOUBLE) AS total
+         FROM orders WHERE o_orderkey % 5 = 0
+         UNION ALL
+         SELECT o_orderkey, 2, 'D', o_custkey, NULL, NULL
+         FROM orders WHERE o_orderkey % 10 = 0),
+       unioned AS (
+         SELECT o_orderkey, -1 AS seq, 'U' AS op, o_custkey,
+                o_orderstatus AS status,
+                CAST(${sqlDec2("o_totalprice")} AS DOUBLE) AS total
+         FROM orders
+         UNION ALL SELECT * FROM changes),
+       latest AS (
+         SELECT * FROM unioned
+         QUALIFY row_number() OVER (PARTITION BY o_orderkey
+                                    ORDER BY seq DESC) = 1)
+       SELECT o_orderkey, o_custkey, status, total FROM latest
+       WHERE op <> 'D' ORDER BY o_orderkey"""
+
+  // ---------------------------------------------- E24 inverted index ------
+
+  /** Inverted index (operators/Indexing.scala): term → df + sorted
+    * comma-joined postings over the normalized corpus, hapaxes pruned at
+    * df ≥ 3, hot heads capped at 1000 ids (the synthetic corpus never hits
+    * the cap, so the oracle's uncapped list agg replays exactly; the cap
+    * is exercised in ExtrasSpec).
+    */
+  def invertedIndexQ(s: SparkSession, dir: String): DataFrame =
+    Indexing.invertedIndex(documents(s, dir), col("doc_id"), col("text"),
+        minDf = 3L, maxPostings = 1000)
+      .orderBy(col("term"))
+
+  val invertedIndexSql: String =
+    s"""SELECT term, df, postings FROM (
+         SELECT term, COUNT(*) AS df,
+                array_to_string(list_transform(
+                  list(doc_id ORDER BY doc_id)[1:1000],
+                  x -> CAST(x AS VARCHAR)), ',') AS postings
+         FROM (SELECT doc_id,
+                 unnest(list_distinct(string_split($normalizeSql, ' ')))
+                   AS term
+               FROM documents)
+         WHERE length(term) >= 2 GROUP BY term)
+       WHERE df >= 3 ORDER BY term"""
+
+  // ------------------------------------------- E25 histogram profiling ----
+
+  /** Per-type equi-width histogram (operators/Profile.scala histogram):
+    * 16 bins spanning each type's [min, max]. Bin index and left edge are
+    * single-row double arithmetic replayed operation-for-operation in the
+    * oracle (no accumulation ⇒ IEEE-identical at any parallelism).
+    */
+  def histogramValues(s: SparkSession, dir: String): DataFrame =
+    Profile.histogram(events(s, dir), col("event_type"), col("value"), 16)
+      .orderBy(col("g"), col("bin"))
+
+  val histogramValuesSql: String =
+    """WITH ext AS (
+         SELECT event_type AS g, CAST(MIN(value) AS DOUBLE) AS lo,
+                CAST(MAX(value) AS DOUBLE) AS hi
+         FROM events GROUP BY 1),
+       binned AS (
+         SELECT e.event_type AS g,
+                CASE WHEN hi = lo THEN 0
+                     ELSE LEAST(CAST(FLOOR((value - lo) * 16 / (hi - lo))
+                                AS BIGINT), 15) END AS bin,
+                lo, hi
+         FROM events e JOIN ext ON e.event_type = ext.g)
+       SELECT g, bin, COUNT(*) AS n, lo + bin * (hi - lo) / 16 AS bin_lo
+       FROM binned GROUP BY g, bin, lo, hi ORDER BY g, bin"""
+
+  // ------------------------------------------- E26 winsorize census -------
+
+  /** Winsorization census (operators/Profile.scala winsorize): exact
+    * interpolated p05/p95 per event type, clip counts each side, clipped
+    * mass summed in decimal (order-independent). Spark `percentile` and
+    * DuckDB `quantile_cont` share the linear-interpolation definition
+    * (already gated by value_percentiles).
+    */
+  def winsorizeClip(s: SparkSession, dir: String): DataFrame =
+    Profile.winsorize(events(s, dir), col("event_type"), col("value"),
+        0.05, 0.95)
+      .orderBy(col("g"))
+
+  val winsorizeClipSql: String =
+    """WITH cuts AS (
+         SELECT event_type AS g, quantile_cont(value, 0.05) AS lo,
+                quantile_cont(value, 0.95) AS hi
+         FROM events GROUP BY 1)
+       SELECT e.event_type AS g, COUNT(*) AS n,
+              CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_clip_lo,
+              CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_clip_hi,
+              lo AS p_lo, hi AS p_hi,
+              CAST(SUM(CAST(GREATEST(LEAST(value, hi), lo)
+                AS DECIMAL(18,2))) AS DOUBLE) AS clipped_sum
+       FROM events e JOIN cuts ON e.event_type = cuts.g
+       GROUP BY 1, lo, hi ORDER BY 1"""
+
+  // ------------------------------------------- E27 cohort retention -------
+
+  /** Cohort retention (operators/Cohort.scala): users bucketed by
+    * first-activity day, distinct-active counted per (cohort, day offset).
+    * Day buckets via the same integer `div` / `//` pair every partition
+    * query uses.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame =
+    Cohort.retention(events(s, dir), col("user_id"), col("ts"),
+        86400000000L)
+      .orderBy(col("cohort_p"), col("offset_p"))
+
+  val cohortRetentionSql: String =
+    """WITH ev AS (
+         SELECT user_id AS u, epoch_us(ts) // 86400000000 AS p FROM events),
+       coh AS (SELECT u, MIN(p) AS cohort_p FROM ev GROUP BY u),
+       act AS (SELECT DISTINCT u, p FROM ev)
+       SELECT cohort_p, p - cohort_p AS offset_p, COUNT(*) AS n_users
+       FROM act JOIN coh USING (u)
+       GROUP BY 1, 2 ORDER BY 1, 2"""
 }

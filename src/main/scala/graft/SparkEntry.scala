@@ -148,6 +148,14 @@ object SparkEntry {
     // L22 line-level dedup
     "line_dedup" -> (Queries.lineDedup _),
     "span_dedup" -> (Queries.spanDedup _),
+    // L25 NFC canonicalization
+    "text_nfc_clean" -> (Queries.textNfcClean _),
+    // E23-E27 CDC merge, inverted index, histogram, winsorize, cohort
+    "merge_upsert" -> (Queries.mergeUpsert _),
+    "inverted_index" -> (Queries.invertedIndexQ _),
+    "histogram_values" -> (Queries.histogramValues _),
+    "winsorize_clip" -> (Queries.winsorizeClip _),
+    "cohort_retention" -> (Queries.cohortRetention _),
   )
 
   /** Bench class per registered query — `pure` (compute only),
@@ -286,5 +294,11 @@ object SparkEntry {
     "pii_redact" -> Queries.piiRedactSql,
     "line_dedup" -> Queries.lineDedupSql,
     "span_dedup" -> Queries.spanDedupSql,
+    "text_nfc_clean" -> Queries.textNfcCleanSql,
+    "merge_upsert" -> Queries.mergeUpsertSql,
+    "inverted_index" -> Queries.invertedIndexSql,
+    "histogram_values" -> Queries.histogramValuesSql,
+    "winsorize_clip" -> Queries.winsorizeClipSql,
+    "cohort_retention" -> Queries.cohortRetentionSql,
   )
 }

@@ -38,4 +38,46 @@ object Compaction {
   def packedOrd(major: Column, minor: Column, minorDigits: Int): Column =
     major.cast("decimal(38,0)") * lit(math.pow(10, minorDigits).toLong)
       .cast("decimal(38,0)") + minor.cast("decimal(38,0)")
+
+  /** CDC MERGE: apply a changelog of upserts (`op = "U"`) and deletes
+    * (`op = "D"`) onto a base snapshot — the Delta/Iceberg `MERGE INTO`
+    * semantic, expressed as ONE hash aggregation instead of a join:
+    * base rows enter the union at sequence −1, changelog rows at their own
+    * `seq` (must be ≥ 0 and unique per key — make it so upstream), and
+    * `max_by` keeps the latest version of every key; keys whose final op
+    * is a delete are dropped after the agg.
+    *
+    * Why not the textbook full-outer-join + COALESCE: that is two shuffles
+    * (changes must first self-compact, then join) and builds join hash
+    * tables of the full base. The union + max_by form is one shuffle of
+    * base+changes with map-side partials, and handles keys that are
+    * inserted AND later deleted in the same batch for free. At 100 TB the
+    * base dominates; its rows carry a constant seq so partial aggregation
+    * collapses them immediately.
+    *
+    * Aggregate exec honesty: with all-numeric payloads this is a pure
+    * HashAggregate (see [[latestByKey]]); a string payload puts a
+    * variable-width field in the max_by buffer, which HashAggregate can't
+    * hold, and Spark demotes to SortAggregate — still ONE shuffle and the
+    * map-side partial still collapses to a row per key before the wire,
+    * with only a per-partition sort on the key added. That remains
+    * strictly cheaper than the window `row_number` MERGE (which sorts by
+    * (key, seq) over the same shuffle); there is no vanilla-Spark plan
+    * that hash-aggregates a string-carrying extremum buffer.
+    *
+    * `base` and `changes` must share the payload schema; `changes`
+    * additionally carries `seq` and `op` columns named by the params.
+    */
+  def mergeChangelog(base: DataFrame, changes: DataFrame, key: String,
+      seq: String, op: String, payload: Seq[String]): DataFrame = {
+    val unioned = base
+      .select((Seq(col(key), lit(-1L).as("_m_seq"), lit("U").as("_m_op"))
+        ++ payload.map(col)): _*)
+      .unionByName(changes.select((Seq(col(key), col(seq).cast("long")
+        .as("_m_seq"), col(op).as("_m_op")) ++ payload.map(col)): _*))
+    val kept = latestByKey(unioned, col(key), col("_m_seq"),
+      ("_m_op" -> col("_m_op")) +: payload.map(n => n -> col(n)))
+    kept.where(col("_m_op") =!= "D")
+      .select((col("key").as(key) +: payload.map(col)): _*)
+  }
 }

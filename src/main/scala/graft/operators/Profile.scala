@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** One-pass table profiling — the stats a pipeline operator (or a human)
@@ -36,5 +36,60 @@ object Profile {
     wide.select(expr(
       s"stack(${cols.length}, $stacked) AS " +
         "(col_name, n_rows, n_nonnull, n_distinct, min_v, max_v)"))
+  }
+
+  /** Per-group equi-width histogram of a numeric column: `bins` buckets
+    * spanning each group's [min, max], the max landing in the last bin.
+    *
+    * Two aggregations: group extents (rows = |groups|, broadcast back onto
+    * the fact — the fact table is never joined shuffled) then the binned
+    * count. Bin index is single-row double arithmetic (`floor((v−lo)·bins
+    * /(hi−lo))`) — no accumulation, so IEEE-identical in any engine and at
+    * any parallelism. Degenerate groups (hi == lo) collapse to bin 0.
+    */
+  def histogram(df: DataFrame, group: Column, value: Column,
+      bins: Int): DataFrame = {
+    require(bins >= 1, "histogram needs bins >= 1")
+    val extents = df.groupBy(group.as("g")).agg(
+      min(value).cast("double").as("lo"), max(value).cast("double").as("hi"))
+    val binned = df.select(group.as("g"), value.cast("double").as("v"))
+      .join(broadcast(extents), "g")
+      .select(col("g"),
+        when(col("hi") === col("lo"), lit(0L)).otherwise(
+          least(floor((col("v") - col("lo")) * bins / (col("hi") - col("lo")))
+            .cast("long"), lit(bins - 1L))).as("bin"),
+        col("lo"), col("hi"))
+    binned.groupBy(col("g"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        (first(col("lo")) + col("bin") * (first(col("hi")) - first(col("lo")))
+          / bins).as("bin_lo"))
+  }
+
+  /** Per-group winsorization census: exact interpolated percentiles
+    * [pLo, pHi] per group, values clipped into that range, and the counts
+    * of rows clipped at each side — the outlier-capping cleanup stage of a
+    * numeric pipeline, reported per group so the caller can audit how much
+    * the cap bit.
+    *
+    * Clipped mass is summed in DECIMAL(18,2) (exact, order-independent);
+    * only the final value is cast to double — the engine-wide money-sum
+    * rule (SURVEY §6). The percentile agg sorts per group once; the clip
+    * pass re-joins the (broadcast, |groups|-row) cutoffs — the fact never
+    * shuffles for the join.
+    */
+  def winsorize(df: DataFrame, group: Column, value: Column,
+      pLo: Double, pHi: Double): DataFrame = {
+    val cuts = df.groupBy(group.as("g")).agg(
+      percentile(value, lit(pLo)).as("lo"),
+      percentile(value, lit(pHi)).as("hi"))
+    df.select(group.as("g"), value.cast("double").as("v"))
+      .join(broadcast(cuts), "g")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        first(col("lo")).as("p_lo"), first(col("hi")).as("p_hi"),
+        sum(greatest(least(col("v"), col("hi")), col("lo"))
+          .cast("decimal(18,2)")).cast("double").as("clipped_sum"))
   }
 }

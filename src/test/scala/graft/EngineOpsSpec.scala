@@ -1,0 +1,140 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Cohort, Compaction, Indexing, Profile}
+
+/** Specs for the r11 engine-op batch: NFC canonicalization, CDC merge,
+  * inverted index, histogram, winsorize, cohort retention.
+  */
+class EngineOpsSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  // ------------------------------------------------------- nfc_clean ------
+
+  test("nfcClean composes decomposed sequences and collapses controls") {
+    val rows = Seq(
+      "née",             // e + combining acute -> é
+      "Zürich",          // u + combining diaeresis -> ü
+      "a\tb\u000B\u000Bc",     // controls collapse to single spaces
+      " \u001F lead/trail \u0000 ",
+      "",
+      "café")             // already composed: unchanged
+      .toDF("t")
+    val got = rows.select(
+      graft.functions.NormalizeFunctions.nfcClean($"t").as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("née", "Zürich", "a b c", "lead/trail",
+      "", "café"))
+  }
+
+  test("nfcClean interpreted eval equals the codegen path and keeps nulls") {
+    val df = Seq(Some("x́ \t y"), None).toDF("t")
+    val expr = graft.functions.NfcClean(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("t")))
+    // interpreted
+    val interp = df.select(
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(expr).as("c"))
+    assert(interp.collect().map(r =>
+      Option(r.getString(0))).toSeq === Seq(Some("x́ y"), None))
+    // non-string input rejected at analysis
+    intercept[Exception] {
+      Seq(1L).toDF("t").select(
+        graft.functions.NormalizeFunctions.nfcClean($"t")).collect()
+    }
+  }
+
+  // ---------------------------------------------------- mergeChangelog ----
+
+  test("mergeChangelog applies latest op per key: upsert, delete, insert") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val changes = Seq(
+      (2L, 1L, "U", "b2", 21.0),   // update existing
+      (3L, 1L, "D", null, 0.0),    // delete existing
+      (4L, 1L, "U", "d", 40.0),    // insert new key
+      (5L, 1L, "U", "e", 50.0),    // insert then delete in same batch
+      (5L, 2L, "D", null, 0.0),
+      (6L, 1L, "D", null, 0.0))    // delete of a key that never existed
+      .toDF("k", "seq", "op", "s", "v")
+    val got = Compaction.mergeChangelog(base, changes, "k", "seq", "op",
+        Seq("s", "v"))
+      .orderBy($"k").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got === Seq((1L, "a", 10.0), (2L, "b2", 21.0), (4L, "d", 40.0)))
+  }
+
+  test("mergeChangelog keeps the highest-seq change when a key repeats") {
+    val base = Seq((1L, 1.0)).toDF("k", "v")
+    val changes = Seq((1L, 1L, "U", 2.0), (1L, 3L, "U", 4.0),
+      (1L, 2L, "U", 3.0)).toDF("k", "seq", "op", "v")
+    val got = Compaction.mergeChangelog(base, changes, "k", "seq", "op",
+      Seq("v")).collect()
+    assert(got.length === 1 && got(0).getDouble(1) === 4.0)
+  }
+
+  // ---------------------------------------------------- invertedIndex -----
+
+  test("invertedIndex: df counts docs once, postings sorted, cap applies") {
+    val docs = Seq(
+      (10L, "alpha beta alpha gamma"),
+      (3L, "beta alpha"),
+      (7L, "beta delta"),
+      (8L, "epsilon"))
+      .toDF("doc_id", "text")
+    val got = Indexing.invertedIndex(docs, col("doc_id"), col("text"),
+        minDf = 2L, maxPostings = 2)
+      .orderBy($"term").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    // alpha: docs {3,10}; beta: {3,7,10} capped at 2 lowest ids; others df=1
+    assert(got === Seq(("alpha", 2L, "3,10"), ("beta", 3L, "3,7")))
+  }
+
+  // ------------------------------------------------------- histogram ------
+
+  test("histogram: equi-width bins, max in last bin, degenerate group") {
+    val df = Seq(("a", 0.0), ("a", 1.0), ("a", 2.0), ("a", 4.0),
+      ("b", 7.0), ("b", 7.0)).toDF("g", "v")
+    val got = Profile.histogram(df, col("g"), col("v"), 4)
+      .orderBy($"g", $"bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // a: range [0,4], width 1: 0->bin0, 1->bin1, 2->bin2, 4->bin3 (max)
+    // b: degenerate (hi==lo): all in bin 0, bin_lo == lo
+    assert(got === Seq(("a", 0L, 1L, 0.0), ("a", 1L, 1L, 1.0),
+      ("a", 2L, 1L, 2.0), ("a", 3L, 1L, 3.0), ("b", 0L, 2L, 7.0)))
+  }
+
+  // ------------------------------------------------------- winsorize ------
+
+  test("winsorize: clip counts and exact decimal clipped mass") {
+    // ten values 1..10: p0.05/p0.95 interpolate to 1.45 / 9.55
+    val df = (1 to 10).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val r = Profile.winsorize(df, col("g"), col("v"), 0.05, 0.95)
+      .collect()(0)
+    assert(r.getAs[Long]("n") === 10L)
+    assert(r.getAs[Long]("n_clip_lo") === 1L) // value 1 < 1.45
+    assert(r.getAs[Long]("n_clip_hi") === 1L) // value 10 > 9.55
+    assert(math.abs(r.getAs[Double]("p_lo") - 1.45) < 1e-12)
+    assert(math.abs(r.getAs[Double]("p_hi") - 9.55) < 1e-12)
+    // clipped sum = 1.45 + 2..9 + 9.55 = 55 - 1 - 10 + 1.45 + 9.55 = 55.0
+    assert(r.getAs[Double]("clipped_sum") === 55.0)
+  }
+
+  // ------------------------------------------------------ cohort ----------
+
+  test("cohort retention counts distinct users per (cohort, offset)") {
+    val day = 86400000000L
+    def ts(d: Long) = new java.sql.Timestamp(d * 86400000L)
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(0)), (1L, ts(2)),  // cohort 0, offsets {0, 2}
+      (2L, ts(0)), (2L, ts(1)),               // cohort 0, offsets {0, 1}
+      (3L, ts(1)))                            // cohort 1, offset {0}
+      .toDF("user_id", "ts")
+    val got = Cohort.retention(ev, col("user_id"), col("ts"), day)
+      .orderBy($"cohort_p", $"offset_p").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 1L),
+      (1L, 0L, 1L)))
+  }
+}
