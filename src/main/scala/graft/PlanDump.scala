@@ -51,7 +51,12 @@ object PlanDump {
       "span_dedup" -> "rolling-window span dedup: narrow window explode (16-byte hashes, text never shuffles) -> one hash groupBy -> co-partitioned join back -> one doc groupBy; all linear",
       "ann_topk_q8" -> "quantized ANN: int8 codes in a narrow map, broadcast query side, integer-dot scoring, bounded-heap TopKPerKey argmax — corpus never shuffles",
       "profile_table" -> "one-pass profile: single scan -> Expand (multi-distinct) -> one aggregation -> stack unpivot; no per-column re-scan",
-      "zorder_key" -> "z-order key: pure bit-arithmetic projection inside one WholeStageCodegen span; only the output ORDER BY exchanges")
+      "zorder_key" -> "z-order key: pure bit-arithmetic projection inside one WholeStageCodegen span; only the output ORDER BY exchanges",
+      "text_nfc_clean" -> "NFC canonicalize: the NfcClean kernel is one narrow codegen map — zero exchanges before the output sort",
+      "merge_upsert" -> "CDC merge: union + max_by = ONE shuffle with map-side partial collapse (string payload -> SortAggregate, documented trade); no join, no window sort",
+      "inverted_index" -> "inverted index: per-doc array_distinct BEFORE the explode, one groupBy(term) folds df + capped sorted postings together",
+      "cohort_retention" -> "cohort retention: ONE fact shuffle (repartition by user) reused by the min agg, the (u,p) distinct, AND the join — ReusedExchange in-plan; final rollup is dimension-sized",
+      "histogram_values" -> "histogram: extents agg broadcast back; the fact is scanned twice but never shuffled for the join; bin math is single-row IEEE arithmetic")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` on `$sf`. Audit notes per plan;\n")

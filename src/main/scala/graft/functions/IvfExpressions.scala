@@ -73,21 +73,32 @@ abstract class IvfKernel extends UnaryExpression {
   }
 
   /** Shared generated affinity loop; emits code computing `double $aff`
-    * for centroid `double[] $cv` against ArrayData `$vec`.
+    * for centroid `double[] $cv` against ArrayData `$vec`. Every local is
+    * `freshName`'d: enclosing operators (Expand, Generate, the row loop)
+    * own method-scope locals like `i`, and Java rejects nested-block
+    * shadowing — janino then fails the whole method and Spark silently
+    * drops to interpreted execution.
     */
-  protected final def affinityCode(vec: String, cv: String,
-      aff: String): String = {
-    val getX = if (elemIsFloat) s"(double) $vec.getFloat(i)"
-               else s"$vec.getDouble(i)"
+  protected final def affinityCode(ctx: CodegenContext, vec: String,
+      cv: String, aff: String): String = {
+    val n = ctx.freshName("n")
+    val dot = ctx.freshName("dot")
+    val na = ctx.freshName("na")
+    val nb = ctx.freshName("nb")
+    val i = ctx.freshName("i")
+    val x = ctx.freshName("x")
+    val y = ctx.freshName("y")
+    val getX = if (elemIsFloat) s"(double) $vec.getFloat($i)"
+               else s"$vec.getDouble($i)"
     s"""
-      int n = java.lang.Math.min($vec.numElements(), $cv.length);
-      double dot = 0.0, na = 0.0, nb = 0.0;
-      for (int i = 0; i < n; i++) {
-        double x = $vec.isNullAt(i) ? 0.0 : $getX;
-        double y = $cv[i];
-        dot += x * y; na += x * x; nb += y * y;
+      int $n = java.lang.Math.min($vec.numElements(), $cv.length);
+      double $dot = 0.0, $na = 0.0, $nb = 0.0;
+      for (int $i = 0; $i < $n; $i++) {
+        double $x = $vec.isNullAt($i) ? 0.0 : $getX;
+        double $y = $cv[$i];
+        $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
       }
-      $aff = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+      $aff = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
       if (java.lang.Double.isNaN($aff)) $aff = java.lang.Double.POSITIVE_INFINITY;
     """
   }
@@ -120,14 +131,16 @@ case class IvfNearestCell(child: Expression, cents: Array[Array[Double]],
       val best = ctx.freshName("best")
       val bestCell = ctx.freshName("bestCell")
       val c = ctx.freshName("c")
+      val cv = ctx.freshName("cv")
+      val aff = ctx.freshName("aff")
       s"""
         double $best = Double.NEGATIVE_INFINITY;
         long $bestCell = $ids[0];
         for (int $c = 0; $c < $cs.length; $c++) {
-          double[] cv = $cs[$c];
-          double aff;
-          { ${affinityCode(vec, "cv", "aff")} }
-          if (aff > $best) { $best = aff; $bestCell = $ids[$c]; }
+          double[] $cv = $cs[$c];
+          double $aff;
+          { ${affinityCode(ctx, vec, cv, aff)} }
+          if ($aff > $best) { $best = $aff; $bestCell = $ids[$c]; }
         }
         ${ev.value} = $bestCell;
       """
@@ -184,6 +197,11 @@ case class IvfProbeCells(child: Expression, cents: Array[Array[Double]],
       val filled = ctx.freshName("filled")
       val c = ctx.freshName("c")
       val out = ctx.freshName("out")
+      val cv = ctx.freshName("cv")
+      val aff = ctx.freshName("aff")
+      val pos = ctx.freshName("pos")
+      val stop = ctx.freshName("stop")
+      val j = ctx.freshName("j")
       s"""
         int $np = java.lang.Math.min($nprobe, $cs.length);
         double[] $ba = new double[$np];
@@ -191,17 +209,17 @@ case class IvfProbeCells(child: Expression, cents: Array[Array[Double]],
         long[] $bc = new long[$np];
         int $filled = 0;
         for (int $c = 0; $c < $cs.length; $c++) {
-          double[] cv = $cs[$c];
-          double aff;
-          { ${affinityCode(vec, "cv", "aff")} }
-          int pos = $filled;
-          while (pos > 0 && aff > $ba[pos - 1]) pos--;
-          if (pos < $np) {
-            int stop = java.lang.Math.min($filled, $np - 1);
-            for (int j = stop; j > pos; j--) {
-              $ba[j] = $ba[j - 1]; $bc[j] = $bc[j - 1];
+          double[] $cv = $cs[$c];
+          double $aff;
+          { ${affinityCode(ctx, vec, cv, aff)} }
+          int $pos = $filled;
+          while ($pos > 0 && $aff > $ba[$pos - 1]) $pos--;
+          if ($pos < $np) {
+            int $stop = java.lang.Math.min($filled, $np - 1);
+            for (int $j = $stop; $j > $pos; $j--) {
+              $ba[$j] = $ba[$j - 1]; $bc[$j] = $bc[$j - 1];
             }
-            $ba[pos] = aff; $bc[pos] = $ids[$c];
+            $ba[$pos] = $aff; $bc[$pos] = $ids[$c];
             if ($filled < $np) $filled++;
           }
         }

@@ -71,10 +71,17 @@ case class CosineSim(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (aV, bV) => {
-      val getA = if (elemIsFloat(left)) s"(double) $aV.getFloat(i)"
-                 else s"$aV.getDouble(i)"
-      val getB = if (elemIsFloat(right)) s"(double) $bV.getFloat(i)"
-                 else s"$bV.getDouble(i)"
+      // every local is freshName'd: two CosineSim instances can land in one
+      // generated function (e.g. full-precision vs quantized side by side)
+      // and a bare `i` would collide — janino rejects, Spark silently
+      // falls back to interpreted for the whole projection
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val getA = if (elemIsFloat(left)) s"(double) $aV.getFloat($i)"
+                 else s"$aV.getDouble($i)"
+      val getB = if (elemIsFloat(right)) s"(double) $bV.getFloat($i)"
+                 else s"$bV.getDouble($i)"
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
@@ -82,10 +89,10 @@ case class CosineSim(left: Expression, right: Expression)
       s"""
         int $n = java.lang.Math.min($aV.numElements(), $bV.numElements());
         double $dot = 0.0, $na = 0.0, $nb = 0.0;
-        for (int i = 0; i < $n; i++) {
-          double x = $aV.isNullAt(i) ? 0.0 : $getA;
-          double y = $bV.isNullAt(i) ? 0.0 : $getB;
-          $dot += x * y; $na += x * x; $nb += y * y;
+        for (int $i = 0; $i < $n; $i++) {
+          double $x = $aV.isNullAt($i) ? 0.0 : $getA;
+          double $y = $bV.isNullAt($i) ? 0.0 : $getB;
+          $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
         }
         ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
       """
