@@ -3460,4 +3460,145 @@ object Queries {
        SELECT cohort_p, p - cohort_p AS offset_p, COUNT(*) AS n_users
        FROM act JOIN coh USING (u)
        GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // ------------------------------------------------ E28 unpivot / melt ----
+
+  /** Unpivot (melt): the wide per-day × event-type frame from the pivot
+    * operator folded back to long form with `Dataset.unpivot` — the other
+    * half of the reshape surface (E15 covers pivot). Unpivot is a narrow
+    * Expand (each wide row emits one output row per value column, no
+    * shuffle beyond the pivot's own agg); null cells (day × type never
+    * seen) drop, so the round trip equals the direct long-form
+    * aggregation, which is exactly what the oracle runs.
+    */
+  def unpivotValues(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = events(s, dir)
+      .groupBy(dayBucket(col("ts")).as("bucket"))
+      .pivot("event_type", types)
+      .agg(sum(dec2(col("value"))).cast("double"))
+    wide.unpivot(Array(col("bucket")), types.map(col).toArray,
+        "event_type", "sum_value")
+      .where(col("sum_value").isNotNull)
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
+  val unpivotValuesSql: String =
+    """SELECT epoch_us(ts) // 86400000000 AS bucket, event_type,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // --------------------------------------- E29 exact-decimal correlation --
+
+  /** Exact-decimal correlation (operators/Stats.scala): value vs
+    * hour-of-day per event type. Built-in `corr` merges double moments in
+    * partition order (ulp-unstable across partitionings); this sums the
+    * five sufficient statistics in decimal and computes the one
+    * closed-form expression in double — replayed token-for-token by the
+    * oracle.
+    */
+  def corrExactQ(s: SparkSession, dir: String): DataFrame =
+    Stats.corrExact(events(s, dir), col("event_type"), col("value"),
+        hour(col("ts")))
+      .orderBy(col("g"))
+
+  val corrExactSql: String =
+    """WITH s AS (
+         SELECT event_type AS g, COUNT(*) AS n,
+                SUM(CAST(value AS DECIMAL(18,2))) AS sx,
+                SUM(CAST(hour(ts) AS DECIMAL(18,0))) AS sy,
+                SUM(CAST(value AS DECIMAL(18,2))
+                    * CAST(hour(ts) AS DECIMAL(18,0))) AS sxy,
+                SUM(CAST(value AS DECIMAL(18,2))
+                    * CAST(value AS DECIMAL(18,2))) AS sxx,
+                SUM(CAST(hour(ts) AS DECIMAL(18,0))
+                    * CAST(hour(ts) AS DECIMAL(18,0))) AS syy
+         FROM events GROUP BY 1)
+       SELECT g, CAST(n AS BIGINT) AS n,
+              CAST(n * sxy - sx * sy AS DOUBLE)
+                / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                   * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr,
+              CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * (n - 1) AS DOUBLE) AS covar_samp
+       FROM s ORDER BY g"""
+
+  // ------------------------------------------------ E30 funnel steps ------
+
+  /** Multi-step funnel (operators/Funnel.scala): view → click → purchase
+    * in strict temporal order per user, one fact shuffle reused across
+    * every stage. The oracle chains the per-step min-after-previous CTEs.
+    */
+  def funnelSteps(s: SparkSession, dir: String): DataFrame =
+    Funnel.steps(events(s, dir), col("user_id"), col("event_type"),
+        col("ts"), Seq("view", "click", "purchase"))
+      .orderBy(col("step"))
+
+  val funnelStepsSql: String =
+    """WITH s1 AS (
+         SELECT user_id AS u, MIN(epoch_us(ts)) AS t FROM events
+         WHERE event_type = 'view' GROUP BY 1),
+       s2 AS (
+         SELECT e.user_id AS u, MIN(epoch_us(e.ts)) AS t FROM events e
+         JOIN s1 ON e.user_id = s1.u
+         WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t GROUP BY 1),
+       s3 AS (
+         SELECT e.user_id AS u, MIN(epoch_us(e.ts)) AS t FROM events e
+         JOIN s2 ON e.user_id = s2.u
+         WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+         GROUP BY 1)
+       SELECT CAST(1 AS INT) AS step, 'view' AS event_type,
+              CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+       UNION ALL SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+       UNION ALL SELECT 3, 'purchase',
+                 CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+       ORDER BY step"""
+
+  // ------------------------------------------- E31 integer PageRank -------
+
+  /** Fixed-point PageRank (operators/PageRank.scala) on the bipartite
+    * supplier⇄customer trade graph (both directions, disjoint id spaces
+    * via a 1e7 supplier offset), 3 iterations. All-integer arithmetic,
+    * so the oracle unrolls the identical three rounds with `//` and
+    * matches byte-for-byte.
+    */
+  def pagerankIter(s: SparkSession, dir: String): DataFrame = {
+    val pairs = lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") + lit(10000000L)).as("supp"),
+        col("o_custkey").as("cust"))
+      .distinct()
+    val edges = pairs.select(col("supp").as("src"), col("cust").as("dst"))
+      .unionByName(pairs.select(col("cust").as("src"), col("supp").as("dst")))
+    PageRank.iterate(edges, k = 3).orderBy(col("v"))
+  }
+
+  val pagerankIterSql: String = {
+    def round(prev: String, out: String) =
+      s"""$out AS (
+         SELECT v, CAST(150000 + (85 * COALESCE(m, 0)) // 100 AS BIGINT)
+                  AS rank_micro
+         FROM vertices LEFT JOIN (
+           SELECT dst, CAST(SUM(rank_micro // outdeg) AS BIGINT) AS m
+           FROM edges
+           JOIN $prev ON $prev.v = edges.src
+           JOIN outdeg ON outdeg.src = edges.src
+           GROUP BY dst) c ON c.dst = vertices.v)"""
+    s"""WITH pairs AS (
+         SELECT DISTINCT l_suppkey + 10000000 AS supp, o_custkey AS cust
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       edges AS (
+         SELECT supp AS src, cust AS dst FROM pairs
+         UNION ALL SELECT cust, supp FROM pairs),
+       vertices AS (
+         SELECT DISTINCT src AS v FROM edges
+         UNION SELECT DISTINCT dst FROM edges),
+       outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+       r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS rank_micro
+              FROM vertices),
+       ${round("r0", "r1")},
+       ${round("r1", "r2")},
+       ${round("r2", "r3")}
+       SELECT v, rank_micro FROM r3 ORDER BY v"""
+  }
 }

@@ -156,6 +156,11 @@ object SparkEntry {
     "histogram_values" -> (Queries.histogramValues _),
     "winsorize_clip" -> (Queries.winsorizeClip _),
     "cohort_retention" -> (Queries.cohortRetention _),
+    // E28-E31 unpivot, exact corr, funnel, integer pagerank
+    "unpivot_values" -> (Queries.unpivotValues _),
+    "corr_exact" -> (Queries.corrExactQ _),
+    "funnel_steps" -> (Queries.funnelSteps _),
+    "pagerank_iter" -> (Queries.pagerankIter _),
   )
 
   /** Bench class per registered query — `pure` (compute only),
@@ -300,5 +305,9 @@ object SparkEntry {
     "histogram_values" -> Queries.histogramValuesSql,
     "winsorize_clip" -> Queries.winsorizeClipSql,
     "cohort_retention" -> Queries.cohortRetentionSql,
+    "unpivot_values" -> Queries.unpivotValuesSql,
+    "corr_exact" -> Queries.corrExactSql,
+    "funnel_steps" -> Queries.funnelStepsSql,
+    "pagerank_iter" -> Queries.pagerankIterSql,
   )
 }

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact-decimal second-moment statistics: per-group Pearson correlation
+  * and sample covariance whose results are BIT-IDENTICAL at any
+  * parallelism and in any engine.
+  *
+  * Built-in `corr`/`covar_samp` merge running double moments across
+  * partitions — the merge order changes with partitioning, so the last
+  * ulps of the result do too, and a hash-equality oracle flakes. Here the
+  * five sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) are summed in
+  * DECIMAL — exact, order-independent — and only the one final closed-form
+  * expression runs in double, a fixed-order scalar computation replayed
+  * verbatim in the oracle (the engine money-sum rule generalized to
+  * second moments).
+  *
+  * Scale shape: ONE hash aggregation with map-side partials (five decimal
+  * sums + a count per group — fixed-width buffer, HashAggregate all the
+  * way); nothing else. Inputs are quantized to decimal(18,2)/(18,0) by the
+  * caller-visible contract, so products fit decimal(38,*) exactly.
+  */
+object Stats {
+
+  /** Per-group n, correlation, sample covariance of (x, y). `x` is
+    * quantized at 2 decimals, `y` must be integral-valued (counts, hours,
+    * buckets — the common profiling pairing).
+    */
+  def corrExact(df: DataFrame, group: Column, x: Column,
+      y: Column): DataFrame = {
+    val xd = x.cast("decimal(18,2)")
+    val yd = y.cast("decimal(18,0)")
+    df.groupBy(group.as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(xd).as("sx"), sum(yd).as("sy"),
+        sum(xd * yd).as("sxy"),
+        sum(xd * xd).as("sxx"), sum(yd * yd).as("syy"))
+      .select(col("g"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+             .cast("double")))).as("corr"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * (col("n") - 1)).cast("double")).as("covar_samp"))
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{Cohort, Compaction, Indexing, Profile}
+import graft.operators.{Cohort, Compaction, Funnel, Indexing, PageRank, Profile, Stats}
 
 /** Specs for the r11 engine-op batch: NFC canonicalization, CDC merge,
   * inverted index, histogram, winsorize, cohort retention.
@@ -136,5 +136,74 @@ class EngineOpsSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got === Seq((0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 1L),
       (1L, 0L, 1L)))
+  }
+
+  // ------------------------------------------------------ corr_exact ------
+
+  test("corrExact matches the closed form and built-in corr to 1e-9") {
+    val df = Seq(("g", 1.0, 1L), ("g", 2.0, 3L), ("g", 3.0, 2L),
+      ("g", 4.0, 5L), ("g", 5.0, 4L)).toDF("g", "x", "y")
+    val r = Stats.corrExact(df, col("g"), col("x"), col("y")).collect()(0)
+    val builtin = df.agg(corr($"x", $"y"), covar_samp($"x", $"y")).collect()(0)
+    assert(r.getAs[Long]("n") === 5L)
+    assert(math.abs(r.getAs[Double]("corr") - builtin.getDouble(0)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("covar_samp") - builtin.getDouble(1))
+      < 1e-9)
+  }
+
+  test("corrExact is invariant to partitioning (the claim corr() can't make)") {
+    val base = (1 to 400).map(i => ("g", i * 0.25 + (i % 7), (i % 24).toLong))
+    val a = Stats.corrExact(base.toDF("g", "x", "y").repartition(1),
+      col("g"), col("x"), col("y")).collect()(0)
+    val b = Stats.corrExact(base.toDF("g", "x", "y").repartition(13),
+      col("g"), col("x"), col("y")).collect()(0)
+    assert(a.getAs[Double]("corr") === b.getAs[Double]("corr"))
+    assert(a.getAs[Double]("covar_samp") === b.getAs[Double]("covar_samp"))
+  }
+
+  // ---------------------------------------------------------- funnel ------
+
+  test("funnel counts strict-order completions only") {
+    def t(us: Long) = new java.sql.Timestamp(us / 1000) // µs -> ms grid
+    val ev = Seq(
+      (1L, "view", 1000000L), (1L, "click", 2000000L),
+      (1L, "purchase", 3000000L),                   // full chain
+      (2L, "view", 1000000L), (2L, "click", 1000000L), // same instant: click
+                                                       // NOT after view
+      (3L, "click", 1000000L), (3L, "purchase", 2000000L), // never viewed
+      (4L, "view", 5000000L), (4L, "click", 4000000L)) // click before view
+      .map { case (u, et, us) => (u, et, t(us)) }
+      .toDF("user_id", "event_type", "ts")
+    val got = Funnel.steps(ev, col("user_id"), col("event_type"), col("ts"),
+        Seq("view", "click", "purchase"))
+      .orderBy($"step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq((1, "view", 3L), (2, "click", 1L),
+      (3, "purchase", 1L)))
+  }
+
+  // -------------------------------------------------------- pagerank ------
+
+  test("integer pagerank: hand-computed 3-cycle and partitioning invariance") {
+    // directed 3-cycle a->b->c->a, outdeg 1 everywhere: ranks stay 1.0
+    // (base 150000 + 85% of a full unit share = 1000000 exactly)
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r1 = PageRank.iterate(cyc, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(r1 === Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
+    // star 1->{2,3}: after one round, 2 and 3 each get 150000 + 425000;
+    // 1 gets only base. Second round: 1 still receives nothing (no
+    // in-edges), 2/3 receive 150000's share halved...
+    val star = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val r2 = PageRank.iterate(star, k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(r2 === Map(1L -> 150000L, 2L -> 575000L, 3L -> 575000L))
+    // partitioning invariance: integer arithmetic can't drift
+    val big = (1L to 200L).map(i => (i, i % 50 + 1)).toDF("src", "dst")
+    val p1 = PageRank.iterate(big.repartition(1), 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val p13 = PageRank.iterate(big.repartition(13), 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(p1 === p13)
   }
 }
