@@ -56,7 +56,10 @@ object PlanDump {
       "merge_upsert" -> "CDC merge: union + max_by = ONE shuffle with map-side partial collapse (string payload -> SortAggregate, documented trade); no join, no window sort",
       "inverted_index" -> "inverted index: per-doc array_distinct BEFORE the explode, one groupBy(term) folds df + capped sorted postings together",
       "cohort_retention" -> "cohort retention: ONE fact shuffle (repartition by user) reused by the min agg, the (u,p) distinct, AND the join — ReusedExchange in-plan; final rollup is dimension-sized",
-      "histogram_values" -> "histogram: extents agg broadcast back; the fact is scanned twice but never shuffled for the join; bin math is single-row IEEE arithmetic")
+      "histogram_values" -> "histogram: extents agg broadcast back; the fact is scanned twice but never shuffled for the join; bin math is single-row IEEE arithmetic",
+      "corr_exact" -> "exact corr: ONE HashAggregate (five decimal sums + count, fixed-width buffer) then a scalar projection — no second pass, no double-moment merge",
+      "funnel_steps" -> "funnel: one repartition(u) of the fact; every per-step agg and users-sized join-back reuses the stage (AQE stage dedup)",
+      "pagerank_iter" -> "integer pagerank: printed plan is the LAST round only — static frames and prior rounds are localCheckpointed (50 -> 10 exchanges at k=3)")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` on `$sf`. Audit notes per plan;\n")
