@@ -3601,4 +3601,168 @@ object Queries {
        ${round("r2", "r3")}
        SELECT v, rank_micro FROM r3 ORDER BY v"""
   }
+
+  // --------------------------------------- E32 rolling distinct users -----
+
+  /** 7-day trailing distinct users per day (operators/TimeSeries.scala
+    * rollingDistinct): the fact collapses to distinct (user, day) BEFORE
+    * the ×7 window explode — the explode multiplies the small frame, not
+    * the event stream.
+    */
+  def rollingDistinctUsers(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.rollingDistinct(events(s, dir), col("user_id"), col("ts"),
+        86400000000L, windowDays = 7)
+      .orderBy(col("day_bucket"))
+
+  val rollingDistinctUsersSql: String =
+    """WITH ud AS (
+         SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS d
+         FROM events),
+       tg AS (
+         SELECT DISTINCT u, d + o AS td
+         FROM ud, generate_series(0, 6) AS t(o))
+       SELECT td AS day_bucket, COUNT(*) AS n_users_7d
+       FROM tg WHERE td <= (SELECT MAX(d) FROM ud)
+       GROUP BY 1 ORDER BY 1"""
+
+  // ------------------------------------------- E33 time-weighted avg ------
+
+  /** Per-user TWAP of value (operators/TimeSeries.scala twap): each
+    * observation weighted by its µs holding time; decimal-exact weighted
+    * sums, one user_id shuffle shared by the lead window and the agg.
+    */
+  def twapValue(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.twap(events(s, dir), col("user_id"), col("ts"), col("value"))
+      .orderBy(col("u"))
+
+  val twapValueSql: String =
+    """WITH g AS (
+         SELECT user_id AS u, CAST(value AS DECIMAL(18,2)) AS v,
+                (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts) - epoch_us(ts))
+                  // 1000000 AS gap
+         FROM events)
+       SELECT u, COUNT(*) AS n_obs,
+              CAST(SUM(v * gap) AS DOUBLE) / CAST(SUM(gap) AS DOUBLE)
+                AS twap
+       FROM g WHERE gap IS NOT NULL GROUP BY u
+       HAVING SUM(gap) > 0 ORDER BY u"""
+
+  // ------------------------------------------- E34 snapshot diff ----------
+
+  /** Snapshot reconciliation (operators/Reconcile.scala): orders vs a
+    * deterministically mutated rebuild — %7 keys reprice (+1, exact
+    * decimal), %13 keys dropped, a disjoint +30M key block inserted —
+    * classified in one full-outer join + one agg. The oracle replays the
+    * same mutation and the same counters.
+    */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), dec2(col("o_totalprice")).as("total"))
+    val rebuilt = base
+      .where(pmod(col("o_orderkey"), lit(13)) =!= 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        when(pmod(col("o_orderkey"), lit(7)) === 0,
+          col("total") + lit(1).cast("decimal(3,0)"))
+          .otherwise(col("total")).as("total"))
+      .unionByName(base.where(pmod(col("o_orderkey"), lit(11)) === 0)
+        .select((col("o_orderkey") + lit(30000000L)).as("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("total")))
+    Reconcile.snapshotDiff(base, rebuilt, "o_orderkey",
+      Seq("o_custkey", "o_orderstatus", "total"))
+  }
+
+  val snapshotDiffSql: String =
+    s"""WITH base AS (
+         SELECT o_orderkey, o_custkey, o_orderstatus,
+                ${sqlDec2("o_totalprice")} AS total
+         FROM orders),
+       rebuilt AS (
+         SELECT o_orderkey, o_custkey, o_orderstatus,
+                CASE WHEN o_orderkey % 7 = 0 THEN total + 1
+                     ELSE total END AS total
+         FROM base WHERE o_orderkey % 13 <> 0
+         UNION ALL
+         SELECT o_orderkey + 30000000, o_custkey, o_orderstatus, total
+         FROM base WHERE o_orderkey % 11 = 0),
+       j AS (
+         SELECT b.o_orderkey AS bk, r.o_orderkey AS rk,
+                b.o_custkey AS bc, r.o_custkey AS rc,
+                b.o_orderstatus AS bs, r.o_orderstatus AS rs,
+                b.total AS bt, r.total AS rt
+         FROM base b FULL OUTER JOIN rebuilt r
+           ON b.o_orderkey = r.o_orderkey)
+       SELECT
+         CAST(SUM(CASE WHEN bk IS NOT NULL AND rk IS NOT NULL
+           AND bc IS NOT DISTINCT FROM rc AND bs IS NOT DISTINCT FROM rs
+           AND bt IS NOT DISTINCT FROM rt THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unchanged,
+         CAST(SUM(CASE WHEN bk IS NOT NULL AND rk IS NOT NULL
+           AND (bc IS DISTINCT FROM rc OR bs IS DISTINCT FROM rs
+                OR bt IS DISTINCT FROM rt) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_modified,
+         CAST(SUM(CASE WHEN rk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_deleted,
+         CAST(SUM(CASE WHEN bk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_inserted,
+         CAST(SUM(CASE WHEN bk IS NOT NULL AND rk IS NOT NULL
+           AND bc IS DISTINCT FROM rc THEN 1 ELSE 0 END) AS BIGINT)
+           AS diff_o_custkey,
+         CAST(SUM(CASE WHEN bk IS NOT NULL AND rk IS NOT NULL
+           AND bs IS DISTINCT FROM rs THEN 1 ELSE 0 END) AS BIGINT)
+           AS diff_o_orderstatus,
+         CAST(SUM(CASE WHEN bk IS NOT NULL AND rk IS NOT NULL
+           AND bt IS DISTINCT FROM rt THEN 1 ELSE 0 END) AS BIGINT)
+           AS diff_total
+       FROM j"""
+
+  // ------------------------------------- E35 streaming CDC merge ----------
+
+  /** Streaming CDC apply (StreamingIngest.cdcMergeSink): the
+    * merge_upsert changelog split into two drains over one checkpoint —
+    * batch 0 carries the base as inserts, batch 1 the upserts+deletes;
+    * each batch commits a full snapshot version (COW discipline,
+    * replay-idempotent). The final version must equal the BATCH
+    * merge_upsert truth, so that query's oracle gates this one verbatim.
+    */
+  def mergeUpsertStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val tmp = tempDir("graft_cdc_")
+    val landing = s"$tmp/landing"; val snapDir = s"$tmp/snap"
+    val ckpt = s"$tmp/ckpt"
+    val payload = Seq("o_custkey", "status", "total")
+    val base = orders(s, dir).select(col("o_orderkey"),
+      lit(0L).as("seq"), lit("U").as("op"), col("o_custkey"),
+      col("o_orderstatus").as("status"),
+      dec2(col("o_totalprice")).cast("double").as("total"))
+    val ups = orders(s, dir).where(pmod(col("o_orderkey"), lit(5)) === 0)
+      .select(col("o_orderkey"), lit(1L).as("seq"), lit("U").as("op"),
+        col("o_custkey"), lit("M").as("status"),
+        (dec2(col("o_totalprice")) * lit(2).cast("decimal(2,0)"))
+          .cast("double").as("total"))
+    val dels = orders(s, dir).where(pmod(col("o_orderkey"), lit(10)) === 0)
+      .select(col("o_orderkey"), lit(2L).as("seq"), lit("D").as("op"),
+        col("o_custkey"), lit(null).cast("string").as("status"),
+        lit(null).cast("double").as("total"))
+    base.write.mode("overwrite").parquet(landing)
+    def drain(): Unit =
+      graft.streaming.StreamingIngest.cdcMergeSink(
+        s.readStream.schema(base.schema).parquet(landing),
+        "o_orderkey", "seq", "op", payload, snapDir,
+        checkpointDir = Some(ckpt), availableNow = true)
+        .awaitTermination()
+    drain()
+    ups.unionByName(dels).write.mode("append").parquet(landing)
+    drain()
+    val snaps = s.read.parquet(snapDir)
+    val vmax = snaps.agg(max(col("version"))).collect()(0)
+      .get(0).asInstanceOf[Number].longValue
+    snaps.where(col("version") === vmax)
+      .select(col("o_orderkey"), col("o_custkey"), col("status"),
+        col("total"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // the streaming CDC result must equal the batch MERGE truth
+  val mergeUpsertStreamSql: String = mergeUpsertSql
 }

@@ -161,6 +161,11 @@ object SparkEntry {
     "corr_exact" -> (Queries.corrExactQ _),
     "funnel_steps" -> (Queries.funnelSteps _),
     "pagerank_iter" -> (Queries.pagerankIter _),
+    // E32-E35 rolling distinct, TWAP, snapshot diff, streaming CDC merge
+    "rolling_distinct_users" -> (Queries.rollingDistinctUsers _),
+    "twap_value" -> (Queries.twapValue _),
+    "snapshot_diff" -> (Queries.snapshotDiff _),
+    "merge_upsert_stream" -> (Queries.mergeUpsertStream _),
   )
 
   /** Bench class per registered query — `pure` (compute only),
@@ -178,7 +183,8 @@ object SparkEntry {
       "pipeline_resume_partial")
     val streamHarness = Set(
       "streaming_hourly_counts", "streaming_sessionize", "streaming_late_drop",
-      "dedup_stream_exact", "dedup_incremental_stream", "stream_stream_join")
+      "dedup_stream_exact", "dedup_incremental_stream", "stream_stream_join",
+      "merge_upsert_stream")
     queries.keys.map { n =>
       n -> (if (writeDemo(n)) "write_demo"
             else if (streamHarness(n)) "stream_harness"
@@ -309,5 +315,9 @@ object SparkEntry {
     "corr_exact" -> Queries.corrExactSql,
     "funnel_steps" -> Queries.funnelStepsSql,
     "pagerank_iter" -> Queries.pagerankIterSql,
+    "rolling_distinct_users" -> Queries.rollingDistinctUsersSql,
+    "twap_value" -> Queries.twapValueSql,
+    "snapshot_diff" -> Queries.snapshotDiffSql,
+    "merge_upsert_stream" -> Queries.mergeUpsertStreamSql,
   )
 }

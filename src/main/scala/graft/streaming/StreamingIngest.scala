@@ -100,6 +100,66 @@ object StreamingIngest {
       .start()
   }
 
+  /** Continuous CDC apply (streaming twin of
+    * [[graft.operators.Compaction.mergeChangelog]]): each microbatch of
+    * changelog rows merges onto the latest snapshot version and writes a
+    * NEW full snapshot under `snapDir/version=<batchId>` — the
+    * copy-on-write table-version discipline (Delta/Iceberg shape) at
+    * whole-table granularity. Replay-idempotent: a re-run batch
+    * overwrites its own version directory, and the base read only ever
+    * sees versions strictly BEFORE the current batch id, so a crash
+    * between merge and commit re-applies cleanly from the checkpoint.
+    *
+    * At 100 TB the COW unit would be the partition, not the table
+    * (rewrite only partitions holding touched keys — the merge itself
+    * already computes them); whole-table rewrite here keeps the demo's
+    * oracle exact while the versioning/idempotence contract is the part
+    * that carries.
+    */
+  def cdcMergeSink(changes: DataFrame, key: String, seq: String,
+      op: String, payload: Seq[String], snapDir: String,
+      checkpointDir: Option[String] = None,
+      availableNow: Boolean = false): StreamingQuery = {
+    val writer = changes.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val snapPath = new org.apache.hadoop.fs.Path(snapDir)
+        val fs = snapPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val baseSchema = new StructType(
+          batch.select(col(key) +: payload.map(col): _*).schema.fields)
+        val base =
+          if (fs.exists(snapPath)) {
+            val prior = spark.read.parquet(snapDir)
+              .where(col("version") < batchId)
+            // O(1) driver scalar: the latest committed version id
+            val vrow = prior.agg(max(col("version"))).collect()(0)
+            if (vrow.isNullAt(0))
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                baseSchema)
+            else {
+              // hive partition discovery types `version` as int — read
+              // the scalar numerically, not as a long
+              val vmax = vrow.get(0).asInstanceOf[Number].longValue
+              prior.where(col("version") === vmax)
+                .select(col(key) +: payload.map(col): _*)
+            }
+          } else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            baseSchema)
+        graft.operators.Compaction
+          .mergeChangelog(base, batch, key, seq, op, payload)
+          .write.mode("overwrite")
+          .parquet(s"$snapDir/version=$batchId")
+        ()
+      }
+    val withCkpt =
+      checkpointDir.fold(writer)(c => writer.option("checkpointLocation", c))
+    (if (availableNow) withCkpt.trigger(Trigger.AvailableNow()) else withCkpt)
+      .start()
+  }
+
   /** Drain all currently-available input and stop (`Trigger.AvailableNow`) —
     * batch-equivalent processing of a static directory; complete-mode memory
     * sink for assertion in tests.

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{Cohort, Compaction, Funnel, Indexing, PageRank, Profile, Stats}
+import graft.operators.{Cohort, Compaction, Funnel, Indexing, PageRank, Profile, Reconcile, Stats, TimeSeries}
 
 /** Specs for the r11 engine-op batch: NFC canonicalization, CDC merge,
   * inverted index, histogram, winsorize, cohort retention.
@@ -205,5 +205,88 @@ class EngineOpsSpec extends AnyFunSuite with SparkFixture {
     val p13 = PageRank.iterate(big.repartition(13), 3).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(p1 === p13)
+  }
+
+  // ------------------------------------------------- rolling distinct -----
+
+  test("rollingDistinct: trailing window, partial leading, max-day cut") {
+    val day = 86400000000L
+    def ts(d: Long) = new java.sql.Timestamp(d * 86400000L)
+    // user 1 active days {0, 2}; user 2 active day {2}
+    val ev = Seq((1L, ts(0)), (1L, ts(0)), (1L, ts(2)), (2L, ts(2)))
+      .toDF("user_id", "ts")
+    val got = TimeSeries.rollingDistinct(ev, col("user_id"), col("ts"),
+        day, windowDays = 3)
+      .orderBy($"day_bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // day 0: {1}; day 1: {1} (from day 0); day 2: {1 (day 0 and 2), 2}
+    // days 3, 4 are past max day -> cut
+    assert(got === Seq((0L, 1L), (1L, 1L), (2L, 2L)))
+  }
+
+  // ---------------------------------------------------------- twap --------
+
+  test("twap: holding-time weights, single-event users drop") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, ts(0), 10.0), (1L, ts(10), 20.0), (1L, ts(40), 99.0),
+      // user 1: 10.0 held 10 s, 20.0 held 30 s -> (100 + 600) / 40 = 17.5
+      (2L, ts(0), 5.0)) // single event: no gap, drops
+      .toDF("user_id", "ts", "value")
+    val got = TimeSeries.twap(ev, col("user_id"), col("ts"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSeq
+    assert(got === Seq((1L, 2L, 17.5)))
+  }
+
+  // ------------------------------------------------------ snapshot diff ---
+
+  test("snapshotDiff classifies unchanged/modified/deleted/inserted") {
+    val base = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0),
+      (4L, "d", 4.0)).toDF("k", "s", "v")
+    val rebuilt = Seq((1L, "a", 1.0),   // unchanged
+      (2L, "B", 2.0),                   // s modified
+      (3L, "c", 30.0),                  // v modified
+      (5L, "e", 5.0))                   // inserted; 4 deleted
+      .toDF("k", "s", "v")
+    val r = Reconcile.snapshotDiff(base, rebuilt, "k", Seq("s", "v"))
+      .collect()(0)
+    assert(r.getAs[Long]("n_unchanged") === 1L)
+    assert(r.getAs[Long]("n_modified") === 2L)
+    assert(r.getAs[Long]("n_deleted") === 1L)
+    assert(r.getAs[Long]("n_inserted") === 1L)
+    assert(r.getAs[Long]("diff_s") === 1L)
+    assert(r.getAs[Long]("diff_v") === 1L)
+  }
+
+  // ------------------------------------------------- streaming CDC --------
+
+  test("cdcMergeSink: versioned COW snapshots equal the batch merge") {
+    import graft.streaming.StreamingIngest
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_spec_")
+    val landing = s"$tmp/landing"; val snap = s"$tmp/snap"
+    val ckpt = s"$tmp/ckpt"
+    val b0 = Seq((1L, 0L, "U", 10.0), (2L, 0L, "U", 20.0))
+      .toDF("k", "seq", "op", "v")
+    val b1 = Seq((2L, 1L, "U", 21.0), (1L, 1L, "D", 0.0),
+      (3L, 1L, "U", 30.0)).toDF("k", "seq", "op", "v")
+    b0.write.mode("overwrite").parquet(landing)
+    def drain(): Unit = StreamingIngest.cdcMergeSink(
+      spark.readStream.schema(b0.schema).parquet(landing),
+      "k", "seq", "op", Seq("v"), snap,
+      checkpointDir = Some(ckpt), availableNow = true).awaitTermination()
+    drain()
+    b1.write.mode("append").parquet(landing)
+    drain()
+    val versions = spark.read.parquet(snap)
+    val vmax = versions.agg(max($"version")).collect()(0)
+      .get(0).asInstanceOf[Number].longValue
+    val last = versions.where($"version" === vmax).select($"k", $"v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(last === Set((2L, 21.0), (3L, 30.0))) // 1 deleted, 2 updated
+    // version 0 (pre-changes) is still readable — time travel by version
+    val v0 = versions.where($"version" === 0).select($"k", $"v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(v0 === Set((1L, 10.0), (2L, 20.0)))
   }
 }
