@@ -59,7 +59,10 @@ object PlanDump {
       "histogram_values" -> "histogram: extents agg broadcast back; the fact is scanned twice but never shuffled for the join; bin math is single-row IEEE arithmetic",
       "corr_exact" -> "exact corr: ONE HashAggregate (five decimal sums + count, fixed-width buffer) then a scalar projection — no second pass, no double-moment merge",
       "funnel_steps" -> "funnel: one repartition(u) of the fact; every per-step agg and users-sized join-back reuses the stage (AQE stage dedup)",
-      "pagerank_iter" -> "integer pagerank: printed plan is the LAST round only — static frames and prior rounds are localCheckpointed (50 -> 10 exchanges at k=3)")
+      "pagerank_iter" -> "integer pagerank: printed plan is the LAST round only — static frames and prior rounds are localCheckpointed (50 -> 10 exchanges at k=3)",
+      "rolling_distinct_users" -> "rolling distinct: distinct (user,day) agg FIRST, then the x7 explode on the reduced frame + broadcast max-day cut; the fact shuffles once",
+      "snapshot_diff" -> "snapshot diff: both sides projected to key+struct, ONE full-outer shuffled join, ONE agg of case-counters — no per-column re-scan",
+      "twap_value" -> "twap: lead window and per-user agg share one user_id exchange; decimal-exact weighted sums")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` on `$sf`. Audit notes per plan;\n")

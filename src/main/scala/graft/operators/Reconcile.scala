@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   * to key + compared columns first), then a single hash agg over the
   * classification — nothing driver-side, no per-column re-scan (column
   * diffs are `sum(case)` counters inside the same agg).
+  *
+  * 100 TB paths (the full-outer SMJ's per-partition sort is the decade
+  * bottleneck — measured 4.4–5.4× wall for 3.33× data crossing the
+  * 30×→100× decade at 16 partitions, BASELINE.md r11): (a) write both
+  * snapshots bucketed by the key (E16) so the join plans with zero
+  * exchanges and the sort amortizes into the layout; (b) for WIDE
+  * tables, project each compared column to a 16-byte content hash
+  * first — the join payload shrinks to key + hashes (the dedup
+  * discipline), with a 2⁻⁶⁴ per-column false-equal rate to document.
   */
 object Reconcile {
 
