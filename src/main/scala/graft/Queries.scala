@@ -3765,4 +3765,109 @@ object Queries {
 
   // the streaming CDC result must equal the batch MERGE truth
   val mergeUpsertStreamSql: String = mergeUpsertSql
+
+  // ------------------------------------- E3b window rank-family surface ---
+
+  /** The remaining rank-family window surface in one query: rank,
+    * dense_rank, percent_rank, cume_dist over (status, total) — all
+    * tie-stable, so deterministic under value ties — plus ntile(4) over
+    * the tie-broken (total, key) order (ntile splits ties by row
+    * position, so its ordering must be total). One shuffle on status;
+    * the (total, key) sort serves both window specs (prefix-compatible).
+    */
+  def windowRankStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTotal = Window.partitionBy(col("status"))
+      .orderBy(col("total"))
+    val tieBroken = Window.partitionBy(col("status"))
+      .orderBy(col("total"), col("o_orderkey"))
+    orders(s, dir).where(col("o_orderkey") < 3000)
+      .select(col("o_orderstatus").as("status"), col("o_orderkey"),
+        dec2(col("o_totalprice")).cast("double").as("total"))
+      .select(col("status"), col("o_orderkey"), col("total"),
+        rank().over(byTotal).cast("long").as("rnk"),
+        dense_rank().over(byTotal).cast("long").as("drnk"),
+        percent_rank().over(byTotal).as("prank"),
+        cume_dist().over(byTotal).as("cdist"),
+        ntile(4).over(tieBroken).cast("long").as("tile"))
+      .orderBy(col("status"), col("o_orderkey"))
+  }
+
+  val windowRankStatsSql: String =
+    s"""SELECT o_orderstatus AS status, o_orderkey,
+         CAST(${sqlDec2("o_totalprice")} AS DOUBLE) AS total,
+         CAST(rank() OVER w AS BIGINT) AS rnk,
+         CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+         percent_rank() OVER w AS prank,
+         cume_dist() OVER w AS cdist,
+         CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+           ORDER BY ${sqlDec2("o_totalprice")}, o_orderkey) AS BIGINT)
+           AS tile
+       FROM orders WHERE o_orderkey < 3000
+       WINDOW w AS (PARTITION BY o_orderstatus
+                    ORDER BY ${sqlDec2("o_totalprice")})
+       ORDER BY status, o_orderkey"""
+
+  // ------------------------------------------ E17b RANGE interval frame ---
+
+  /** RANGE frame (E17's moving_avg is a ROWS frame — this is the value-
+    * based sibling): trailing 7-day windowed sum/count over the daily
+    * per-type decimal series, where the frame is defined by DAY DISTANCE,
+    * not row count — days missing from the series still move the window.
+    * The heavy lift (daily agg) is one shuffle; the window runs on the
+    * |types × days| frame.
+    */
+  def rangeFrameSum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events(s, dir)
+      .groupBy(col("event_type"), dayBucket(col("ts")).as("day_bucket"))
+      .agg(sum(dec2(col("value"))).as("day_sum"),
+        count(lit(1)).as("day_n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_bucket"))
+      .rangeBetween(-6, 0)
+    daily.select(col("event_type"), col("day_bucket"),
+        sum(col("day_sum")).over(w).cast("double").as("sum_7d"),
+        sum(col("day_n")).over(w).cast("long").as("n_7d"))
+      .orderBy(col("event_type"), col("day_bucket"))
+  }
+
+  val rangeFrameSumSql: String =
+    """WITH daily AS (
+         SELECT event_type, epoch_us(ts) // 86400000000 AS day_bucket,
+                SUM(CAST(value AS DECIMAL(18,2))) AS day_sum,
+                COUNT(*) AS day_n
+         FROM events GROUP BY 1, 2)
+       SELECT event_type, day_bucket,
+              CAST(SUM(day_sum) OVER w AS DOUBLE) AS sum_7d,
+              CAST(SUM(day_n) OVER w AS BIGINT) AS n_7d
+       FROM daily
+       WINDOW w AS (PARTITION BY event_type ORDER BY day_bucket
+                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+       ORDER BY event_type, day_bucket"""
+
+  // ---------------------------------------- E5b explicit GROUPING SETS ----
+
+  /** Arbitrary GROUPING SETS (E5's rollup/cube are the fixed lattices;
+    * this is the general surface): per-status, per-priority, and grand
+    * total in ONE pass — Catalyst plans the same Expand + single
+    * aggregation as rollup. `grouping_id` disambiguates the null-as-
+    * rolled-up rows, bit-identical to DuckDB's GROUPING().
+    */
+  def groupingSetsOrders(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total_sum"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"), col("gid"))
+
+  val groupingSetsOrdersSql: String =
+    s"""SELECT o_orderstatus, o_orderpriority,
+         CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+         COUNT(*) AS n,
+         CAST(SUM(${sqlDec2("o_totalprice")}) AS DOUBLE) AS total_sum
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+       ORDER BY o_orderstatus, o_orderpriority, gid"""
 }

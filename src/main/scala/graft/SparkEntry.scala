@@ -166,6 +166,10 @@ object SparkEntry {
     "twap_value" -> (Queries.twapValue _),
     "snapshot_diff" -> (Queries.snapshotDiff _),
     "merge_upsert_stream" -> (Queries.mergeUpsertStream _),
+    // E3b/E5b/E17b window + grouping surface completion
+    "window_rank_stats" -> (Queries.windowRankStats _),
+    "range_frame_sum" -> (Queries.rangeFrameSum _),
+    "grouping_sets_orders" -> (Queries.groupingSetsOrders _),
   )
 
   /** Bench class per registered query — `pure` (compute only),
@@ -319,5 +323,8 @@ object SparkEntry {
     "twap_value" -> Queries.twapValueSql,
     "snapshot_diff" -> Queries.snapshotDiffSql,
     "merge_upsert_stream" -> Queries.mergeUpsertStreamSql,
+    "window_rank_stats" -> Queries.windowRankStatsSql,
+    "range_frame_sum" -> Queries.rangeFrameSumSql,
+    "grouping_sets_orders" -> Queries.groupingSetsOrdersSql,
   )
 }
