@@ -3869,5 +3869,6 @@ object Queries {
          CAST(SUM(${sqlDec2("o_totalprice")}) AS DOUBLE) AS total_sum
        FROM orders
        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-       ORDER BY o_orderstatus, o_orderpriority, gid"""
+       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST,
+                gid"""
 }
