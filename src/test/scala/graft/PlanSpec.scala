@@ -36,6 +36,36 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(exchanges === 1, s"want 1 hash exchange, plan:\n${plan.take(3000)}")
   }
 
+  test("cohort retention reuses ONE fact exchange across aggs and join") {
+    // disable AQE for this plan: AQE's runtime broadcast conversion hides
+    // the static exchange-reuse proof (at scale the SMJ path is the one
+    // that matters, and it must reuse the repartition(u) exchange)
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = physical(Queries.cohortRetention(spark, sf))
+      assert(plan.contains("ReusedExchange"), plan.take(3000))
+      val repart = "REPARTITION_BY_COL".r.findAllIn(plan).length
+      assert(repart >= 1, plan.take(3000))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
+
+  test("corr_exact is one HashAggregate pass — no sort/object agg") {
+    val plan = physical(Queries.corrExactQ(spark, sf))
+    assert(plan.contains("HashAggregate"))
+    assert(!plan.contains("SortAggregate"), plan.take(2000))
+    assert(!plan.contains("ObjectHashAggregate"), plan.take(2000))
+  }
+
+  test("histogram/winsorize broadcast the per-group frame back — the fact never shuffles for the join") {
+    Seq(Queries.histogramValues(spark, sf),
+        Queries.winsorizeClip(spark, sf)).foreach { df =>
+      val plan = physical(df)
+      assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+      assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    }
+  }
+
   test("LSH dedup paths never plan an all-pairs join") {
     Seq(Queries.dedupMinhash(spark, sf),
         Queries.dedupJaccardExact(spark, sf),
