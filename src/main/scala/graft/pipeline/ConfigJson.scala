@@ -57,6 +57,8 @@ object ConfigJson {
             })
           case "pii_redact" =>
             Pipeline.RedactPii(textCol = str(f \ "column").get)
+          case "nfc_clean" =>
+            Pipeline.NfcCleanCol(textCol = str(f \ "column").get)
           case "source_quota" => Pipeline.SourceQuota(
             keyCol = str(f \ "key").get,
             textCol = str(f \ "column").get,

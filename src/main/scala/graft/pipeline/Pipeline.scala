@@ -53,6 +53,12 @@ object Pipeline {
   final case class QualityFilter(textCol: String, minScore: Double)
     extends Transform
   final case class RedactPii(textCol: String) extends Transform
+  /** NFC canonicalization as a config step (L25): compose decomposed
+    * Unicode + collapse control whitespace in `textCol` — the pre-hash
+    * cleanup stage, so fingerprint/dedup steps downstream see canonical
+    * bytes. Pure narrow map (NfcClean codegen kernel).
+    */
+  final case class NfcCleanCol(textCol: String) extends Transform
   /** Per-source quota as a config step (the `source_quota` curation cut):
     * keep the top-`k` rows per `keyCol` by quality score over `textCol`
     * (ties by `idCol` ascending) — runs through the bounded-heap
@@ -157,6 +163,8 @@ object Pipeline {
           df.where(graft.operators.TextAnalysis.qualityScore(col(c)) >= minScore)
         case RedactPii(c) =>
           df.withColumn(c, graft.operators.TextAnalysis.redactPii(col(c)))
+        case NfcCleanCol(c) =>
+          df.withColumn(c, graft.functions.NormalizeFunctions.nfcClean(col(c)))
         case SourceQuota(key, textCol, idCol, k) =>
           requireNoInternalCols(df, "source_quota")
           val scored = df.withColumn("_gq_score",

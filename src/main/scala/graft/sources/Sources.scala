@@ -16,6 +16,17 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Schema-evolution read: parquet drops whose schemas drifted (columns
+    * added over time) union into one frame — `mergeSchema` reconciles the
+    * footers (by-name, missing columns null), the operational norm for a
+    * landing directory whose producer gained fields. Costs a footer scan
+    * per file at planning (why it's off by default in Spark); pass the
+    * explicit merged schema instead where planning time matters at 100 TB
+    * (schema-on-read with no footer sweep).
+    */
+  def parquetEvolving(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   def csv(spark: SparkSession, path: String, schema: StructType,
       header: Boolean = true, mode: String = "PERMISSIVE"): DataFrame =
     spark.read.schema(schema)

@@ -217,15 +217,17 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     val cfg = graft.pipeline.ConfigJson.parse(s"""{
       "in": {"path": "$sf/documents.parquet"},
       "filters": [
+        {"type": "nfc_clean", "column": "text"},
         {"type": "dedup", "id": "doc_id", "column": "text"},
         {"type": "lang_filter", "column": "text", "keep": ["en"]},
         {"type": "quality_filter", "column": "text", "min_score": 0.8},
         {"type": "pii_redact", "column": "text"}
       ]
     }""")
-    assert(cfg.transforms(1) === Pipeline.LangFilter("text", Seq("en")))
-    assert(cfg.transforms(2) === Pipeline.QualityFilter("text", 0.8))
-    assert(cfg.transforms(3) === Pipeline.RedactPii("text"))
+    assert(cfg.transforms(0) === Pipeline.NfcCleanCol("text"))
+    assert(cfg.transforms(2) === Pipeline.LangFilter("text", Seq("en")))
+    assert(cfg.transforms(3) === Pipeline.QualityFilter("text", 0.8))
+    assert(cfg.transforms(4) === Pipeline.RedactPii("text"))
     val out = Pipeline.plan(spark, cfg)
     val n = out.count()
     assert(n > 0) // survivors exist: en docs above the quality bar

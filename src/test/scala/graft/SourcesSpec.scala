@@ -50,4 +50,19 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(spark.conf.get("spark.sql.files.maxPartitionBytes") === "1048576")
     Sources.withMaxSplitBytes(spark, 128L * 1024 * 1024)
   }
+
+  test("schema-evolution read merges drifted parquet drops by name") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve_")
+    Seq((1L, "a")).toDF("id", "name")
+      .write.mode("overwrite").parquet(s"$dir/drop1")
+    Seq((2L, "b", 9.5)).toDF("id", "name", "score")
+      .write.mode("overwrite").parquet(s"$dir/drop2")
+    val merged = Sources.parquetEvolving(spark, s"$dir/drop*")
+    assert(merged.columns.toSet === Set("id", "name", "score"))
+    val rows = merged.orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getAs[Any]("score")))).toSeq
+    assert(rows === Seq((1L, "a", None), (2L, "b", Some(9.5))))
+  }
 }
