@@ -3766,6 +3766,41 @@ object Queries {
   // the streaming CDC result must equal the batch MERGE truth
   val mergeUpsertStreamSql: String = mergeUpsertSql
 
+  // ------------------------------------------ E36 stream-static join ------
+
+  /** Stream-static join — the remaining Structured Streaming join
+    * surface (E7 aggregates a stream, E20 joins two streams; this joins
+    * a stream against a STATIC dimension): the event stream enriched
+    * with each user's customer nation (user_id pmod-mapped onto the
+    * customer table), counted per nation. The static side re-plans per
+    * microbatch and broadcasts (it's dimension-sized); no watermark is
+    * needed — static rows never expire. Oracle = the batch join truth.
+    */
+  def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    val landing = tempDir("graft_ssj2_")
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"))
+    ev.write.mode("overwrite").parquet(landing)
+    val staged = s.read.parquet(landing)
+    val dim = customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val stream = s.readStream.schema(staged.schema).parquet(landing)
+      .withColumn("c_custkey", pmod(col("user_id"), lit(1500)) + 1)
+      .join(broadcast(dim), "c_custkey")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_events"))
+    val name = s"graft_ss_static_${System.nanoTime()}"
+    graft.streaming.StreamingIngest.runAvailableNow(stream, name)
+      .awaitTermination()
+    s.table(name).orderBy(col("c_nationkey"))
+  }
+
+  val streamStaticJoinSql: String =
+    """SELECT c_nationkey, COUNT(*) AS n_events
+       FROM events e JOIN customer c
+         ON (e.user_id % 1500) + 1 = c.c_custkey
+       GROUP BY 1 ORDER BY 1"""
+
   // ------------------------------------- E3b window rank-family surface ---
 
   /** The remaining rank-family window surface in one query: rank,

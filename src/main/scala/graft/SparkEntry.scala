@@ -170,6 +170,8 @@ object SparkEntry {
     "window_rank_stats" -> (Queries.windowRankStats _),
     "range_frame_sum" -> (Queries.rangeFrameSum _),
     "grouping_sets_orders" -> (Queries.groupingSetsOrders _),
+    // E36 stream-static join
+    "stream_static_join" -> (Queries.streamStaticJoin _),
   )
 
   /** Bench class per registered query — `pure` (compute only),
@@ -188,7 +190,7 @@ object SparkEntry {
     val streamHarness = Set(
       "streaming_hourly_counts", "streaming_sessionize", "streaming_late_drop",
       "dedup_stream_exact", "dedup_incremental_stream", "stream_stream_join",
-      "merge_upsert_stream")
+      "merge_upsert_stream", "stream_static_join")
     queries.keys.map { n =>
       n -> (if (writeDemo(n)) "write_demo"
             else if (streamHarness(n)) "stream_harness"
@@ -326,5 +328,6 @@ object SparkEntry {
     "window_rank_stats" -> Queries.windowRankStatsSql,
     "range_frame_sum" -> Queries.rangeFrameSumSql,
     "grouping_sets_orders" -> Queries.groupingSetsOrdersSql,
+    "stream_static_join" -> Queries.streamStaticJoinSql,
   )
 }
