@@ -3716,6 +3716,42 @@ object Queries {
            AS diff_total
        FROM j"""
 
+  // --------------------------------- E34b bucketed snapshot diff ----------
+
+  /** The bucketed variant of snapshot_diff — the 100 TB mitigation the
+    * decade row documents (the ad-hoc full-outer SMJ re-sorts both
+    * sides per run; 4.4–5.4× wall across the 30×→100× decade): land
+    * BOTH table versions bucketed+sorted by the key, and the diff's
+    * full-outer join plans with ZERO exchanges — the sort amortized
+    * into the layout, each run pays only the scan. Same classification,
+    * same oracle as snapshot_diff.
+    */
+  def snapshotDiffBucketed(s: SparkSession, dir: String): DataFrame = {
+    Seq("graft_snap_old", "graft_snap_new")
+      .foreach(graft.sources.Sinks.dropManagedTable(s, _))
+    val base = orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), dec2(col("o_totalprice")).as("total"))
+    val rebuilt = base
+      .where(pmod(col("o_orderkey"), lit(13)) =!= 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        when(pmod(col("o_orderkey"), lit(7)) === 0,
+          col("total") + lit(1).cast("decimal(3,0)"))
+          .otherwise(col("total")).as("total"))
+      .unionByName(base.where(pmod(col("o_orderkey"), lit(11)) === 0)
+        .select((col("o_orderkey") + lit(30000000L)).as("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("total")))
+    base.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("graft_snap_old")
+    rebuilt.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("graft_snap_new")
+    Reconcile.snapshotDiff(s.table("graft_snap_old"),
+      s.table("graft_snap_new"), "o_orderkey",
+      Seq("o_custkey", "o_orderstatus", "total"))
+  }
+
+  // identical classification — the layout, not the answer, changes
+  val snapshotDiffBucketedSql: String = snapshotDiffSql
+
   // ------------------------------------- E35 streaming CDC merge ----------
 
   /** Streaming CDC apply (StreamingIngest.cdcMergeSink): the

@@ -165,6 +165,7 @@ object SparkEntry {
     "rolling_distinct_users" -> (Queries.rollingDistinctUsers _),
     "twap_value" -> (Queries.twapValue _),
     "snapshot_diff" -> (Queries.snapshotDiff _),
+    "snapshot_diff_bucketed" -> (Queries.snapshotDiffBucketed _),
     "merge_upsert_stream" -> (Queries.mergeUpsertStream _),
     // E3b/E5b/E17b window + grouping surface completion
     "window_rank_stats" -> (Queries.windowRankStats _),
@@ -186,7 +187,7 @@ object SparkEntry {
   def queryClass: Map[String, String] = {
     val writeDemo = Set(
       "pipeline_config_out", "pipeline_config_composite", "join_bucketed",
-      "pipeline_resume_partial")
+      "pipeline_resume_partial", "snapshot_diff_bucketed")
     val streamHarness = Set(
       "streaming_hourly_counts", "streaming_sessionize", "streaming_late_drop",
       "dedup_stream_exact", "dedup_incremental_stream", "stream_stream_join",
@@ -324,6 +325,7 @@ object SparkEntry {
     "rolling_distinct_users" -> Queries.rollingDistinctUsersSql,
     "twap_value" -> Queries.twapValueSql,
     "snapshot_diff" -> Queries.snapshotDiffSql,
+    "snapshot_diff_bucketed" -> Queries.snapshotDiffBucketedSql,
     "merge_upsert_stream" -> Queries.mergeUpsertStreamSql,
     "window_rank_stats" -> Queries.windowRankStatsSql,
     "range_frame_sum" -> Queries.rangeFrameSumSql,

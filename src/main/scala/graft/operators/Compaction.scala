@@ -55,29 +55,36 @@ object Compaction {
     * base dominates; its rows carry a constant seq so partial aggregation
     * collapses them immediately.
     *
-    * Aggregate exec honesty: with all-numeric payloads this is a pure
-    * HashAggregate (see [[latestByKey]]); a string payload puts a
-    * variable-width field in the max_by buffer, which HashAggregate can't
-    * hold, and Spark demotes to SortAggregate — still ONE shuffle and the
-    * map-side partial still collapses to a row per key before the wire,
-    * with only a per-partition sort on the key added. That remains
-    * strictly cheaper than the window `row_number` MERGE (which sorts by
-    * (key, seq) over the same shuffle); there is no vanilla-Spark plan
-    * that hash-aggregates a string-carrying extremum buffer.
+    * Aggregate exec honesty: the op flag is byte-encoded internally, so
+    * with all-numeric payloads this is a pure HashAggregate (see
+    * [[latestByKey]]; EngineOpsSpec pins it). A STRING payload column
+    * puts a variable-width field in the max_by buffer, which
+    * HashAggregate can't hold, and Spark demotes to SortAggregate —
+    * still ONE shuffle and the map-side partial still collapses to a row
+    * per key before the wire, with only a per-partition sort on the key
+    * added. That remains strictly cheaper than the window `row_number`
+    * MERGE (which sorts by (key, seq) over the same shuffle); there is
+    * no vanilla-Spark plan that hash-aggregates a string-carrying
+    * extremum buffer.
     *
     * `base` and `changes` must share the payload schema; `changes`
     * additionally carries `seq` and `op` columns named by the params.
     */
   def mergeChangelog(base: DataFrame, changes: DataFrame, key: String,
       seq: String, op: String, payload: Seq[String]): DataFrame = {
+    // op rides the max_by buffer as a BYTE (1=U, 2=D), not the string —
+    // otherwise every merge would carry a variable-width buffer field and
+    // demote to SortAggregate even for all-numeric payloads
+    val opByte = when(col(op) === "D", lit(2).cast("byte"))
+      .otherwise(lit(1).cast("byte"))
     val unioned = base
-      .select((Seq(col(key), lit(-1L).as("_m_seq"), lit("U").as("_m_op"))
-        ++ payload.map(col)): _*)
+      .select((Seq(col(key), lit(-1L).as("_m_seq"),
+        lit(1).cast("byte").as("_m_op")) ++ payload.map(col)): _*)
       .unionByName(changes.select((Seq(col(key), col(seq).cast("long")
-        .as("_m_seq"), col(op).as("_m_op")) ++ payload.map(col)): _*))
+        .as("_m_seq"), opByte.as("_m_op")) ++ payload.map(col)): _*))
     val kept = latestByKey(unioned, col(key), col("_m_seq"),
       ("_m_op" -> col("_m_op")) +: payload.map(n => n -> col(n)))
-    kept.where(col("_m_op") =!= "D")
+    kept.where(col("_m_op") =!= 2)
       .select((col("key").as(key) +: payload.map(col)): _*)
   }
 }

@@ -45,4 +45,21 @@ class BucketingSpec extends AnyFunSuite with SparkFixture {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
   }
+
+  test("bucketed snapshot diff: the full-outer reconciliation join plans no exchange") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Queries.snapshotDiffBucketed(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(1500))
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(2500))
+      // same answer as the ad-hoc diff
+      val adhoc = Queries.snapshotDiff(spark, sf).collect()(0)
+      val bucketed = df.collect()(0)
+      assert(adhoc === bucketed)
+    } finally spark.conf
+      .set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
 }

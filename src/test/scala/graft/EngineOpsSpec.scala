@@ -44,6 +44,38 @@ class EngineOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("nfcClean fuzz: kernel equals the two-step reference on adversarial unicode") {
+    val rnd = new scala.util.Random(4242)
+    val combining = Seq('́', '̈', '̊', '̧', '̣')
+    val controls = (0 to 0x1F).map(_.toChar) :+ '\u007F'
+    val letters = "aeiouncszAEOU" + "äöüéàçñ" + "汉字ひらμ"
+    def randString(): String = {
+      val n = rnd.nextInt(40)
+      val sb = new StringBuilder
+      for (_ <- 0 until n) rnd.nextInt(10) match {
+        case 0 | 1 => sb += combining(rnd.nextInt(combining.length))
+        case 2 | 3 => sb += controls(rnd.nextInt(controls.length))
+        case 4     => sb += ' '
+        case _     => sb += letters(rnd.nextInt(letters.length))
+      }
+      sb.toString
+    }
+    def reference(s: String): String =
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+        .replaceAll("[\\x00-\\x20\\x7F]+", " ").trim
+    val cases = (1 to 500).map(_ => randString())
+    val got = cases.toDF("t")
+      .select(graft.functions.NormalizeFunctions.nfcClean($"t").as("c"))
+      .collect().map(_.getString(0)).toSeq
+    val want = cases.map(reference)
+    assert(got === want)
+    // idempotence: cleaning cleaned text is the identity
+    val twice = got.toDF("t")
+      .select(graft.functions.NormalizeFunctions.nfcClean($"t").as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(twice === got)
+  }
+
   // ---------------------------------------------------- mergeChangelog ----
 
   test("mergeChangelog applies latest op per key: upsert, delete, insert") {
@@ -71,6 +103,18 @@ class EngineOpsSpec extends AnyFunSuite with SparkFixture {
     val got = Compaction.mergeChangelog(base, changes, "k", "seq", "op",
       Seq("v")).collect()
     assert(got.length === 1 && got(0).getDouble(1) === 4.0)
+  }
+
+  test("mergeChangelog with all-numeric payload stays a HashAggregate") {
+    val base = Seq((1L, 1.0)).toDF("k", "v")
+    val changes = Seq((2L, 1L, "U", 2.0)).toDF("k", "seq", "op", "v")
+    val merged = Compaction.mergeChangelog(base, changes, "k", "seq", "op",
+      Seq("v"))
+    merged.collect()
+    val plan = merged.queryExecution.executedPlan.toString
+    // the byte-encoded op keeps the extremum buffer fixed-width
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+    assert(!plan.contains("SortAggregate"), plan.take(2000))
   }
 
   // ---------------------------------------------------- invertedIndex -----
