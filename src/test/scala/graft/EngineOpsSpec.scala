@@ -4,8 +4,11 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.operators.{Cohort, Compaction, Funnel, Indexing, PageRank, Profile, Reconcile, Stats, TimeSeries}
 
-/** Specs for the r11 engine-op batch: NFC canonicalization, CDC merge,
-  * inverted index, histogram, winsorize, cohort retention.
+/** Specs for the r11 engine-op batches: NFC canonicalization (+fuzz),
+  * CDC merge (semantics + aggregate-exec guard), inverted index,
+  * histogram, winsorize, cohort retention, exact correlation, funnel,
+  * integer PageRank, rolling distinct, TWAP, snapshot diff, and the
+  * streaming CDC COW sink.
   */
 class EngineOpsSpec extends AnyFunSuite with SparkFixture {
   import spark.implicits._
