@@ -3515,10 +3515,11 @@ object Queries {
                     * CAST(hour(ts) AS DECIMAL(18,0))) AS syy
          FROM events GROUP BY 1)
        SELECT g, CAST(n AS BIGINT) AS n,
-              CAST(n * sxy - sx * sy AS DOUBLE)
-                / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                   * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr,
-              CAST(n * sxy - sx * sy AS DOUBLE)
+              CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                / (sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+                   * sqrt(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)))
+                AS corr,
+              CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
                 / CAST(n * (n - 1) AS DOUBLE) AS covar_samp
        FROM s ORDER BY g"""
 
@@ -3942,4 +3943,297 @@ object Queries {
        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST,
                 gid"""
+
+  // ------------------------------------------ E37 anti-entropy checksum ---
+
+  /** Anti-entropy table checksum (operators/Reconcile.tableChecksum):
+    * order-independent per-bucket (count, xor, sum) signatures over
+    * lineitem — the O(buckets)-output replica compare. The canonical row
+    * rendering goes through decimal / epoch-micros so the md5 input is
+    * byte-identical in any engine; the oracle recomputes every digest
+    * from scratch.
+    */
+  def tableChecksumQ(s: SparkSession, dir: String): DataFrame = {
+    val repr = concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+      dec2(col("l_quantity")), dec2(col("l_extendedprice")),
+      col("l_returnflag"), unix_micros(col("l_shipdate")))
+    Reconcile.tableChecksum(lineitem(s, dir), pmod(col("l_orderkey"), lit(64L)),
+        repr)
+      .orderBy(col("bucket"))
+  }
+
+  val tableChecksumSql: String =
+    s"""WITH h AS (
+         SELECT l_orderkey % 64 AS bucket,
+           CAST('0x' || substr(md5(concat_ws('|', l_orderkey, l_linenumber,
+             ${sqlDec2("l_quantity")}, ${sqlDec2("l_extendedprice")},
+             l_returnflag, epoch_us(l_shipdate))), 1, 15) AS BIGINT) AS h
+         FROM lineitem)
+       SELECT bucket, COUNT(*) AS n_rows, bit_xor(h) AS xor_sig,
+              CAST(SUM(h) AS DECIMAL(38,0)) AS sum_sig
+       FROM h GROUP BY bucket ORDER BY bucket"""
+
+  // --------------------------------------------- E38 heavy hitters --------
+
+  /** Heavy hitters (operators/Sketches.heavyHitters): corpus tokens with
+    * a frequency share strictly above 1/200 — stopword discovery over
+    * the Zipfian word distribution. The Misra-Gries pass prunes the
+    * candidate space to ≤ 199 before any aggregation; the exact recount
+    * makes the OUTPUT exact, so the oracle is the plain
+    * full-vocabulary GROUP BY the sketch plan avoids shuffling.
+    */
+  def heavyWords(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir).select(
+      explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z0-9]+"), lit(0))).as("t"))
+    Sketches.heavyHitters(toks, col("t"), 200)
+      .orderBy(col("cnt").desc, col("item"))
+  }
+
+  val heavyWordsSql: String =
+    """WITH toks AS (
+         SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS item
+         FROM documents),
+       tot AS (SELECT COUNT(*) AS n FROM toks),
+       c AS (SELECT item, COUNT(*) AS cnt FROM toks GROUP BY 1)
+       SELECT item, cnt,
+              CAST(cnt AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE)
+                AS share
+       FROM c WHERE cnt * 200 > (SELECT n FROM tot)
+       ORDER BY cnt DESC, item"""
+
+  // --------------------------------------------- E39 exact-decimal OLS ----
+
+  /** Grouped OLS (operators/Stats.olsExact): value ~ hour-of-day per
+    * event type from decimal-exact sufficient statistics; slope /
+    * intercept / R² each run their closed form in double exactly once,
+    * replayed token-for-token by the oracle (see corr_exact, E29).
+    */
+  def olsExactQ(s: SparkSession, dir: String): DataFrame =
+    Stats.olsExact(events(s, dir), col("event_type"), hour(col("ts")),
+        col("value"))
+      .orderBy(col("g"))
+
+  val olsExactSql: String = {
+    // decimal → double via VARCHAR: DuckDB's direct decimal cast
+    // double-rounds ((double)int128, then /10^scale) and drifts an ulp
+    // from Spark's correctly-rounded BigDecimal conversion once the
+    // unscaled value crosses 2^53 (observed on n·Σy²−(Σy)² at sf0.1);
+    // the string parse is strtod — correctly rounded at any magnitude
+    val sNum = "CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)"
+    val sDen = "CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)"
+    val yDen = "CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)"
+    s"""WITH s AS (
+         SELECT event_type AS g, COUNT(*) AS n,
+                SUM(CAST(hour(ts) AS DECIMAL(18,0))) AS sx,
+                SUM(CAST(value AS DECIMAL(18,2))) AS sy,
+                SUM(CAST(hour(ts) AS DECIMAL(18,0))
+                    * CAST(value AS DECIMAL(18,2))) AS sxy,
+                SUM(CAST(hour(ts) AS DECIMAL(18,0))
+                    * CAST(hour(ts) AS DECIMAL(18,0))) AS sxx,
+                SUM(CAST(value AS DECIMAL(18,2))
+                    * CAST(value AS DECIMAL(18,2))) AS syy
+         FROM events GROUP BY 1)
+       SELECT g, CAST(n AS BIGINT) AS n,
+              $sNum / $sDen AS slope,
+              (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+                 - $sNum / $sDen * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+                / CAST(n AS DOUBLE) AS intercept,
+              $sNum * $sNum / ($sDen * $yDen) AS r2
+       FROM s ORDER BY g"""
+  }
+
+  // --------------------------------------------- L26 bigram collocations --
+
+  /** Collocation extraction: per-lang top-5 adjacent word pairs by the
+    * log-free PMI ratio score(x,y) = c(xy)·n / (c(x)·c(y)) (monotone in
+    * PMI, so the ranking is identical; no transcendental calls keeps the
+    * score IEEE-exact cross-engine — the tfidf discipline). One narrow
+    * token/bigram explode; every join after the counts runs on
+    * vocabulary-sized aggregated frames, never the corpus.
+    */
+  def bigramPmi(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir).select(col("lang"),
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+        .as("w"))
+    val pairs = toks.where(size(col("w")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> named_struct('x', element_at(w, i), " +
+          "'y', element_at(w, i + 1)))"))
+        .as("p"))
+      .select(col("lang"), col("p.x").as("x"), col("p.y").as("y"))
+    val uni = toks.select(col("lang"), explode(col("w")).as("t"))
+      .groupBy(col("lang"), col("t")).agg(count(lit(1)).as("c_t"))
+    val tot = uni.groupBy(col("lang")).agg(sum(col("c_t")).as("n_tok"))
+    val big = pairs.groupBy(col("lang"), col("x"), col("y"))
+      .agg(count(lit(1)).as("c_xy"))
+      .where(col("c_xy") >= 5)
+    val scored = big
+      .join(uni.select(col("lang"), col("t").as("x"), col("c_t").as("c_x")),
+        Seq("lang", "x"))
+      .join(uni.select(col("lang"), col("t").as("y"), col("c_t").as("c_y")),
+        Seq("lang", "y"))
+      .join(tot, Seq("lang"))
+      .select(col("lang"), col("x"), col("y"), col("c_xy"),
+        (col("c_xy").cast("double") * col("n_tok").cast("double") /
+          (col("c_x").cast("double") * col("c_y").cast("double")))
+          .as("score"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("x"), col("y"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5).drop("rn")
+      .orderBy(col("lang"), col("x"), col("y"))
+  }
+
+  val bigramPmiSql: String =
+    """WITH toks AS (
+         SELECT lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+         FROM documents),
+       pairs AS (
+         SELECT lang, w[i] AS x, w[i + 1] AS y
+         FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i)),
+       uni AS (
+         SELECT lang, t, COUNT(*) AS c_t
+         FROM (SELECT lang, unnest(w) AS t FROM toks) GROUP BY 1, 2),
+       tot AS (SELECT lang, SUM(c_t) AS n_tok FROM uni GROUP BY 1),
+       big AS (
+         SELECT lang, x, y, COUNT(*) AS c_xy FROM pairs
+         GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5),
+       scored AS (
+         SELECT b.lang, b.x, b.y, b.c_xy,
+           CAST(b.c_xy AS DOUBLE) * CAST(t.n_tok AS DOUBLE)
+             / (CAST(ux.c_t AS DOUBLE) * CAST(uy.c_t AS DOUBLE)) AS score
+         FROM big b
+         JOIN uni ux ON b.lang = ux.lang AND b.x = ux.t
+         JOIN uni uy ON b.lang = uy.lang AND b.y = uy.t
+         JOIN tot t ON b.lang = t.lang)
+       SELECT lang, x, y, c_xy, score FROM (
+         SELECT lang, x, y, c_xy, score,
+           row_number() OVER (PARTITION BY lang
+             ORDER BY score DESC, x, y) AS rn
+         FROM scored)
+       WHERE rn <= 5 ORDER BY lang, x, y"""
+
+  // ------------------------------------------ E40 hierarchy flattening ----
+
+  /** Hierarchy flattening (operators/Hierarchy.flatten): root / depth /
+    * materialized path over the derived supplier forest parent(v) = v/2
+    * (v ≥ 2; v = 1 is the root) — ⌈log₂ depth⌉ pointer-doubling
+    * self-joins instead of one join per level. All-integer + string
+    * concatenation, so the oracle's recursive-CTE walk matches exactly.
+    */
+  def hierarchyFlatten(s: SparkSession, dir: String): DataFrame = {
+    val nodes = supplier(s, dir).select(
+      col("s_suppkey").cast("long").as("id"),
+      when(col("s_suppkey") >= 2, expr("s_suppkey DIV 2")).as("parent"))
+    Hierarchy.flatten(nodes)
+      .select(col("id").as("s_suppkey"), col("root"),
+        col("depth").cast("long").as("depth"), col("path"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val hierarchyFlattenSql: String =
+    """WITH RECURSIVE chain AS (
+         SELECT s_suppkey AS id, s_suppkey AS anc, 0 AS depth,
+                CAST(s_suppkey AS VARCHAR) AS path
+         FROM supplier
+         UNION ALL
+         SELECT id, anc // 2, depth + 1,
+                CAST(anc // 2 AS VARCHAR) || '/' || path
+         FROM chain WHERE anc >= 2)
+       SELECT id AS s_suppkey, CAST(anc AS BIGINT) AS root,
+              CAST(depth AS BIGINT) AS depth, path
+       FROM chain WHERE anc <= 1 ORDER BY s_suppkey"""
+
+  // ------------------------------------------ E41 equi-depth histogram ----
+
+  /** Per-type equi-depth (quartile) histogram: exact interpolated
+    * cutoffs (E6b's `percentile` ≡ `quantile_cont` contract) broadcast
+    * back over the fact for the per-bin counts — the fact never shuffles
+    * for the join, and bin assignment is pure double comparison against
+    * the cutoffs (no arithmetic, so nothing to drift).
+    */
+  def equidepthHist(s: SparkSession, dir: String): DataFrame = {
+    val cuts = events(s, dir).groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.25D, 0.5D, 0.75D))").as("qs"))
+      .select(col("event_type"), col("qs").getItem(0).as("q25"),
+        col("qs").getItem(1).as("q50"), col("qs").getItem(2).as("q75"))
+    events(s, dir).join(broadcast(cuts), Seq("event_type"))
+      .groupBy(col("event_type"), col("q25"), col("q50"), col("q75"))
+      .agg(
+        sum(when(col("value") <= col("q25"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("value") > col("q25") && col("value") <= col("q50"),
+          1L).otherwise(0L)).as("n2"),
+        sum(when(col("value") > col("q50") && col("value") <= col("q75"),
+          1L).otherwise(0L)).as("n3"),
+        sum(when(col("value") > col("q75"), 1L).otherwise(0L)).as("n4"))
+      .orderBy(col("event_type"))
+  }
+
+  val equidepthHistSql: String =
+    """WITH cuts AS (
+         SELECT event_type, quantile_cont(value, 0.25) AS q25,
+                quantile_cont(value, 0.5) AS q50,
+                quantile_cont(value, 0.75) AS q75
+         FROM events GROUP BY 1)
+       SELECT e.event_type, c.q25, c.q50, c.q75,
+              CAST(SUM(CASE WHEN value <= q25 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n1,
+              CAST(SUM(CASE WHEN value > q25 AND value <= q50 THEN 1
+                ELSE 0 END) AS BIGINT) AS n2,
+              CAST(SUM(CASE WHEN value > q50 AND value <= q75 THEN 1
+                ELSE 0 END) AS BIGINT) AS n3,
+              CAST(SUM(CASE WHEN value > q75 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n4
+       FROM events e JOIN cuts c USING (event_type)
+       GROUP BY e.event_type, c.q25, c.q50, c.q75
+       ORDER BY e.event_type"""
+
+  // ------------------------------------------ E42 MAD robust outliers -----
+
+  /** Robust outlier census: per-type median + MAD (median absolute
+    * deviation), then |value − med| > 3·MAD counts — the scale/offset-
+    * robust alternative to z-scores for corpus quality cuts. Two exact
+    * percentile aggs with tiny broadcast joins back; every comparison is
+    * pure double subtract/multiply (each exact once inputs are fixed, so
+    * cross-engine drift is impossible).
+    */
+  def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5D)").as("med"))
+    val mad = ev.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(abs(value - med), 0.5D)").as("mad"))
+    ev.join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(abs(col("value") - col("med")) > lit(3.0) * col("mad"),
+          1L).otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("med"), col("mad"), col("n_rows"),
+        col("n_outliers"),
+        (col("n_outliers").cast("double") / col("n_rows").cast("double"))
+          .as("outlier_rate"))
+      .orderBy(col("event_type"))
+  }
+
+  val madOutliersSql: String =
+    """WITH med AS (
+         SELECT event_type, quantile_cont(value, 0.5) AS med
+         FROM events GROUP BY 1),
+       mad AS (
+         SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+         FROM events e JOIN med m USING (event_type) GROUP BY 1)
+       SELECT e.event_type, m.med, d.mad, COUNT(*) AS n_rows,
+              CAST(SUM(CASE WHEN abs(e.value - m.med) > 3.0 * d.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+              CAST(SUM(CASE WHEN abs(e.value - m.med) > 3.0 * d.mad
+                THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                AS outlier_rate
+       FROM events e JOIN med m USING (event_type)
+       JOIN mad d USING (event_type)
+       GROUP BY e.event_type, m.med, d.mad
+       ORDER BY e.event_type"""
 }

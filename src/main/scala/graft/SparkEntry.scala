@@ -173,6 +173,15 @@ object SparkEntry {
     "grouping_sets_orders" -> (Queries.groupingSetsOrders _),
     // E36 stream-static join
     "stream_static_join" -> (Queries.streamStaticJoin _),
+    // E37-E39 checksum, heavy hitters, OLS; L26 collocations
+    "table_checksum" -> (Queries.tableChecksumQ _),
+    "heavy_words" -> (Queries.heavyWords _),
+    "ols_exact" -> (Queries.olsExactQ _),
+    "bigram_pmi" -> (Queries.bigramPmi _),
+    // E40-E42 hierarchy, equi-depth histogram, MAD outliers
+    "hierarchy_flatten" -> (Queries.hierarchyFlatten _),
+    "equidepth_hist" -> (Queries.equidepthHist _),
+    "mad_outliers" -> (Queries.madOutliers _),
   )
 
   /** Bench class per registered query — `pure` (compute only),
@@ -331,5 +340,12 @@ object SparkEntry {
     "range_frame_sum" -> Queries.rangeFrameSumSql,
     "grouping_sets_orders" -> Queries.groupingSetsOrdersSql,
     "stream_static_join" -> Queries.streamStaticJoinSql,
+    "table_checksum" -> Queries.tableChecksumSql,
+    "heavy_words" -> Queries.heavyWordsSql,
+    "ols_exact" -> Queries.olsExactSql,
+    "bigram_pmi" -> Queries.bigramPmiSql,
+    "hierarchy_flatten" -> Queries.hierarchyFlattenSql,
+    "equidepth_hist" -> Queries.equidepthHistSql,
+    "mad_outliers" -> Queries.madOutliersSql,
   )
 }

@@ -53,4 +53,30 @@ object Reconcile {
           sum(when(col("lrow").isNull, 1L).otherwise(0L)).as("n_inserted"))
           ++ colDiffs)): _*)
   }
+
+  /** Anti-entropy table checksum: an order-independent per-bucket
+    * signature that lets two replicas of a 100 TB table be compared with
+    * O(buckets) output and ZERO data movement between them — each side
+    * computes its own signature frame locally; only the tiny frames meet.
+    * Divergent buckets (and only those) are then re-synced or diffed
+    * row-level with [[snapshotDiff]] — the rsync/Merkle pattern at table
+    * granularity.
+    *
+    * Per row: a 60-bit integer digest from the md5 of a caller-supplied
+    * CANONICAL row rendering (`repr` — the caller casts doubles through
+    * decimal and timestamps through epoch micros so the string is
+    * engine-portable). Per bucket: row count, XOR of digests, and an
+    * exact decimal SUM of digests. XOR alone misses duplicated-row-pair
+    * anomalies (x ⊕ x = 0); count+sum+xor together make any single-row
+    * change visible. Both combiners are commutative-associative, so the
+    * aggregation is one HashAggregate with map-side partials and the
+    * result is partitioning-invariant — bit-identical on any cluster.
+    */
+  def tableChecksum(df: DataFrame, bucket: Column, repr: Column): DataFrame =
+    df.select(bucket.as("bucket"),
+        conv(substring(md5(repr), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("xor_sig"),
+        sum(col("h").cast("decimal(28,0)")).as("sum_sig"))
 }

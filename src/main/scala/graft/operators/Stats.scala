@@ -45,4 +45,35 @@ object Stats {
         ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
           (col("n") * (col("n") - 1)).cast("double")).as("covar_samp"))
   }
+
+  /** Per-group simple linear regression (y ~ x) from the same
+    * decimal-exact sufficient statistics as [[corrExact]]: slope,
+    * intercept, and R². Built-in `regr_slope`/`regr_intercept` merge
+    * double moments in partition order (ulp-unstable); here every
+    * aggregate is decimal and only the fixed-order closed forms run in
+    * double — each decimal operand crosses to double exactly ONCE, and
+    * R² is composed from the already-double numerator/denominators (the
+    * decimal n·Σxy−ΣxΣy squared would overflow decimal(38) at corpus
+    * scale). Same scale shape: ONE HashAggregate, fixed-width buffer.
+    * `x` integral-valued, `y` quantized at 2 decimals.
+    */
+  def olsExact(df: DataFrame, group: Column, x: Column,
+      y: Column): DataFrame = {
+    val xd = x.cast("decimal(18,0)")
+    val yd = y.cast("decimal(18,2)")
+    val sNum = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val sDen = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val yDen = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val slope = sNum / sDen
+    df.groupBy(group.as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(xd).as("sx"), sum(yd).as("sy"),
+        sum(xd * yd).as("sxy"),
+        sum(xd * xd).as("sxx"), sum(yd * yd).as("syy"))
+      .select(col("g"), col("n"),
+        slope.as("slope"),
+        ((col("sy").cast("double") - slope * col("sx").cast("double")) /
+          col("n").cast("double")).as("intercept"),
+        (sNum * sNum / (sDen * yDen)).as("r2"))
+  }
 }
