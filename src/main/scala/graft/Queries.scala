@@ -4056,13 +4056,16 @@ object Queries {
     val toks = documents(s, dir).select(col("lang"),
       regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
         .as("w"))
+    // adjacent pairs via slice+arrays_zip (plain codegen'd expressions)
+    // rather than a transform() lambda — higher-order functions are
+    // CodegenFallback, and the interpreted per-element lambda was 4.6×
+    // super-linear at the 100× decade probe
     val pairs = toks.where(size(col("w")) >= 2)
-      .select(col("lang"), explode(expr(
-        "transform(sequence(1, size(w) - 1), " +
-          "i -> named_struct('x', element_at(w, i), " +
-          "'y', element_at(w, i + 1)))"))
-        .as("p"))
-      .select(col("lang"), col("p.x").as("x"), col("p.y").as("y"))
+      .select(col("lang"),
+        slice(col("w"), lit(1), size(col("w")) - 1).as("xs"),
+        slice(col("w"), lit(2), size(col("w")) - 1).as("ys"))
+      .select(col("lang"), explode(arrays_zip(col("xs"), col("ys"))).as("p"))
+      .select(col("lang"), col("p.xs").as("x"), col("p.ys").as("y"))
     val uni = toks.select(col("lang"), explode(col("w")).as("t"))
       .groupBy(col("lang"), col("t")).agg(count(lit(1)).as("c_t"))
     val tot = uni.groupBy(col("lang")).agg(sum(col("c_t")).as("n_tok"))
@@ -4236,4 +4239,110 @@ object Queries {
        JOIN mad d USING (event_type)
        GROUP BY e.event_type, m.med, d.mad
        ORDER BY e.event_type"""
+
+  // ------------------------------------------ E43 chi-square test ---------
+
+  /** Chi-square independence (operators/Stats.chiSquare): event_type ×
+    * day-of-week (integer `day % 7` — engine-neutral, unlike the
+    * Sunday-origin disagreements of dayofweek()). The statistic is a
+    * sorted LEFT-FOLD over the tiny cell-term list, so it is
+    * bit-identical at any parallelism; the oracle folds the same list
+    * via `list(… ORDER BY …)` + `list_reduce`.
+    */
+  def chiSquareQ(s: SparkSession, dir: String): DataFrame =
+    Stats.chiSquare(events(s, dir), col("event_type"),
+      pmod(dayBucket(col("ts")), lit(7L)))
+
+  val chiSquareSql: String =
+    """WITH cells AS (
+         SELECT event_type AS r, (epoch_us(ts) // 86400000000) % 7 AS c,
+                COUNT(*) AS o
+         FROM events GROUP BY 1, 2),
+       rt AS (SELECT r, SUM(o) AS rt FROM cells GROUP BY 1),
+       ct AS (SELECT c, SUM(o) AS ct FROM cells GROUP BY 1),
+       tot AS (SELECT SUM(o) AS n, COUNT(DISTINCT r) AS nr,
+                      COUNT(DISTINCT c) AS nc FROM cells),
+       terms AS (
+         SELECT g.r, g.c,
+           (CAST(COALESCE(cl.o, 0) AS DOUBLE) - g.e)
+             * (CAST(COALESCE(cl.o, 0) AS DOUBLE) - g.e) / g.e AS term
+         FROM (SELECT rt.r, ct.c,
+                 CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+                   / CAST((SELECT n FROM tot) AS DOUBLE) AS e
+               FROM rt CROSS JOIN ct) g
+         LEFT JOIN cells cl ON g.r = cl.r AND g.c = cl.c)
+       SELECT
+         list_reduce(list(term ORDER BY r, c), (a, b) -> a + b) AS chi2,
+         CAST((SELECT (nr - 1) * (nc - 1) FROM tot) AS BIGINT) AS dof,
+         CAST((SELECT n FROM tot) AS BIGINT) AS n_rows,
+         CAST((SELECT nr * nc FROM tot) AS BIGINT) AS n_cells
+       FROM terms"""
+
+  // ------------------------------------------ L27 golden record -----------
+
+  /** Golden-record survivorship (operators/Compaction.goldenRecord):
+    * per-user master record where each column resolves INDEPENDENTLY —
+    * latest event type overall, value of the latest PURCHASE, id of the
+    * latest ERROR — one hash aggregation, conditional orderings packed
+    * into decimal (the latest_by_key discipline). Users with no purchase
+    * keep a NULL there while their other columns still resolve.
+    */
+  def goldenRecord(s: SparkSession, dir: String): DataFrame = {
+    val ord = Compaction.packedOrd(unix_micros(col("ts")), col("event_id"),
+      minorDigits = 10)
+    Compaction.goldenRecord(events(s, dir), col("user_id"), ord, Seq(
+        ("last_type", col("event_type"), lit(true)),
+        ("last_purchase_value", col("value"), col("event_type") === "purchase"),
+        ("last_error_id", col("event_id"), col("event_type") === "error")))
+      .select(col("key").as("user_id"), col("last_type"),
+        col("last_purchase_value"), col("last_error_id"), col("n_rows"))
+      .orderBy(col("user_id"))
+  }
+
+  val goldenRecordSql: String =
+    """WITH o AS (
+         SELECT user_id, event_type, event_id, value,
+           CAST(epoch_us(ts) AS DECIMAL(38,0)) * 10000000000 + event_id
+             AS ord
+         FROM events)
+       SELECT user_id,
+              arg_max(event_type, ord) AS last_type,
+              arg_max(value, CASE WHEN event_type = 'purchase' THEN ord END)
+                AS last_purchase_value,
+              arg_max(event_id, CASE WHEN event_type = 'error' THEN ord END)
+                AS last_error_id,
+              COUNT(*) AS n_rows
+       FROM o GROUP BY user_id ORDER BY user_id"""
+
+  // ------------------------------------------ E6d mergeable HLL rollup ----
+
+  /** Re-aggregatable distinct sketches: daily HLL sketches of the user
+    * set, UNIONED into weekly estimates without touching raw data again —
+    * the store-sketches-rollup-later pattern that makes distinct counts
+    * composable at 100 TB (exact distincts can't reaggregate; sketches
+    * merge associatively). Oracle contract like E6's HLL gate: the
+    * merged estimate must land within 5% of the exact weekly distinct.
+    */
+  def hllRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(dayBucket(col("ts")).as("day"), col("user_id"))
+    val weeklyApprox = ev.groupBy(col("day"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      .groupBy((col("day") / 7).cast("long").as("week"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx"))
+    val weeklyExact = ev
+      .select((col("day") / 7).cast("long").as("week"), col("user_id"))
+      .distinct()
+      .groupBy(col("week")).agg(count(lit(1)).as("exact_users"))
+    weeklyExact.join(weeklyApprox, Seq("week"))
+      .select(col("week"), col("exact_users"),
+        (abs(col("approx") - col("exact_users")).cast("double")
+          <= lit(0.05) * col("exact_users").cast("double")).as("approx_ok"))
+      .orderBy(col("week"))
+  }
+
+  val hllRollupSql: String =
+    """SELECT epoch_us(ts) // 86400000000 // 7 AS week,
+       COUNT(DISTINCT user_id) AS exact_users, true AS approx_ok
+       FROM events GROUP BY 1 ORDER BY 1"""
 }

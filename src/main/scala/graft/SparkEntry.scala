@@ -182,6 +182,10 @@ object SparkEntry {
     "hierarchy_flatten" -> (Queries.hierarchyFlatten _),
     "equidepth_hist" -> (Queries.equidepthHist _),
     "mad_outliers" -> (Queries.madOutliers _),
+    // E43 chi-square, L27 golden record, E6d mergeable HLL rollup
+    "chi_square" -> (Queries.chiSquareQ _),
+    "golden_record" -> (Queries.goldenRecord _),
+    "hll_rollup" -> (Queries.hllRollup _),
   )
 
   /** Bench class per registered query — `pure` (compute only),
@@ -347,5 +351,8 @@ object SparkEntry {
     "hierarchy_flatten" -> Queries.hierarchyFlattenSql,
     "equidepth_hist" -> Queries.equidepthHistSql,
     "mad_outliers" -> Queries.madOutliersSql,
+    "chi_square" -> Queries.chiSquareSql,
+    "golden_record" -> Queries.goldenRecordSql,
+    "hll_rollup" -> Queries.hllRollupSql,
   )
 }

@@ -87,4 +87,25 @@ object Compaction {
     kept.where(col("_m_op") =!= 2)
       .select((col("key").as(key) +: payload.map(col)): _*)
   }
+
+  /** Golden-record survivorship: per key, each output column survives
+    * INDEPENDENTLY under its own rule — `rules` maps an output name to
+    * (value, eligibility): the value of the eligible row with the
+    * highest `ord` wins (master-data "latest non-null / latest matching"
+    * merge). Ineligible rows get a NULL ordering key, which `max_by` /
+    * `arg_max` skip in both engines; a key with no eligible row yields
+    * NULL for that column while its other columns still resolve.
+    *
+    * Same scale shape as [[latestByKey]]: ONE hash aggregation with
+    * map-side partials — per-column window passes (the textbook
+    * formulation) would each sort the full table.
+    */
+  def goldenRecord(df: DataFrame, key: Column, ord: Column,
+      rules: Seq[(String, Column, Column)]): DataFrame = {
+    require(rules.nonEmpty, "goldenRecord needs at least one rule")
+    val aggs = rules.map { case (n, value, eligible) =>
+      max_by(value, when(eligible, ord)).as(n)
+    } :+ count(lit(1)).as("n_rows")
+    df.groupBy(key.as("key")).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -97,7 +97,7 @@ object Sketches {
     items.where(col("item").isin(candidates: _*))
       .groupBy(col("item"))
       .agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(items.agg(count(lit(1)).as("n_total"))))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("n_total"))))
       .where(col("cnt") * lit(k.toLong) > col("n_total"))
       .select(col("item"), col("cnt"),
         (col("cnt").cast("double") / col("n_total").cast("double"))

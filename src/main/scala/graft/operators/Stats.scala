@@ -76,4 +76,49 @@ object Stats {
           col("n").cast("double")).as("intercept"),
         (sNum * sNum / (sDen * yDen)).as("r2"))
   }
+
+  /** Pearson chi-square independence test over the `rowKey` × `colKey`
+    * contingency table: one row (chi2, dof, n_rows, n_cells).
+    *
+    * Exactness discipline: observed and marginal counts are integers;
+    * each cell's expected value e = r·c/n and term (o−e)²/e run a FIXED
+    * chain of double ops on exactly-representable integer inputs. The
+    * final Σ term would be partition-order-dependent as a plain double
+    * `sum`, so the (tiny — |rows|×|cols|) term set is sorted by cell key
+    * and LEFT-FOLDED inside one row (`sort_array` + `aggregate`), making
+    * the statistic bit-identical at any parallelism and replayable via
+    * DuckDB's `list(… ORDER BY …)` + `list_reduce` — the cosine-fold
+    * discipline applied to a statistic. EMPTY cells (absent key pairs)
+    * contribute (0−e)²/e like the textbook definition: the marginal
+    * cross-grid is generated and left-joined, not just observed cells.
+    *
+    * Scale: one count aggregation over the fact; everything after runs
+    * on marginal-sized frames (broadcast). dof = (R−1)(C−1).
+    */
+  def chiSquare(df: DataFrame, rowKey: Column, colKey: Column): DataFrame = {
+    val cells = df.groupBy(rowKey.as("r"), colKey.as("c"))
+      .agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy(col("r")).agg(sum(col("o")).as("rt"))
+    val ct = cells.groupBy(col("c")).agg(sum(col("o")).as("ct"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      count_distinct(col("r")).as("nr"), count_distinct(col("c")).as("nc"))
+    val grid = rt.crossJoin(ct).crossJoin(broadcast(tot))
+      .join(cells, Seq("r", "c"), "left")
+      .select(col("r"), col("c"), col("n"), col("nr"), col("nc"),
+        coalesce(col("o"), lit(0L)).cast("double").as("od"),
+        (col("rt").cast("double") * col("ct").cast("double") /
+          col("n").cast("double")).as("e"))
+      .select(col("r"), col("c"), col("n"), col("nr"), col("nc"),
+        ((col("od") - col("e")) * (col("od") - col("e")) / col("e"))
+          .as("term"))
+    grid.groupBy(col("n"), col("nr"), col("nc"))
+      .agg(sort_array(collect_list(struct(col("r"), col("c"), col("term"))))
+        .as("ts"))
+      .select(
+        expr("aggregate(ts, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)")
+          .as("chi2"),
+        ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+        col("n").as("n_rows"),
+        (col("nr") * col("nc")).as("n_cells"))
+  }
 }

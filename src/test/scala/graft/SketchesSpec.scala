@@ -2,11 +2,13 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{Hierarchy, Reconcile, Sketches, Stats}
+import graft.operators.{Compaction, Hierarchy, Reconcile, Sketches, Stats}
 
-/** Specs for the E37-E42 batch: Misra-Gries heavy hitters (sketch
+/** Specs for the E37-E43/L27 batch: Misra-Gries heavy hitters (sketch
   * guarantees + exact output), anti-entropy table checksums,
-  * decimal-exact OLS, and pointer-doubling hierarchy flattening.
+  * decimal-exact OLS, pointer-doubling hierarchy flattening, the
+  * fold-deterministic chi-square statistic, and golden-record
+  * survivorship.
   */
 class SketchesSpec extends AnyFunSuite with SparkFixture {
   import spark.implicits._
@@ -159,5 +161,59 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException] {
       Hierarchy.flatten(nodes, maxRounds = 4).collect()
     }
+  }
+
+  // ------------------------------------------------------- chiSquare ------
+
+  test("chiSquare matches a hand-computed 2x2 table incl. empty cell") {
+    // observed: (a,0)=30, (a,1)=10, (b,0)=20, (b,1)=0 (empty cell)
+    val rows = Seq.fill(30)(("a", 0)) ++ Seq.fill(10)(("a", 1)) ++
+      Seq.fill(20)(("b", 0))
+    val df = rows.toDF("g", "d")
+    val r = Stats.chiSquare(df, col("g"), col("d")).collect().head
+    // marginals: ra=40 rb=20 c0=50 c1=10 n=60
+    val e = Map(("a", 0) -> 40.0 * 50 / 60, ("a", 1) -> 40.0 * 10 / 60,
+      ("b", 0) -> 20.0 * 50 / 60, ("b", 1) -> 20.0 * 10 / 60)
+    val o = Map(("a", 0) -> 30.0, ("a", 1) -> 10.0, ("b", 0) -> 20.0,
+      ("b", 1) -> 0.0)
+    val expected = e.keys.toSeq.sortBy(k => (k._1, k._2))
+      .foldLeft(0.0) { (acc, k) =>
+        acc + (o(k) - e(k)) * (o(k) - e(k)) / e(k) }
+    assert(r.getAs[Double]("chi2") === expected)
+    assert(r.getAs[Long]("dof") === 1L)
+    assert(r.getAs[Long]("n_rows") === 60L)
+    assert(r.getAs[Long]("n_cells") === 4L)
+  }
+
+  test("chiSquare is bit-identical across partitionings") {
+    val df = (1 to 9000).map(i => (s"g${i % 4}", (i * 13) % 7))
+      .toDF("g", "d")
+    val a = Stats.chiSquare(df.repartition(1), col("g"), col("d"))
+      .collect().head.toSeq
+    val b = Stats.chiSquare(df.repartition(23), col("g"), col("d"))
+      .collect().head.toSeq
+    assert(a === b)
+  }
+
+  // ---------------------------------------------------- goldenRecord ------
+
+  test("goldenRecord resolves each column independently") {
+    // user 1: purchase at t2, error at t1; user 2: no purchase at all
+    val df = Seq(
+      (1L, 10L, "view", 5.0), (1L, 20L, "purchase", 7.5),
+      (1L, 30L, "view", 1.0), (1L, 15L, "error", 0.0),
+      (2L, 40L, "view", 2.0), (2L, 50L, "click", 3.0))
+      .toDF("u", "t", "typ", "v")
+    val got = Compaction.goldenRecord(df, col("u"), col("t"), Seq(
+        ("last_type", col("typ"), lit(true)),
+        ("last_purchase_v", col("v"), col("typ") === "purchase"),
+        ("last_error_t", col("t"), col("typ") === "error")))
+      .orderBy("key").collect()
+    assert(got(0).toSeq === Seq(1L, "view", 7.5, 15L, 4L))
+    // user 2: no purchase / no error -> independent NULLs, last_type set
+    assert(got(1).getLong(0) === 2L)
+    assert(got(1).getString(1) === "click")
+    assert(got(1).isNullAt(2) && got(1).isNullAt(3))
+    assert(got(1).getLong(4) === 2L)
   }
 }
