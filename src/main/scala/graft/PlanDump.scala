@@ -62,7 +62,14 @@ object PlanDump {
       "pagerank_iter" -> "integer pagerank: printed plan is the LAST round only — static frames and prior rounds are localCheckpointed (50 -> 10 exchanges at k=3)",
       "rolling_distinct_users" -> "rolling distinct: distinct (user,day) agg FIRST, then the x7 explode on the reduced frame + broadcast max-day cut; the fact shuffles once",
       "snapshot_diff" -> "snapshot diff: both sides projected to key+struct, ONE full-outer shuffled join, ONE agg of case-counters — no per-column re-scan",
-      "twap_value" -> "twap: lead window and per-user agg share one user_id exchange; decimal-exact weighted sums")
+      "twap_value" -> "twap: lead window and per-user agg share one user_id exchange; decimal-exact weighted sums",
+      "table_checksum" -> "anti-entropy checksum: md5 digest is one narrow codegen map; ONE 64-key HashAggregate with map-side partials — nothing else moves",
+      "heavy_words" -> "heavy hitters: the recount pass — InSet candidate filter BEFORE the aggregation, so the shuffle carries <= k-1 keys; the MG sketch pass is a separate O(k)-memory mapPartitions job",
+      "bigram_pmi" -> "collocations: slice+arrays_zip pair build (codegen'd, NOT a HOF lambda) -> vocab-sized count aggs -> joins only on aggregated frames",
+      "hierarchy_flatten" -> "pointer doubling: printed plan is the final projection — each round is one shuffled self-join on the pointer key, lineage truncated per round",
+      "chi_square" -> "chi-square: cells/marginals branches reuse the one count-agg exchange; the statistic folds inside a single sorted row — no double-sum exchange",
+      "golden_record" -> "golden record: ONE max_by hash agg, per-column conditional packed-decimal orderings — no per-column windows",
+      "hll_rollup" -> "HLL rollup: daily sketch agg -> sketch-union agg on the tiny daily frame; exact side pays the only full distinct")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` on `$sf`. Audit notes per plan;\n")
