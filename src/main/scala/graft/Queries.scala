@@ -4345,4 +4345,119 @@ object Queries {
     """SELECT epoch_us(ts) // 86400000000 // 7 AS week,
        COUNT(DISTINCT user_id) AS exact_users, true AS approx_ok
        FROM events GROUP BY 1 ORDER BY 1"""
+
+  // ------------------------------------------ E9b SQL kernel surface ------
+
+  /** The `graft_*` SQL function surface end-to-end: kernels registered
+    * on the live session (functions/SqlFunctions.scala — same builder
+    * table `GraftExtensions` injects for new sessions) and exercised
+    * from a `spark.sql` text query over temp views — the path a
+    * JDBC/notebook user takes. The oracle replays each kernel's
+    * arithmetic (pre-token count, NFC length, left-fold cosine).
+    */
+  def sqlKernelSurface(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.SqlFunctions.register(s)
+    documents(s, dir).where(col("doc_id") < 21)
+      .createOrReplaceTempView("g_docs")
+    embeddings(s, dir).where(col("vec_id") < 22)
+      .createOrReplaceTempView("g_vecs")
+    s.sql("""
+      SELECT d.doc_id,
+             CAST(graft_bpe_count(d.text) AS BIGINT) AS n_pretokens,
+             CAST(length(graft_nfc_clean(d.text)) AS BIGINT)
+               AS n_clean_chars,
+             graft_cosine(a.embedding, b.embedding) AS cos_next
+      FROM g_docs d
+      JOIN g_vecs a ON a.vec_id = d.doc_id
+      JOIN g_vecs b ON b.vec_id = d.doc_id + 1
+      ORDER BY d.doc_id""")
+  }
+
+  // ------------------------------------------ L7b perceptual image dedup --
+
+  /** Perceptual near-dup over IMAGES (multimodal/Multimodal.aHash64):
+    * deterministic 32×32 test images — an 8×8 block pattern from a
+    * balanced splitmix64 of `doc_id % 100`, with ids ≥ 100 carrying
+    * pixel-level noise (three pixels grayed) on their base's pattern.
+    * The integer aHash collapses each noisy re-render onto its base's
+    * signature (block means move ≪ the 0/255 contrast), so the
+    * hash-equality self-join must emit EXACTLY the (id, id+100) pairs:
+    * recall (noise hashed identically) and precision (no cross-base
+    * collisions) both gate the oracle. Pixels never cross a shuffle —
+    * only 8-byte signatures do (the dedup discipline on images).
+    */
+  def multimodalPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = documents(s, dir).where(col("doc_id") < 200)
+      .select(col("doc_id")).as[Long]
+    val withPng = ids.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      def mix(z0: Long): Long = {
+        var z = z0 + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      it.map { id =>
+        val base = id % 100
+        // balanced 64-bit pattern (popcount exactly 32) so the global
+        // mean sits mid-contrast and noise can never flip a block bit
+        var bits = mix(base)
+        while (java.lang.Long.bitCount(bits) > 32) bits &= bits - 1L
+        while (java.lang.Long.bitCount(bits) < 32) bits |= bits + 1L
+        val img = new java.awt.image.BufferedImage(32, 32,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var by = 0
+        while (by < 8) {
+          var bx = 0
+          while (bx < 8) {
+            val v = if ((bits & (1L << (by * 8 + bx))) != 0L) 0xffffff else 0
+            var y = by * 4
+            while (y < by * 4 + 4) {
+              var x = bx * 4
+              while (x < bx * 4 + 4) { img.setRGB(x, y, v); x += 1 }
+              y += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        if (id >= 100) {
+          // pixel noise on the re-render: three pixels to mid-gray
+          var k = 0
+          while (k < 3) {
+            img.setRGB(((base * 3 + k * 11) % 32).toInt,
+              ((base * 7 + k * 5) % 32).toInt, 0x808080)
+            k += 1
+          }
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      }
+    }.toDF("doc_id", "payload")
+    val hashes = Multimodal.aHash64(withPng).where(col("ok"))
+      .select(col("id"), col("ahash"))
+    hashes.as("l").join(hashes.as("r"),
+        col("l.ahash") === col("r.ahash") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val multimodalPhashSql: String =
+    """SELECT doc_id AS a, doc_id + 100 AS b FROM documents
+       WHERE doc_id < 100 ORDER BY a, b"""
+
+  val sqlKernelSurfaceSql: String =
+    s"""SELECT d.doc_id,
+         CAST(len(regexp_extract_all(d.text,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_pretokens,
+         CAST(length(trim(regexp_replace(nfc_normalize(d.text),
+           '[\\x00-\\x20\\x7F]+', ' ', 'g'))) AS BIGINT) AS n_clean_chars,
+         ${cosSql("a.embedding", "b.embedding")} AS cos_next
+       FROM documents d
+       JOIN embeddings a ON a.vec_id = d.doc_id
+       JOIN embeddings b ON b.vec_id = d.doc_id + 1
+       WHERE d.doc_id < 21 AND a.vec_id < 22 AND b.vec_id < 22
+       ORDER BY d.doc_id"""
 }

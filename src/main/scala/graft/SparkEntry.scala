@@ -186,6 +186,10 @@ object SparkEntry {
     "chi_square" -> (Queries.chiSquareQ _),
     "golden_record" -> (Queries.goldenRecord _),
     "hll_rollup" -> (Queries.hllRollup _),
+    // E9b graft_* SQL function surface
+    "sql_kernel_surface" -> (Queries.sqlKernelSurface _),
+    // L7b perceptual image dedup
+    "multimodal_phash" -> (Queries.multimodalPhash _),
   )
 
   /** Bench class per registered query — `pure` (compute only),
@@ -354,5 +358,7 @@ object SparkEntry {
     "chi_square" -> Queries.chiSquareSql,
     "golden_record" -> Queries.goldenRecordSql,
     "hll_rollup" -> Queries.hllRollupSql,
+    "sql_kernel_surface" -> Queries.sqlKernelSurfaceSql,
+    "multimodal_phash" -> Queries.multimodalPhashSql,
   )
 }

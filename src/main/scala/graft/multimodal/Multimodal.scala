@@ -275,4 +275,83 @@ object Multimodal {
       rows.map(r => decodeOne(r.getLong(idIdx), r.getAs[Array[Byte]](pIdx)))
     }
   }
+
+  /** Average-hash row: 64-bit perceptual signature, or `ok = false` for
+    * undecodable bytes. */
+  final case class AHashRow(id: Long, ahash: Long, ok: Boolean)
+
+  /** Perceptual average-hash (aHash) of an image column: decode → 8×8
+    * block-mean downsample of the integer luminance → one bit per block
+    * (mean ≥ global mean), packed row-major into a long. Near-duplicate
+    * images (re-encodes, small noise, watermark dust) land on the SAME
+    * 64-bit value, so near-dup detection is the dedup discipline applied
+    * to pixels: a narrow decode map emitting 8 bytes per image, a hash
+    * `groupBy`/self-join on the signature — the image bytes never cross
+    * a shuffle. All-integer arithmetic (sums and one integer-division
+    * threshold) — deterministic on any JVM, no float resampling.
+    *
+    * Block geometry: the image is cut into an 8×8 grid of
+    * ⌊w/8⌋×⌊h/8⌋-pixel blocks (images smaller than 8×8 are rejected as
+    * `ok = false` — there is no 64-bit structure to hash).
+    */
+  def aHash64(df: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload")
+      : org.apache.spark.sql.Dataset[AHashRow] = {
+    import df.sparkSession.implicits._
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](pIdx)))
+          if (img == null || img.getWidth < 8 || img.getHeight < 8)
+            AHashRow(id, -1L, ok = false)
+          else {
+            val bw = img.getWidth / 8
+            val bh = img.getHeight / 8
+            val means = new Array[Long](64)
+            var total = 0L
+            var by = 0
+            while (by < 8) {
+              var bx = 0
+              while (bx < 8) {
+                var acc = 0L
+                var y = by * bh
+                while (y < (by + 1) * bh) {
+                  var x = bx * bw
+                  while (x < (bx + 1) * bw) {
+                    val rgb = img.getRGB(x, y)
+                    // integer luma: (r + g + b) — monotone in brightness,
+                    // no float weights to drift
+                    acc += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                      (rgb & 0xff)
+                    x += 1
+                  }
+                  y += 1
+                }
+                means(by * 8 + bx) = acc
+                total += acc
+                bx += 1
+              }
+              by += 1
+            }
+            var hash = 0L
+            var i = 0
+            while (i < 64) {
+              // bit = block sum >= mean of block sums (integer compare:
+              // 64 * blockSum >= total)
+              if (means(i) * 64L >= total) hash |= (1L << i)
+              i += 1
+            }
+            AHashRow(id, hash, ok = true)
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) => AHashRow(id, -1L, ok = false)
+        }
+      }
+    }
+  }
 }

@@ -203,8 +203,11 @@ object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   * `spark.sql.extensions=graft.plans.GraftExtensions`.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKStrategy)
+    // the graft_* SQL kernel surface (see functions/SqlFunctions.scala)
+    graft.functions.SqlFunctions.injectables.foreach(e.injectFunction)
+  }
 }
 
 object TopKPerKey {

@@ -19,4 +19,12 @@ object ColumnBridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Session-scoped temp-function registration (the live-session twin of
+    * `SparkSessionExtensions.injectFunction`). */
+  def registerTempFunction(spark: org.apache.spark.sql.SparkSession,
+      name: String, builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

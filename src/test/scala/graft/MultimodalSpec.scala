@@ -132,4 +132,39 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(again.pcm_hash === out(1L).pcm_hash)
     assert(out(2L).pcm_hash !== out(1L).pcm_hash)
   }
+
+  test("aHash64: noise-invariant, pattern-sensitive, rejects tiny images") {
+    def png(pattern: Long, noise: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (b <- 0 until 64; y <- b / 8 * 4 until b / 8 * 4 + 4;
+           x <- b % 8 * 4 until b % 8 * 4 + 4)
+        img.setRGB(x, y, if ((pattern & (1L << b)) != 0L) 0xffffff else 0)
+      if (noise) { img.setRGB(5, 9, 0x808080); img.setRGB(20, 3, 0x777777) }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // balanced patterns so the threshold sits mid-contrast
+    val p1 = 0x5555555555555555L
+    val p2 = 0x0F0F0F0F0F0F0F0FL
+    val tiny = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(tiny, "png", bos)
+    val df = Seq((1L, png(p1, noise = false)), (2L, png(p1, noise = true)),
+        (3L, png(p2, noise = false)), (4L, bos.toByteArray),
+        (5L, "junk".getBytes("UTF-8")))
+      .toDF("doc_id", "payload").repartition(2)
+    val out = Multimodal.aHash64(df).collect().map(r => r.id -> r).toMap
+    assert(out(1L).ok && out(2L).ok && out(3L).ok)
+    // a noisy re-render hashes IDENTICALLY to its source
+    assert(out(1L).ahash === out(2L).ahash)
+    // a different pattern hashes differently
+    assert(out(1L).ahash !== out(3L).ahash)
+    // the hash IS the pattern for block-aligned images
+    assert(out(1L).ahash === p1 && out(3L).ahash === p2)
+    // sub-8x8 images and junk bytes record ok=false, never throw
+    assert(!out(4L).ok && !out(5L).ok)
+  }
 }
