@@ -4373,6 +4373,162 @@ object Queries {
       ORDER BY d.doc_id""")
   }
 
+  // ------------------------------------------ E40b hierarchy rollup -------
+
+  /** Subtree aggregation over the materialized path (the reason E40
+    * materializes it): each node's descendant count and summed account
+    * balance — BOM/org-chart rollup. One narrow explode of the
+    * depth-length ancestor array per node, one hash agg; no recursion at
+    * query time, the pointer-doubling cost is paid once at flatten.
+    */
+  def hierarchyRollup(s: SparkSession, dir: String): DataFrame = {
+    val nodes = supplier(s, dir).select(
+      col("s_suppkey").cast("long").as("id"),
+      when(col("s_suppkey") >= 2, expr("s_suppkey DIV 2")).as("parent"))
+    val anc = Hierarchy.flatten(nodes)
+      .select(col("id"), explode(split(col("path"), "/")).as("anc"))
+      .select(col("id"), col("anc").cast("long").as("anc"))
+    anc.join(supplier(s, dir)
+        .select(col("s_suppkey").cast("long").as("id"),
+          dec2(col("s_acctbal")).as("bal")), Seq("id"))
+      .groupBy(col("anc").as("s_suppkey"))
+      .agg(count(lit(1)).as("n_subtree"),
+        sum(col("bal")).cast("double").as("subtree_bal"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val hierarchyRollupSql: String =
+    """WITH RECURSIVE chain AS (
+         SELECT s_suppkey AS id, s_suppkey AS anc FROM supplier
+         UNION ALL
+         SELECT id, anc // 2 FROM chain WHERE anc >= 2)
+       SELECT c.anc AS s_suppkey, COUNT(*) AS n_subtree,
+              CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                AS subtree_bal
+       FROM chain c JOIN supplier s ON s.s_suppkey = c.id
+       GROUP BY 1 ORDER BY 1"""
+
+  // ------------------------------------------ E2c linear-interp gapfill ---
+
+  /** Gap RECONSTRUCTION (E2b zero-fills; this interpolates): the daily
+    * per-type series with a simulated two-day outage every five days
+    * (day % 5 ∈ {1,2} dropped — structural gaps at ANY data volume),
+    * rebuilt by linear interpolation between the nearest surviving
+    * days. prev/next carried by IGNORE-NULLS windows sharing one
+    * partition sort; the interpolation is a fixed chain of double ops on
+    * exact inputs, replayed token-for-token (DuckDB windows support the
+    * same IGNORE NULLS frames). Gaps are interior by construction (spine
+    * bounds come from surviving days), so prev/next always exist.
+    */
+  def gapfillInterp(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"), dayBucket(col("ts")).as("day"))
+      .agg(sum(dec2(col("value"))).cast("double").as("v"))
+      .where(pmod(col("day"), lit(5L)) =!= 1L &&
+        pmod(col("day"), lit(5L)) =!= 2L)
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("day"))
+    val j = spine.join(daily, Seq("event_type", "day"), "left")
+    val wp = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    j.select(col("event_type"), col("day"), col("v"),
+        last(col("v"), ignoreNulls = true).over(wp).as("pv"),
+        last(when(col("v").isNotNull, col("day")), ignoreNulls = true)
+          .over(wp).as("pd"),
+        first(col("v"), ignoreNulls = true).over(wn).as("nv"),
+        first(when(col("v").isNotNull, col("day")), ignoreNulls = true)
+          .over(wn).as("nd"))
+      .select(col("event_type"), col("day"),
+        when(col("v").isNotNull, col("v"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((col("day") - col("pd")).cast("double") /
+              (col("nd") - col("pd")).cast("double"))).as("filled"),
+        col("v").isNull.as("interpolated"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val gapfillInterpSql: String =
+    """WITH daily AS (
+         SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+         FROM events GROUP BY 1, 2),
+       kept AS (SELECT * FROM daily WHERE day % 5 NOT IN (1, 2)),
+       bounds AS (
+         SELECT event_type, MIN(day) AS lo, MAX(day) AS hi
+         FROM kept GROUP BY 1),
+       spine AS (
+         SELECT event_type, UNNEST(range(lo, hi + 1)) AS day FROM bounds),
+       j AS (
+         SELECT s.event_type, s.day, k.v
+         FROM spine s LEFT JOIN kept k USING (event_type, day)),
+       w AS (
+         SELECT event_type, day, v,
+           last_value(v IGNORE NULLS) OVER wp AS pv,
+           last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+             OVER wp AS pd,
+           first_value(v IGNORE NULLS) OVER wn AS nv,
+           first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+             OVER wn AS nd
+         FROM j
+         WINDOW wp AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                wn AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       SELECT event_type, day,
+              CASE WHEN v IS NOT NULL THEN v
+                   ELSE pv + (nv - pv)
+                        * (CAST(day - pd AS DOUBLE)
+                           / CAST(nd - pd AS DOUBLE)) END AS filled,
+              v IS NULL AS interpolated
+       FROM w ORDER BY event_type, day"""
+
+  // ------------------------------------------ E38b streaming heavy hitters
+
+  /** Incremental heavy hitters over a LIVE token stream
+    * (streaming/StreamingIngest.heavyHitterSink): two availableNow
+    * drains land per-batch additive partial counts; the final
+    * sum-and-filter over the partials must equal the batch truth —
+    * E38's oracle verbatim. Continuous maintenance of a global
+    * aggregate with replay-idempotent batch-keyed commits, the third
+    * incremental-state shape next to E8c (anti-join state) and E35
+    * (COW snapshots).
+    */
+  def streamHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDir("graft_shh_")
+    val landing = s"$tmp/landing"; val countsDir = s"$tmp/counts"
+    val ckpt = s"$tmp/ckpt"
+    val toks = documents(s, dir).select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z0-9]+"), lit(0))).as("t"))
+    toks.where(pmod(col("doc_id"), lit(2)) === 0).select(col("t"))
+      .write.mode("overwrite").parquet(landing)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("t STRING")
+    def drain(): Unit =
+      graft.streaming.StreamingIngest.heavyHitterSink(
+        s.readStream.schema(schema).parquet(landing), "t", countsDir,
+        checkpointDir = Some(ckpt), availableNow = true)
+        .awaitTermination()
+    drain()
+    toks.where(pmod(col("doc_id"), lit(2)) === 1).select(col("t"))
+      .write.mode("append").parquet(landing)
+    drain()
+    val counts = s.read.parquet(countsDir)
+      .groupBy(col("item")).agg(sum(col("cnt")).as("cnt"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("cnt")).as("n_total"))))
+      .where(col("cnt") * lit(200L) > col("n_total"))
+      .select(col("item"), col("cnt"),
+        (col("cnt").cast("double") / col("n_total").cast("double"))
+          .as("share"))
+      .orderBy(col("cnt").desc, col("item"))
+  }
+
+  val streamHeavyHittersSql: String = heavyWordsSql
+
   // ------------------------------------------ L7b perceptual image dedup --
 
   /** Perceptual near-dup over IMAGES (multimodal/Multimodal.aHash64):

@@ -190,6 +190,11 @@ object SparkEntry {
     "sql_kernel_surface" -> (Queries.sqlKernelSurface _),
     // L7b perceptual image dedup
     "multimodal_phash" -> (Queries.multimodalPhash _),
+    // E40b hierarchy rollup, E2c interpolated gapfill
+    "hierarchy_rollup" -> (Queries.hierarchyRollup _),
+    "gapfill_interp" -> (Queries.gapfillInterp _),
+    // E38b streaming incremental heavy hitters
+    "stream_heavy_hitters" -> (Queries.streamHeavyHitters _),
   )
 
   /** Bench class per registered query — `pure` (compute only),
@@ -208,7 +213,7 @@ object SparkEntry {
     val streamHarness = Set(
       "streaming_hourly_counts", "streaming_sessionize", "streaming_late_drop",
       "dedup_stream_exact", "dedup_incremental_stream", "stream_stream_join",
-      "merge_upsert_stream", "stream_static_join")
+      "merge_upsert_stream", "stream_static_join", "stream_heavy_hitters")
     queries.keys.map { n =>
       n -> (if (writeDemo(n)) "write_demo"
             else if (streamHarness(n)) "stream_harness"
@@ -360,5 +365,8 @@ object SparkEntry {
     "hll_rollup" -> Queries.hllRollupSql,
     "sql_kernel_surface" -> Queries.sqlKernelSurfaceSql,
     "multimodal_phash" -> Queries.multimodalPhashSql,
+    "hierarchy_rollup" -> Queries.hierarchyRollupSql,
+    "gapfill_interp" -> Queries.gapfillInterpSql,
+    "stream_heavy_hitters" -> Queries.streamHeavyHittersSql,
   )
 }

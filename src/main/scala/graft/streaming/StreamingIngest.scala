@@ -100,6 +100,36 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming incremental heavy hitters — continuous maintenance of a
+    * global frequency aggregate (the streaming twin of
+    * `Sketches.heavyHitters`' recount side): each microbatch collapses
+    * to per-item partial counts (map-side-sized, vocabulary keys) and
+    * commits them under `countsDir/batch_id=N`; because counts are
+    * ADDITIVE, the current heavy-hitter set at any moment is one
+    * sum-and-filter over the partials — no raw row is ever re-read.
+    *
+    * Exactly-once on replay: the partial-count sink is keyed by batch id
+    * and overwrite-idempotent (the incrementalDedupSink discipline). At
+    * 100 TB the partials table gets a periodic compaction batch (sum
+    * partials into one consolidated `batch_id=-1` generation); the math
+    * is unchanged because addition is associative.
+    */
+  def heavyHitterSink(items: DataFrame, itemCol: String,
+      countsDir: String, checkpointDir: Option[String] = None,
+      availableNow: Boolean = false): StreamingQuery = {
+    val writer = items.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.select(col(itemCol).cast("string").as("item"))
+          .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+          .write.mode("overwrite").parquet(s"$countsDir/batch_id=$batchId")
+        ()
+      }
+    val withCkpt =
+      checkpointDir.fold(writer)(c => writer.option("checkpointLocation", c))
+    (if (availableNow) withCkpt.trigger(Trigger.AvailableNow()) else withCkpt)
+      .start()
+  }
+
   /** Continuous CDC apply (streaming twin of
     * [[graft.operators.Compaction.mergeChangelog]]): each microbatch of
     * changelog rows merges onto the latest snapshot version and writes a

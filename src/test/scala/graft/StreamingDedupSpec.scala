@@ -53,4 +53,40 @@ class StreamingDedupSpec extends AnyFunSuite with SparkFixture {
       assert(spark.read.parquet(fpDir).distinct().count() === 4)
     } finally q.stop()
   }
+
+  test("heavyHitterSink: additive partials accumulate and replay clean") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_shh_spec_").toString
+    val landing = s"$tmp/landing"; val counts = s"$tmp/counts"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("t STRING")
+    def drain(ckpt: String): Unit =
+      StreamingIngest.heavyHitterSink(
+        spark.readStream.schema(schema).parquet(landing), "t", counts,
+        checkpointDir = Some(ckpt), availableNow = true).awaitTermination()
+    Seq("a", "a", "b").toDF("t").write.mode("overwrite").parquet(landing)
+    drain(s"$tmp/ckpt1")
+    Seq("a", "c").toDF("t").write.mode("append").parquet(landing)
+    drain(s"$tmp/ckpt1")
+    def totals() = spark.read.parquet(counts)
+      .groupBy("item").agg(sum("cnt").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(totals() === Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+    // batch-id-keyed overwrite: a re-run of a batch id REPLACES its
+    // directory instead of appending rows next to the old generation.
+    // Simulate by re-draining the same landing under a fresh checkpoint
+    // (everything reprocesses as batch 0): the batch_id=0 slice must now
+    // hold exactly the re-run's counts — no duplicate files surviving.
+    val before = spark.read.parquet(counts)
+      .where(col("batch_id") === 0L)
+      .groupBy("item").agg(sum("cnt").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    drain(s"$tmp/ckpt2") // replays ALL landed data as a new batch 0
+    val after = spark.read.parquet(counts)
+      .where(col("batch_id") === 0L)
+      .groupBy("item").agg(sum("cnt").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after === Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+    assert(before === Map("a" -> 2L, "b" -> 1L))
+  }
 }
