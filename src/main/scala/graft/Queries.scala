@@ -4486,6 +4486,64 @@ object Queries {
               v IS NULL AS interpolated
        FROM w ORDER BY event_type, day"""
 
+  // ------------------------------------------ L28 leakage-free split ------
+
+  /** Contamination-aware train/eval split: the eval set is a
+    * deterministic content-hash cut (first md5 nibble = '0' — ~6%,
+    * replayable on any engine), and every remaining SAME-LANGUAGE
+    * near-dup of an eval document (cross-corpus MinHash candidates,
+    * exact-Jaccard verified at t ≥ 0.5 — the L4 lang-blocking
+    * discipline) is QUARANTINED out of train — the split every
+    * benchmark-honest training pipeline needs, composed from the L20
+    * cross-pairs machinery (eval side broadcasts; no corpus self-join;
+    * the lang filter runs on the contamination-sized pair list).
+    * Output: one row per document, split ∈ {eval, quarantined, train}.
+    */
+  def leakageFreeSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val isEval = substring(md5(col("text")), 1, 1) === "0"
+    val langOf = docs.select(col("doc_id"), col("lang"))
+    val tainted = Dedup.minhashCrossPairs(
+        corpus = docs.where(!isEval), evalSet = docs.where(isEval),
+        id = col("doc_id"), text = col("text"), threshold = 0.5)
+      .join(broadcast(langOf.select(col("doc_id").as("id_a"),
+        col("lang").as("lang_a"))), Seq("id_a"))
+      .join(broadcast(langOf.select(col("doc_id").as("id_b"),
+        col("lang").as("lang_b"))), Seq("id_b"))
+      .where(col("lang_a") === col("lang_b"))
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("q", lit(true))
+    docs.select(col("doc_id"), isEval.as("is_eval"))
+      .join(tainted, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_eval"), "eval")
+          .when(col("q").isNotNull, "quarantined")
+          .otherwise("train").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val leakageFreeSplitSql: String =
+    s"""WITH ev AS (SELECT doc_id FROM documents
+              WHERE substr(md5(text), 1, 1) = '0'),
+       s AS (SELECT doc_id, lang, $shingleSql AS sh
+         FROM ($shingleSrcSql)),
+       tainted AS (
+         SELECT DISTINCT b.doc_id
+         FROM s a JOIN s b
+           ON a.lang = b.lang
+          AND a.doc_id IN (SELECT doc_id FROM ev)
+          AND b.doc_id NOT IN (SELECT doc_id FROM ev)
+          -- integer size bound implied by jac >= 0.5: prunes before any
+          -- list intersection, cannot change the result set
+          AND 3 * least(len(a.sh), len(b.sh)) >= len(a.sh) + len(b.sh)
+         WHERE $jaccardSql >= 0.5)
+       SELECT d.doc_id,
+              CASE WHEN d.doc_id IN (SELECT doc_id FROM ev) THEN 'eval'
+                   WHEN d.doc_id IN (SELECT doc_id FROM tainted)
+                     THEN 'quarantined'
+                   ELSE 'train' END AS split
+       FROM documents d ORDER BY doc_id"""
+
   // ------------------------------------------ E38b streaming heavy hitters
 
   /** Incremental heavy hitters over a LIVE token stream

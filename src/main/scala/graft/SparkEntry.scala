@@ -195,6 +195,8 @@ object SparkEntry {
     "gapfill_interp" -> (Queries.gapfillInterp _),
     // E38b streaming incremental heavy hitters
     "stream_heavy_hitters" -> (Queries.streamHeavyHitters _),
+    // L28 leakage-free train/eval split
+    "leakage_free_split" -> (Queries.leakageFreeSplit _),
   )
 
   /** Bench class per registered query — `pure` (compute only),
@@ -368,5 +370,6 @@ object SparkEntry {
     "hierarchy_rollup" -> Queries.hierarchyRollupSql,
     "gapfill_interp" -> Queries.gapfillInterpSql,
     "stream_heavy_hitters" -> Queries.streamHeavyHittersSql,
+    "leakage_free_split" -> Queries.leakageFreeSplitSql,
   )
 }
