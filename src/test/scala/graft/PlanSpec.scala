@@ -88,6 +88,58 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("Window"), plan.take(2000))
   }
 
+  test("table_checksum is one narrow map + one HashAggregate — no joins") {
+    val plan = physical(Queries.tableChecksumQ(spark, sf))
+    assert(plan.contains("HashAggregate"))
+    assert(!plan.contains("Join"), plan.take(2000))
+    assert(!plan.contains("SortAggregate"), plan.take(2000))
+  }
+
+  test("heavy_words recount filters candidates BEFORE the aggregation") {
+    val plan = physical(Queries.heavyWords(spark, sf))
+    // the InSet/In candidate filter must sit below the count agg: no
+    // aggregation over the full vocabulary ever plans
+    val aggIdx = plan.indexOf("HashAggregate")
+    val filterIdx = math.max(plan.indexOf(" IN ("), plan.indexOf("INSET"))
+    assert(aggIdx >= 0 && filterIdx >= 0, plan.take(2000))
+    // executed-plan strings print top-down: the filter that appears
+    // AFTER the aggregate in the text is below it in the tree
+    assert(filterIdx > aggIdx, plan.take(3000))
+  }
+
+  test("golden_record is one aggregation pass — no window exec") {
+    // the string payload (last_type) rides the max_by buffer, so the agg
+    // demotes to SortAggregate — the documented E23 variable-width trade;
+    // the guard is that NO per-column WindowExec passes plan, and the
+    // whole record resolves in a single aggregation
+    val plan = physical(Queries.goldenRecord(spark, sf))
+    assert(plan.contains("Aggregate"), plan.take(2000))
+    assert(!plan.contains("WindowExec"), plan.take(2000))
+    assert(!plan.contains("WindowGroupLimit"), plan.take(2000))
+    assert("SortAggregate|HashAggregate".r.findAllIn(plan).length <= 4,
+      plan.take(3000)) // partial+final of ONE agg (AQE may print both)
+  }
+
+  test("chi_square reuses the cells exchange across marginal branches") {
+    // static-plan proof like the cohort guard: AQE's runtime stage reuse
+    // hides ReusedExchange from the pre-execution string
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = physical(Queries.chiSquareQ(spark, sf))
+      assert(plan.contains("ReusedExchange"), plan.take(3000))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
+
+  test("equidepth/mad cutoffs broadcast back — fact never shuffles for the join") {
+    Seq(Queries.equidepthHist(spark, sf),
+        Queries.madOutliers(spark, sf)).foreach { df =>
+      val plan = physical(df)
+      assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+      assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    }
+  }
+
   test("decontaminate_fuzzy never self-joins the corpus band table") {
     // assert on the un-checkpointed inner plan (the public entry hides the
     // joins behind a localCheckpoint): both joins must be broadcast — the
