@@ -69,7 +69,10 @@ object PlanDump {
       "hierarchy_flatten" -> "pointer doubling: printed plan is the final projection — each round is one shuffled self-join on the pointer key, lineage truncated per round",
       "chi_square" -> "chi-square: cells/marginals branches reuse the one count-agg exchange; the statistic folds inside a single sorted row — no double-sum exchange",
       "golden_record" -> "golden record: ONE max_by hash agg, per-column conditional packed-decimal orderings — no per-column windows",
-      "hll_rollup" -> "HLL rollup: daily sketch agg -> sketch-union agg on the tiny daily frame; exact side pays the only full distinct")
+      "hll_rollup" -> "HLL rollup: daily sketch agg -> sketch-union agg on the tiny daily frame; exact side pays the only full distinct",
+      "gapfill_interp" -> "interp gapfill: one fact agg; spine explode + IGNORE-NULLS prev/next windows share a single (type, day) sort on the |types x days| frame",
+      "hierarchy_rollup" -> "hierarchy rollup: ancestor explode of the materialized path (narrow) -> one hash agg; no recursion, no per-level joins at query time",
+      "leakage_free_split" -> "leakage-free split: eval bands broadcast against the corpus band scan (L20 kernel), lang filter on the contamination-sized pair list; corpus never self-joins")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` on `$sf`. Audit notes per plan;\n")

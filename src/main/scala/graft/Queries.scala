@@ -4544,6 +4544,66 @@ object Queries {
                    ELSE 'train' END AS split
        FROM documents d ORDER BY doc_id"""
 
+  // ------------------------------------------ L29 corpus drift ------------
+
+  /** Distribution drift between two corpus generations (even vs odd
+    * doc_id — stand-ins for "last ingest" vs "this ingest"): per-token
+    * chi-square-distance contributions between the two relative
+    * frequencies, top-20 drifted tokens. The monitoring pass a
+    * continuously-ingested training corpus runs before accepting a
+    * batch. Exactness: counts are integers; each score is a fixed
+    * per-row double chain ((pa−pb)²/(pa+pb) on single-division
+    * relative frequencies), so rows replay bit-exact — no global fold
+    * needed (ranking is per-row; ties break on the token).
+    * Rare-token noise is cut by a combined-count ≥ 20 floor. Scale:
+    * two token-count aggs (vocabulary-sized outputs), one vocab-sized
+    * join; the corpus is scanned once per side, shuffled never.
+    */
+  def corpusDrift(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir).select(pmod(col("doc_id"), lit(2)).as("gen"),
+      explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z0-9]+"), lit(0))).as("t"))
+    val counts = toks.groupBy(col("gen"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy(col("gen")).agg(sum(col("c")).as("n"))
+    val a = counts.where(col("gen") === 0)
+      .join(broadcast(tot.where(col("gen") === 0)), "gen")
+      .select(col("t"), col("c").as("ca"), col("n").as("na"))
+    val b = counts.where(col("gen") === 1)
+      .join(broadcast(tot.where(col("gen") === 1)), "gen")
+      .select(col("t"), col("c").as("cb"), col("n").as("nb"))
+    val pa = col("ca").cast("double") / col("na").cast("double")
+    val pb = col("cb").cast("double") / col("nb").cast("double")
+    a.join(b, Seq("t"))
+      .where(col("ca") + col("cb") >= 20L)
+      .select(col("t"), col("ca"), col("cb"),
+        ((pa - pb) * (pa - pb) / (pa + pb)).as("drift"))
+      .orderBy(col("drift").desc, col("t"))
+      .limit(20)
+  }
+
+  val corpusDriftSql: String =
+    """WITH toks AS (
+         SELECT doc_id % 2 AS gen,
+                unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+         FROM documents),
+       counts AS (SELECT gen, t, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+       tot AS (SELECT gen, SUM(c) AS n FROM counts GROUP BY 1),
+       a AS (SELECT t, c AS ca, n AS na FROM counts JOIN tot USING (gen)
+             WHERE gen = 0),
+       b AS (SELECT t, c AS cb, n AS nb FROM counts JOIN tot USING (gen)
+             WHERE gen = 1)
+       SELECT t, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+              (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                 - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+              * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                 - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+              / (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                 + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) AS drift
+       FROM a JOIN b USING (t)
+       WHERE ca + cb >= 20
+       ORDER BY drift DESC, t LIMIT 20"""
+
   // ------------------------------------------ E38b streaming heavy hitters
 
   /** Incremental heavy hitters over a LIVE token stream

@@ -197,6 +197,8 @@ object SparkEntry {
     "stream_heavy_hitters" -> (Queries.streamHeavyHitters _),
     // L28 leakage-free train/eval split
     "leakage_free_split" -> (Queries.leakageFreeSplit _),
+    // L29 corpus drift
+    "corpus_drift" -> (Queries.corpusDrift _),
   )
 
   /** Bench class per registered query — `pure` (compute only),
@@ -371,5 +373,6 @@ object SparkEntry {
     "gapfill_interp" -> Queries.gapfillInterpSql,
     "stream_heavy_hitters" -> Queries.streamHeavyHittersSql,
     "leakage_free_split" -> Queries.leakageFreeSplitSql,
+    "corpus_drift" -> Queries.corpusDriftSql,
   )
 }
