@@ -4544,6 +4544,99 @@ object Queries {
                    ELSE 'train' END AS split
        FROM documents d ORDER BY doc_id"""
 
+  // ------------------------------------------ E44 data-quality audit ------
+
+  /** Referential-integrity / key-quality audit in one result row: FK
+    * orphans (orders→customer, lineitem→orders), duplicate natural keys,
+    * and domain violations — the assertion pass a warehouse runs after
+    * every load. Each check is a key-projected anti-join or count agg
+    * (only keys cross the shuffles); the tiny 1-row aggregates
+    * cross-join into the single audit row.
+    */
+  def dqAudit(s: SparkSession, dir: String): DataFrame = {
+    def one(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as(name))
+    val orphanOrders = one(orders(s, dir).select(col("o_custkey"))
+      .join(customer(s, dir).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti"),
+      "orphan_orders")
+    val orphanLines = one(lineitem(s, dir).select(col("l_orderkey"))
+      .join(orders(s, dir).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti"),
+      "orphan_lineitems")
+    val dupKeys = one(lineitem(s, dir)
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("n")).where(col("n") > 1), "dup_lineitem_keys")
+    val negQty = one(lineitem(s, dir).where(col("l_quantity") <= 0),
+      "nonpositive_quantity")
+    val nullProps = one(events(s, dir).where(col("props").isNull),
+      "null_props")
+    orphanOrders.crossJoin(orphanLines).crossJoin(dupKeys)
+      .crossJoin(negQty).crossJoin(nullProps)
+  }
+
+  val dqAuditSql: String =
+    """SELECT
+         (SELECT COUNT(*) FROM orders o
+          WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer))
+           AS orphan_orders,
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+           AS orphan_lineitems,
+         (SELECT COUNT(*) FROM (
+            SELECT l_orderkey, l_linenumber FROM lineitem
+            GROUP BY 1, 2 HAVING COUNT(*) > 1)) AS dup_lineitem_keys,
+         (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+           AS nonpositive_quantity,
+         (SELECT COUNT(*) FROM events WHERE props IS NULL) AS null_props"""
+
+  // ------------------------------------------ E45 last-touch attribution --
+
+  /** Last-touch conversion attribution: each purchase credits the user's
+    * most recent view at-or-before it (the E13 as-of kernel — one user
+    * shuffle, no range explosion), bounded to a 24 h lookback; credited
+    * value rolls up per view hour-of-day. Purchases with no qualifying
+    * view land in the `-1` bucket, so total conversions reconcile.
+    */
+  def attributionLastTouch(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("pt"), col("value"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("vt"))
+    AsOfJoin.asOf(purchases, col("user_id"), col("pt"),
+        views, col("user_id"), col("vt"), Seq("vt" -> col("vt")))
+      .select(col("event_id"), col("value"),
+        when(col("right_vt").isNotNull &&
+            col("pt") - col("right_vt") <= 86400000000L,
+          pmod(expr("right_vt DIV 3600000000"), lit(24L))).otherwise(-1L)
+          .as("view_hour"))
+      .groupBy(col("view_hour"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(dec2(col("value"))).cast("double").as("conv_value"))
+      .orderBy(col("view_hour"))
+  }
+
+  val attributionLastTouchSql: String =
+    """WITH p AS (
+         SELECT event_id, user_id, epoch_us(ts) AS pt, value FROM events
+         WHERE event_type = 'purchase'),
+       v AS (
+         SELECT user_id, epoch_us(ts) AS vt FROM events
+         WHERE event_type = 'view'),
+       att AS (
+         SELECT p.event_id, p.value, MAX(v.vt) AS vt, p.pt
+         FROM p LEFT JOIN v
+           ON v.user_id = p.user_id AND v.vt <= p.pt
+         GROUP BY p.event_id, p.value, p.pt)
+       SELECT CASE WHEN vt IS NOT NULL AND pt - vt <= 86400000000
+                THEN (vt // 3600000000) % 24 ELSE -1 END AS view_hour,
+              COUNT(*) AS n_conversions,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                AS conv_value
+       FROM att GROUP BY 1 ORDER BY 1"""
+
   // ------------------------------------------ L29 corpus drift ------------
 
   /** Distribution drift between two corpus generations (even vs odd

@@ -199,6 +199,9 @@ object SparkEntry {
     "leakage_free_split" -> (Queries.leakageFreeSplit _),
     // L29 corpus drift
     "corpus_drift" -> (Queries.corpusDrift _),
+    // E44 data-quality audit, E45 last-touch attribution
+    "dq_audit" -> (Queries.dqAudit _),
+    "attribution_last_touch" -> (Queries.attributionLastTouch _),
   )
 
   /** Bench class per registered query — `pure` (compute only),
@@ -374,5 +377,7 @@ object SparkEntry {
     "stream_heavy_hitters" -> Queries.streamHeavyHittersSql,
     "leakage_free_split" -> Queries.leakageFreeSplitSql,
     "corpus_drift" -> Queries.corpusDriftSql,
+    "dq_audit" -> Queries.dqAuditSql,
+    "attribution_last_touch" -> Queries.attributionLastTouchSql,
   )
 }

@@ -156,6 +156,29 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
     assert(deepest.getString(3) === (1L to 200L).mkString("/"))
   }
 
+  test("hierarchy flatten matches a naive in-memory walk on random forests") {
+    val rnd = new scala.util.Random(0xC0FFEE)
+    for (trial <- 1 to 3) {
+      val n = 150 + trial * 50
+      // random forest: node i (1-based) gets a parent < i or none
+      val parent: Map[Long, Option[Long]] = (1L to n.toLong).map { i =>
+        i -> (if (i == 1L || rnd.nextInt(10) == 0) None
+              else Some(1L + rnd.nextInt((i - 1).toInt)))
+      }.toMap
+      def walk(i: Long): (Long, Int, String) = parent(i) match {
+        case None => (i, 0, i.toString)
+        case Some(p) =>
+          val (r, d, path) = walk(p); (r, d + 1, s"$path/$i")
+      }
+      val nodes = parent.toSeq.map { case (i, p) => (i, p) }
+        .toDF("id", "parent").repartition(7)
+      val got = Hierarchy.flatten(nodes).orderBy("id").collect()
+        .map(r => (r.getLong(1), r.getInt(2), r.getString(3))).toSeq
+      val want = (1L to n.toLong).map(walk)
+      assert(got === want, s"trial $trial n=$n")
+    }
+  }
+
   test("hierarchy flatten fails loudly on a cycle") {
     val nodes = Seq((1L, Some(2L)), (2L, Some(1L))).toDF("id", "parent")
     intercept[IllegalArgumentException] {
