@@ -202,6 +202,13 @@ object SparkEntry {
     // E44 data-quality audit, E45 last-touch attribution
     "dq_audit" -> (Queries.dqAudit _),
     "attribution_last_touch" -> (Queries.attributionLastTouch _),
+    // E46 sweep-line concurrency, E47 largest-remainder allocation,
+    // E48 transition matrix, E49 basket rules, E53 incremental MV
+    "max_concurrency" -> (Queries.maxConcurrency _),
+    "allocate_rebate" -> (Queries.allocateRebate _),
+    "event_transitions" -> (Queries.eventTransitions _),
+    "basket_rules" -> (Queries.basketBrandRules _),
+    "mv_incremental" -> (Queries.mvIncremental _),
   )
 
   /** Bench class per registered query — `pure` (compute only),
@@ -379,5 +386,10 @@ object SparkEntry {
     "corpus_drift" -> Queries.corpusDriftSql,
     "dq_audit" -> Queries.dqAuditSql,
     "attribution_last_touch" -> Queries.attributionLastTouchSql,
+    "max_concurrency" -> Queries.maxConcurrencySql,
+    "allocate_rebate" -> Queries.allocateRebateSql,
+    "event_transitions" -> Queries.eventTransitionsSql,
+    "basket_rules" -> Queries.basketBrandRulesSql,
+    "mv_incremental" -> Queries.mvIncrementalSql,
   )
 }

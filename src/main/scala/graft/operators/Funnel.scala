@@ -48,4 +48,29 @@ object Funnel {
         .select(lit(i).as("step"), lit(st).as("event_type"), col("n_users"))
     }.reduce(_ unionByName _)
   }
+
+  /** First-order Markov transition matrix of the per-user event sequence:
+    * for each (from_type, to_type) adjacent pair, the transition count and
+    * empirical probability P(to | from).
+    *
+    * Shape: ONE fact shuffle — the `lead` window keys on user, and the
+    * (from, to) count agg collapses map-side to the |types|² grid before
+    * its (tiny) exchange. The per-from normalization window runs on that
+    * grid, not the fact. `ts` ties are broken by `tieBreak` (a unique id)
+    * so the sequence — and thus the matrix — is deterministic.
+    * Probability is one int/int IEEE division on exact counts.
+    */
+  def transitions(events: DataFrame, user: Column, eventType: Column,
+      ts: Column, tieBreak: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(user).orderBy(ts.asc, tieBreak.asc)
+    val grid = events
+      .withColumn("_next", lead(eventType, 1).over(byUser))
+      .where(col("_next").isNotNull)
+      .groupBy(eventType.as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    grid.withColumn("p_next",
+        col("n").cast("double") / sum(col("n")).over(byFrom).cast("double"))
+  }
 }

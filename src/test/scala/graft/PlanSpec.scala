@@ -190,6 +190,35 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"want <=2 sorts (window + output order):\n${plan.take(3000)}")
   }
 
+  test("allocate_rebate: one fact exchange serves all three windows") {
+    // total/base-sum/rank windows all hash on l_orderkey; a second fact
+    // exchange would mean the window chain re-shuffles per stage
+    val plan = physical(Queries.allocateRebate(spark, sf))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx <= 2, // join exchange pair counts once per side
+      s"windows must share the orderkey partitioning:\n${plan.take(3000)}")
+    assert(plan.contains("PushedFilters"), plan.take(2000))
+  }
+
+  test("max_concurrency: the only unpartitioned ordered window is |days|-sized") {
+    // the sweep's running sum must be partitioned by day; one global
+    // Window over the delta frame would funnel the timeline through a
+    // single task at scale. The day-carry window (over the day-total
+    // frame) is the single allowed SinglePartition sort.
+    val plan = physical(Queries.maxConcurrency(spark, sf))
+    val single = "Exchange SinglePartition".r.findAllIn(plan).length
+    assert(single <= 1, s"want <=1 single-partition exchange:\n${plan.take(3000)}")
+    assert(plan.contains("Window"), plan.take(2000))
+  }
+
+  test("basket_rules joins pairs on the basket key — no cartesian product") {
+    val plan = physical(Queries.basketBrandRules(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the two support join-backs and the census ride broadcast
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
   test("tfidf_topterms takes the bounded-heap TopKPerKeyExec path") {
     val df = Queries.tfidfTopterms(spark, sf)
     df.collect()
