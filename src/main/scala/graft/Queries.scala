@@ -5035,4 +5035,602 @@ object Queries {
        COUNT(*) AS n_rows,
        CAST(SUM($sqlRev) AS DOUBLE) AS revenue
        FROM lineitem GROUP BY day_bucket ORDER BY day_bucket"""
+
+  // ------------------------------------ E51 consistent pseudonymization ---
+
+  /** Customer keys replaced by [[Privacy.pseudonym]] surrogates in BOTH
+    * customer and orders, then joined ON THE PSEUDONYM — proving the
+    * one-way mapping preserves referential integrity (per-segment order
+    * counts, value, and distinct-customer counts equal the raw-key join's;
+    * the oracle replays the digest and the join). The pseudonym is a
+    * narrow codegen projection — the join shape is unchanged.
+    */
+  def pseudonymizeJoin(s: SparkSession, dir: String): DataFrame = {
+    val salt = "graft-2026"
+    val custP = customer(s, dir).select(
+      Privacy.pseudonym(col("c_custkey"), salt).as("cust_pid"),
+      col("c_mktsegment"))
+    val ordP = orders(s, dir).select(
+      Privacy.pseudonym(col("o_custkey"), salt).as("cust_pid"),
+      col("o_totalprice"))
+    ordP.join(custP, "cust_pid")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total_value"),
+        count_distinct(col("cust_pid")).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val pseudonymizeJoinSql: String =
+    """WITH c AS (
+         SELECT substr(md5('graft-2026:' || CAST(c_custkey AS VARCHAR)), 1, 16)
+             AS cust_pid, c_mktsegment
+         FROM customer),
+       o AS (
+         SELECT substr(md5('graft-2026:' || CAST(o_custkey AS VARCHAR)), 1, 16)
+             AS cust_pid, o_totalprice
+         FROM orders)
+       SELECT c_mktsegment, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_value,
+         COUNT(DISTINCT o.cust_pid) AS n_customers
+       FROM o JOIN c USING (cust_pid)
+       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  // ---------------------------------------------------- L30 OOV rate ------
+
+  /** Per-document out-of-vocabulary rate against the corpus top-20 token
+    * vocabulary (heavy_words' tokenization) — the rare-token quality
+    * signal LM-data curation filters on. One token agg builds the vocab
+    * (collapses to the saturating token dimension before its shuffle;
+    * deterministic count-desc/token-asc cutoff), which joins back
+    * BROADCAST onto the exploded token stream — the fact shuffles once,
+    * for the per-doc count agg.
+    */
+  def oovRate(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir).select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z0-9]+"), lit(0))).as("t"))
+    val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t").asc).limit(20)
+      .select(col("t").as("v"))
+    toks.join(broadcast(vocab), col("t") === col("v"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("v").isNull, 1)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  val oovRateSql: String =
+    """WITH toks AS (
+         SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+             AS t
+         FROM documents),
+       v AS (
+         SELECT t AS v FROM (
+           SELECT t, COUNT(*) AS c FROM toks GROUP BY t
+           ORDER BY c DESC, t LIMIT 20)),
+       j AS (SELECT doc_id, toks.t, v.v FROM toks LEFT JOIN v ON toks.t = v.v)
+       SELECT doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         CAST(CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+       FROM j GROUP BY doc_id ORDER BY doc_id"""
+
+  // --------------------------------------- E52 small-file compaction ------
+
+  /** The small-file-problem demo ([[graft.sources.Sinks.compactPartitions]]):
+    * the event stream lands day-partitioned with 12 appended files per
+    * leaf (the incremental-ingest tax), then compacts to ONE file per
+    * leaf; the registered result reads the COMPACTED layout back, so the
+    * oracle (raw events verbatim) proves the rewrite is content-exact.
+    * Leaf file counts before/after are spec-asserted.
+    */
+  def compactFiles(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDir("graft_compact_")
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      col("value"),
+      call_function("div", unix_micros(col("ts")), lit(86400000000L))
+        .as("day"))
+    // explicit partition count: a plain repartition(cols) would let AQE
+    // coalesce the tiny shuffle back into few tasks and quietly
+    // de-fragment the fixture (observed: every leaf already at 1 file)
+    ev.repartition(48, col("day"), pmod(col("event_id"), lit(12L)))
+      .write.partitionBy("day").mode("overwrite").parquet(s"$tmp/frag")
+    val frag = s.read.parquet(s"$tmp/frag")
+    graft.sources.Sinks.compactPartitions(frag, "day", s"$tmp/compact")
+    s.read.parquet(s"$tmp/compact")
+      .groupBy(col("day").cast("long").as("day_bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+      .orderBy(col("day_bucket"))
+  }
+
+  val compactFilesSql: String =
+    """SELECT epoch_us(ts) // 86400000000 AS day_bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events GROUP BY day_bucket ORDER BY day_bucket"""
+
+  // ------------------------------------ E7c built-in session windows ------
+
+  /** The DECLARATIVE streaming sessionizer
+    * ([[graft.streaming.StreamingIngest.sessionWindowCounts]]):
+    * `session_window(ts, 30 min)` over the landed event stream, drained
+    * availableNow in complete mode. Touching windows merge, so the split
+    * boundary is gap > 30 min — the same convention as the E4 batch
+    * `sessionize` (the exact boundary is unit-pinned in
+    * StreamingDedupSpec), and the oracle replays it.
+    */
+  def streamingSessionWindow(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDir("graft_sesswin_")
+    val landing = s"$tmp/landing"
+    val ev = events(s, dir).select(col("user_id"), col("ts"))
+    ev.coalesce(1).write.mode("overwrite").parquet(landing)
+    val stream = s.readStream.schema(ev.schema).parquet(landing)
+    val name = s"graft_sesswin_${System.nanoTime()}"
+    graft.streaming.StreamingIngest
+      .sessionWindowCounts(stream, "user_id", "ts", "30 minutes")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    s.table(name).orderBy(col("user_id"), col("start_us"))
+  }
+
+  val streamingSessionWindowSql: String =
+    """WITH marked AS (
+         SELECT user_id, t_us,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         FROM (
+           SELECT user_id, epoch_us(ts) AS t_us,
+             CASE WHEN lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts)) IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY
+                 user_id ORDER BY epoch_us(ts)) > 1800000000
+             THEN 1 ELSE 0 END AS new_sess
+           FROM events))
+       SELECT user_id, MIN(t_us) AS start_us, COUNT(*) AS n_events
+       FROM marked GROUP BY user_id, session_idx
+       ORDER BY user_id, start_us"""
+
+  // --------------------------- E8f dedup within watermark (retry dedup) ---
+
+  /** `dropDuplicatesWithinWatermark` over a landing that contains every
+    * event TWICE (the at-least-once-delivery retry shape): duplicates
+    * arriving within the watermark delay of each other are guaranteed
+    * dropped while state EVICTS as the watermark passes — the key needs
+    * no timestamp component (unlike E8b's dropDuplicates, whose state
+    * would otherwise grow with distinct keys forever). Output must be
+    * exactly the distinct truth (the oracle).
+    */
+  def dedupWithinWatermarkQ(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDir("graft_wmdedup_")
+    val landing = s"$tmp/landing"
+    val ev = events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+    ev.unionAll(ev).coalesce(1).write.mode("overwrite").parquet(landing)
+    val stream = s.readStream.schema(ev.schema).parquet(landing)
+    val name = s"graft_wmdedup_${System.nanoTime()}"
+    graft.streaming.StreamingIngest
+      .dedupWithinWatermark(stream, Seq("event_id"), "ts", "2 hours")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    s.table(name)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val dedupWithinWatermarkSql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS t_us
+       FROM events ORDER BY event_id"""
+
+  // ------------------------------------------ E54 Gini concentration ------
+
+  /** Revenue concentration per market segment: the Gini coefficient of
+    * per-customer order revenue ([[Stats.gini]]) — exact decimal(38,0)
+    * rank sums, one double division; the oracle replays the rank form in
+    * HUGEINT and crosses to double via VARCHAR (the E39 lesson, since the
+    * sums exceed 2⁵³).
+    */
+  def giniConcentration(s: SparkSession, dir: String): DataFrame = {
+    val rev = orders(s, dir).groupBy(col("o_custkey"))
+      .agg((sum(dec2(col("o_totalprice"))) * lit(100)).cast("long").as("x"))
+    val perCust = rev.join(customer(s, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("c_custkey"), col("x"))
+    Stats.gini(perCust, col("c_mktsegment"), col("c_custkey"), col("x"))
+      .select(col("g").as("c_mktsegment"), col("n").as("n_customers"),
+        col("gini"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val giniConcentrationSql: String =
+    """WITH rev AS (
+         SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+             AS x
+         FROM orders GROUP BY o_custkey),
+       p AS (
+         SELECT c_mktsegment, c_custkey, x
+         FROM rev JOIN customer ON o_custkey = c_custkey),
+       r AS (
+         SELECT c_mktsegment, x,
+           ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+             ORDER BY x, c_custkey) AS i
+         FROM p),
+       a AS (
+         SELECT c_mktsegment, COUNT(*) AS n, SUM(x) AS s0, SUM(i * x) AS s1
+         FROM r GROUP BY c_mktsegment)
+       SELECT c_mktsegment, n AS n_customers,
+         CAST(CAST(2 * s1 - (n + 1) * s0 AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(n * s0 AS VARCHAR) AS DOUBLE) AS gini
+       FROM a ORDER BY c_mktsegment"""
+
+  // --------------------------------------- E55 Kaplan-Meier survival ------
+
+  /** Session-duration survival with right-censoring
+    * ([[Stats.kaplanMeier]]): subjects are the E4 sessions, duration in
+    * whole minutes; a session whose last event falls within one gap
+    * (30 min) of the corpus end is CENSORED — its closing gap cannot be
+    * confirmed, so its true duration is only known to be ≥ the observed
+    * one (dropping such sessions would bias the curve short; counting
+    * them as ended, shorter still — K-M uses them correctly). The
+    * cumulative product is a strict left fold the oracle replays with a
+    * recursive CTE in the same order — bit-identical. One fact shuffle
+    * (the session build); everything after is |distinct duration|-sized.
+    */
+  def survivalKm(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us").asc, col("event_id").asc)
+    val sessions = events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t_us"))
+      .withColumn("prev_us", lag(col("t_us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("t_us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_sess"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("t_us")).as("s_us"), max(col("t_us")).as("e_us"))
+    val maxT = events(s, dir).agg(max(unix_micros(col("ts"))).as("max_t"))
+    val perSession = sessions.crossJoin(broadcast(maxT))
+      .select(
+        call_function("div", col("e_us") - col("s_us"),
+          lit(60000000L)).as("dur_min"),
+        when(col("e_us") <= col("max_t") - lit(1800000000L), 1)
+          .otherwise(0).as("event"))
+    Stats.kaplanMeier(perSession, col("dur_min"), col("event"))
+      .select(col("t").as("t_min"), col("d"), col("n_risk"),
+        col("survival"))
+      .orderBy(col("t_min"))
+  }
+
+  val survivalKmSql: String =
+    """WITH RECURSIVE marked AS (
+         SELECT user_id, t_us,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         FROM (
+           SELECT user_id, event_id, epoch_us(ts) AS t_us,
+             CASE WHEN lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY
+                 user_id ORDER BY epoch_us(ts), event_id) > 1800000000
+             THEN 1 ELSE 0 END AS new_sess
+           FROM events)),
+       mx AS (SELECT MAX(epoch_us(ts)) AS max_t FROM events),
+       pu AS (
+         SELECT (MAX(t_us) - MIN(t_us)) // 60000000 AS lt,
+           CASE WHEN MAX(t_us) <= (SELECT max_t FROM mx) - 1800000000
+             THEN 1 ELSE 0 END AS event
+         FROM marked GROUP BY user_id, session_idx),
+       tot AS (SELECT COUNT(*) AS n_total FROM pu),
+       pt AS (
+         SELECT lt, CAST(SUM(event) AS BIGINT) AS d, COUNT(*) AS o
+         FROM pu GROUP BY lt),
+       st AS (
+         SELECT lt, d,
+           (SELECT n_total FROM tot) - COALESCE(CAST(SUM(o) OVER (
+             ORDER BY lt ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS BIGINT), 0) AS n_risk
+         FROM pt),
+       sd AS (
+         SELECT lt, d, n_risk,
+           CAST(1 AS DOUBLE) - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+             AS factor,
+           ROW_NUMBER() OVER (ORDER BY lt) AS rn
+         FROM st WHERE d > 0),
+       rec AS (
+         SELECT rn, lt, d, n_risk, factor AS s FROM sd WHERE rn = 1
+         UNION ALL
+         SELECT sd.rn, sd.lt, sd.d, sd.n_risk, rec.s * sd.factor
+         FROM sd JOIN rec ON sd.rn = rec.rn + 1)
+       SELECT lt AS t_min, d, n_risk, s AS survival
+       FROM rec ORDER BY t_min"""
+
+  // ------------------------------------- E56 seasonal-naive residuals -----
+
+  /** Day-over-same-weekday anomaly screen
+    * ([[TimeSeries.seasonalResiduals]]): each day's event count vs the
+    * sum of its previous 2 same-weekday counts (the ~30-day synthetic
+    * range only holds ~4 occurrences per weekday); ratio is one int/int
+    * division, |ratio−1| > 0.5 flags.
+    */
+  def seasonalResidualsQ(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.seasonalResiduals(events(s, dir), col("ts"), lookback = 2)
+      .orderBy(col("day_bucket"))
+
+  val seasonalResidualsSql: String =
+    """WITH daily AS (
+         SELECT epoch_us(ts) // 86400000000 AS day_bucket,
+           COUNT(*) AS n_events
+         FROM events GROUP BY day_bucket),
+       d2 AS (
+         SELECT day_bucket, n_events, day_bucket % 7 AS dow FROM daily),
+       w AS (
+         SELECT day_bucket, dow, n_events,
+           CAST(SUM(n_events) OVER (PARTITION BY dow ORDER BY day_bucket
+             ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS BIGINT)
+             AS sum_prev,
+           COUNT(*) OVER (PARTITION BY dow ORDER BY day_bucket
+             ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS n_prev
+         FROM d2)
+       SELECT day_bucket, dow, n_events, sum_prev,
+         CAST(n_events * 2 AS DOUBLE) / CAST(sum_prev AS DOUBLE) AS ratio,
+         CAST(CASE WHEN ABS(CAST(n_events * 2 AS DOUBLE)
+             / CAST(sum_prev AS DOUBLE) - CAST(1 AS DOUBLE))
+             > CAST(0.5 AS DOUBLE)
+           THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+       FROM w WHERE n_prev = 2 ORDER BY day_bucket"""
+
+  // ---------------------------------- E57 transactional multi-table pub ---
+
+  /** Two summary tables published ATOMICALLY as one version
+    * ([[graft.pipeline.TxPublish]]): v1 lands from the pre-1997 slice,
+    * v2 from the full data; readers resolve the committed manifest and
+    * see v2 of BOTH — so the registered output (the status summary
+    * carrying a cross-table reconciliation count from the priority
+    * summary) equals the full-data oracle. Torn-state protection is
+    * fault-injection-tested in the spec.
+    */
+  def txPublishQ(s: SparkSession, dir: String): DataFrame = {
+    val base = tempDir("graft_txpub_")
+    def summaries(cut: Option[Column]): Map[String, DataFrame] = {
+      val o = cut.fold(orders(s, dir))(c =>
+        orders(s, dir).where(col("o_orderdate") < c))
+      Map(
+        "orders_by_status" -> o.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(dec2(col("o_totalprice"))).cast("double").as("total_value")),
+        "orders_by_priority" -> o.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders")))
+    }
+    graft.pipeline.TxPublish.publish(
+      summaries(Some(to_timestamp(lit("1997-01-01")))), base, 1L)
+    graft.pipeline.TxPublish.publish(summaries(None), base, 2L)
+    val a = graft.pipeline.TxPublish.read(s, base, "orders_by_status")
+    val b = graft.pipeline.TxPublish.read(s, base, "orders_by_priority")
+    a.crossJoin(broadcast(b.agg(sum(col("n_orders")).as("n_check"))))
+      .select(col("o_orderstatus"), col("n_orders"), col("total_value"),
+        col("n_check"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val txPublishSql: String =
+    """WITH a AS (
+         SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value
+         FROM orders GROUP BY o_orderstatus),
+       b AS (SELECT COUNT(*) AS n_check FROM orders)
+       SELECT o_orderstatus, n_orders, total_value, n_check
+       FROM a CROSS JOIN b ORDER BY o_orderstatus"""
+
+  // ------------------------------------------ E58 rolling correlation -----
+
+  /** Trailing 14-day correlation between the daily view and purchase
+    * count series ([[TimeSeries.rollingCorr]]) — exact integer
+    * sufficient statistics per ROWS window, closed form in double once
+    * per row. (14 days, not 30: the synthetic event range spans ~a
+    * month, and a 30-day frame would leave a single full window.)
+    */
+  def rollingCorrQ(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.rollingCorr(events(s, dir), col("ts"), col("event_type"),
+        "view", "purchase", 14)
+      .orderBy(col("day_bucket"))
+
+  val rollingCorrSql: String =
+    """WITH daily AS (
+         SELECT epoch_us(ts) // 86400000000 AS day_bucket,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             AS BIGINT) AS na,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS nb
+         FROM events WHERE event_type IN ('view', 'purchase')
+         GROUP BY day_bucket),
+       w AS (
+         SELECT day_bucket, na, nb,
+           COUNT(*) OVER win AS cnt,
+           CAST(SUM(na) OVER win AS BIGINT) AS sa,
+           CAST(SUM(nb) OVER win AS BIGINT) AS sb,
+           CAST(SUM(na * nb) OVER win AS BIGINT) AS sab,
+           CAST(SUM(na * na) OVER win AS BIGINT) AS saa,
+           CAST(SUM(nb * nb) OVER win AS BIGINT) AS sbb
+         FROM daily
+         WINDOW win AS (ORDER BY day_bucket
+           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+       SELECT day_bucket, na, nb,
+         CAST(14 * sab - sa * sb AS DOUBLE)
+           / (sqrt(CAST(14 * saa - sa * sa AS DOUBLE))
+              * sqrt(CAST(14 * sbb - sb * sb AS DOUBLE))) AS corr_14d
+       FROM w WHERE cnt = 14 ORDER BY day_bucket"""
+
+  // ------------------------------------------ L6b persisted ANN index -----
+
+  /** The build-once / query-many ANN lifecycle
+    * ([[IvfIndex.annTopKIndexed]]): the Lloyd-refined centroids AND the
+    * assigned corpus land as parquet, a fresh reader reloads both, and
+    * the query pass pays only probe + candidate scoring — results must be
+    * BIT-IDENTICAL to the in-memory `ann_ivf_refined` path (same oracle:
+    * floats and double centroids round-trip parquet exactly).
+    */
+  def annIndexPersist(s: SparkSession, dir: String): DataFrame = {
+    val idxDir = tempDir("graft_ivfidx_")
+    val e = embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cent = IvfIndex.refine(e, nCells = 16, rounds = 2,
+      orderedMeans = true)
+    cent.write.mode("overwrite").parquet(s"$idxDir/centroids")
+    IvfIndex.assign(e, cent).write.mode("overwrite")
+      .parquet(s"$idxDir/corpus")
+    val centR = s.read.parquet(s"$idxDir/centroids")
+    val corpusR = s.read.parquet(s"$idxDir/corpus")
+    IvfIndex.annTopKIndexed(e.where(col("id") < 10), corpusR, k = 5,
+        nprobe = 4, centR)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // -------------------------------------- E59 Mahalanobis outliers --------
+
+  /** Per-priority bivariate outlier census over (order value, line count)
+    * ([[Stats.mahalanobisCensus]]) — distance from the group's
+    * correlation ellipse, closed-form 2×2 inverse, exact sufficient
+    * statistics, fixed double chains the oracle replays exactly.
+    */
+  def mahalanobisOutliers(s: SparkSession, dir: String): DataFrame = {
+    val lc = lineitem(s, dir).groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("nl"))
+    val j = orders(s, dir)
+      .join(lc, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"), col("o_totalprice"), col("nl"))
+    Stats.mahalanobisCensus(j, col("o_orderpriority"),
+        col("o_totalprice"), col("nl"))
+      .select(col("g").as("o_orderpriority"), col("n"), col("n_outliers"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val mahalanobisOutliersSql: String =
+    """WITH lc AS (
+         SELECT l_orderkey, COUNT(*) AS nl FROM lineitem GROUP BY 1),
+       j AS (
+         SELECT o_orderpriority AS g,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+           CAST(nl AS DECIMAL(18,0)) AS y
+         FROM orders JOIN lc ON o_orderkey = l_orderkey),
+       st AS (
+         SELECT g, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+         FROM j GROUP BY g),
+       st2 AS (
+         SELECT g, n, sx, sy,
+           CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS a,
+           CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE) AS b,
+           CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS c
+         FROM st WHERE n >= 3),
+       r AS (
+         SELECT j.g, st2.n, st2.a, st2.b, st2.c,
+           CAST(CAST(st2.n * j.x - st2.sx AS VARCHAR) AS DOUBLE) AS dxp,
+           CAST(CAST(st2.n * j.y - st2.sy AS VARCHAR) AS DOUBLE) AS dyp
+         FROM j JOIN st2 ON j.g = st2.g),
+       d AS (
+         SELECT g,
+           (CAST(n - 1 AS DOUBLE)
+             * (b * dxp * dxp - 2.0 * c * dxp * dyp + a * dyp * dyp))
+           / (CAST(n AS DOUBLE) * (a * b - c * c)) AS d2
+         FROM r)
+       SELECT g AS o_orderpriority, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN d2 > 5.991464547107979 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_outliers
+       FROM d GROUP BY g ORDER BY o_orderpriority"""
+
+  // ---------------------------------------- E13b nearest as-of join -------
+
+  /** Purchase → NEAREST view attribution ([[AsOfJoin.asOfNearest]]):
+    * backward or forward in time, whichever is closer (ties backward) —
+    * the enrichment mode backward-only ASOF can't express (a purchase
+    * seconds BEFORE its triggering view logs, clock skew, out-of-order
+    * ingestion). Output: 10-minute |Δt| histogram per direction.
+    */
+  def asofNearestQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("pt"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("vt"))
+    AsOfJoin.asOfNearest(purchases, col("user_id"), col("pt"),
+        views, col("user_id"), col("vt"), Seq("vt" -> col("vt")))
+      .groupBy(col("asof_dir"),
+        call_function("div", abs(col("asof_dt")), lit(600000000L))
+          .as("dt_bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("asof_dir").asc_nulls_first, col("dt_bin").asc_nulls_first)
+  }
+
+  val asofNearestSql: String =
+    """WITH u AS (
+         SELECT user_id, epoch_us(ts) AS t, 1 AS side, event_id,
+           CAST(NULL AS BIGINT) AS vt
+         FROM events WHERE event_type = 'purchase'
+         UNION ALL
+         SELECT user_id, t, 0, NULL, t FROM (
+           SELECT DISTINCT user_id, epoch_us(ts) AS t
+           FROM events WHERE event_type = 'view')),
+       w AS (
+         SELECT *,
+           last_value(vt IGNORE NULLS) OVER (PARTITION BY user_id
+             ORDER BY t, side
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bt,
+           first_value(vt IGNORE NULLS) OVER (PARTITION BY user_id
+             ORDER BY t, side
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ft
+         FROM u),
+       sel AS (
+         SELECT event_id,
+           CASE WHEN bt IS NOT NULL AND (ft IS NULL OR (t - bt) <= (ft - t))
+             THEN 'b' WHEN ft IS NOT NULL THEN 'f' END AS asof_dir,
+           CASE WHEN bt IS NOT NULL AND (ft IS NULL OR (t - bt) <= (ft - t))
+             THEN bt - t WHEN ft IS NOT NULL THEN ft - t END AS dt
+         FROM w WHERE side = 1)
+       SELECT asof_dir, abs(dt) // 600000000 AS dt_bin, COUNT(*) AS n
+       FROM sel GROUP BY asof_dir, dt_bin
+       ORDER BY asof_dir NULLS FIRST, dt_bin NULLS FIRST"""
+
+  // ----------------------------------------------- E60 2-D skyline --------
+
+  /** Per-brand Pareto frontier of parts minimizing (price, size)
+    * ([[Skyline.skyline2d]]) — running-minima windows, no quadratic
+    * dominance join; pure integer orderings.
+    */
+  def skylineParts(s: SparkSession, dir: String): DataFrame = {
+    val p = part(s, dir).select(col("p_brand"), col("p_partkey"),
+      (dec2(col("p_retailprice")) * lit(100)).cast("long").as("price_c"),
+      col("p_size"))
+    Skyline.skyline2d(p, col("p_brand"), col("price_c"), col("p_size"))
+      .orderBy(col("p_brand"), col("price_c"), col("p_partkey"))
+  }
+
+  val skylinePartsSql: String =
+    """WITH p AS (
+         SELECT p_brand, p_partkey,
+           CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             AS price_c,
+           p_size
+         FROM part),
+       w AS (
+         SELECT *,
+           MIN(p_size) OVER (PARTITION BY p_brand ORDER BY price_c
+             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mb,
+           MIN(p_size) OVER (PARTITION BY p_brand, price_c) AS mt
+         FROM p)
+       SELECT p_brand, p_partkey, price_c, p_size
+       FROM w WHERE (mb IS NULL OR mb > p_size) AND mt >= p_size
+       ORDER BY p_brand, price_c, p_partkey"""
 }

@@ -209,6 +209,26 @@ object SparkEntry {
     "event_transitions" -> (Queries.eventTransitions _),
     "basket_rules" -> (Queries.basketBrandRules _),
     "mv_incremental" -> (Queries.mvIncremental _),
+    // E51 pseudonymization, L30 OOV rate, E52 compaction,
+    // E7c session_window, E8f dedup-within-watermark
+    "pseudonymize_join" -> (Queries.pseudonymizeJoin _),
+    "oov_rate" -> (Queries.oovRate _),
+    "compact_files" -> (Queries.compactFiles _),
+    "streaming_session_window" -> (Queries.streamingSessionWindow _),
+    "dedup_within_watermark" -> (Queries.dedupWithinWatermarkQ _),
+    // E54 Gini, E55 Kaplan-Meier, E56 seasonal residuals,
+    // E57 transactional publish, E58 rolling correlation
+    "gini_concentration" -> (Queries.giniConcentration _),
+    "survival_km" -> (Queries.survivalKm _),
+    "seasonal_residuals" -> (Queries.seasonalResidualsQ _),
+    "tx_publish" -> (Queries.txPublishQ _),
+    "rolling_corr" -> (Queries.rollingCorrQ _),
+    // L6b persisted ANN index, E59 Mahalanobis, E13b nearest as-of,
+    // E60 2-D skyline
+    "ann_index_persist" -> (Queries.annIndexPersist _),
+    "mahalanobis_outliers" -> (Queries.mahalanobisOutliers _),
+    "asof_nearest" -> (Queries.asofNearestQ _),
+    "skyline_parts" -> (Queries.skylineParts _),
   )
 
   /** Bench class per registered query — `pure` (compute only),
@@ -223,11 +243,13 @@ object SparkEntry {
   def queryClass: Map[String, String] = {
     val writeDemo = Set(
       "pipeline_config_out", "pipeline_config_composite", "join_bucketed",
-      "pipeline_resume_partial", "snapshot_diff_bucketed")
+      "pipeline_resume_partial", "snapshot_diff_bucketed", "compact_files",
+      "mv_incremental", "tx_publish", "ann_index_persist")
     val streamHarness = Set(
       "streaming_hourly_counts", "streaming_sessionize", "streaming_late_drop",
       "dedup_stream_exact", "dedup_incremental_stream", "stream_stream_join",
-      "merge_upsert_stream", "stream_static_join", "stream_heavy_hitters")
+      "merge_upsert_stream", "stream_static_join", "stream_heavy_hitters",
+      "streaming_session_window", "dedup_within_watermark")
     queries.keys.map { n =>
       n -> (if (writeDemo(n)) "write_demo"
             else if (streamHarness(n)) "stream_harness"
@@ -391,5 +413,19 @@ object SparkEntry {
     "event_transitions" -> Queries.eventTransitionsSql,
     "basket_rules" -> Queries.basketBrandRulesSql,
     "mv_incremental" -> Queries.mvIncrementalSql,
+    "pseudonymize_join" -> Queries.pseudonymizeJoinSql,
+    "oov_rate" -> Queries.oovRateSql,
+    "compact_files" -> Queries.compactFilesSql,
+    "streaming_session_window" -> Queries.streamingSessionWindowSql,
+    "dedup_within_watermark" -> Queries.dedupWithinWatermarkSql,
+    "gini_concentration" -> Queries.giniConcentrationSql,
+    "survival_km" -> Queries.survivalKmSql,
+    "seasonal_residuals" -> Queries.seasonalResidualsSql,
+    "tx_publish" -> Queries.txPublishSql,
+    "rolling_corr" -> Queries.rollingCorrSql,
+    "ann_index_persist" -> Queries.annIvfRefinedSql,
+    "mahalanobis_outliers" -> Queries.mahalanobisOutliersSql,
+    "asof_nearest" -> Queries.asofNearestSql,
+    "skyline_parts" -> Queries.skylinePartsSql,
   )
 }

@@ -57,4 +57,55 @@ object AsOfJoin {
       .select(leftCols.map(col) ++
         payTypes.map(f => col(s"right_${f.name}")): _*)
   }
+
+  /** Nearest-direction as-of: each left row takes the right row closest
+    * in time — backward (≤, via the same carry-forward window) or
+    * forward (strictly >, via the mirrored carry-BACKWARD window) —
+    * ties broken toward backward. Both windows share ONE key shuffle and
+    * ONE (t, side) sort (the frames differ, not the sort order). Emits
+    * `right_<name>` of the chosen row plus `asof_dt` (signed µs, right −
+    * left) and `asof_dir` ('b'/'f', null when no right row exists).
+    * A right row AT the left's timestamp sorts before it (side 0 first),
+    * so it is backward's match with dt = 0 — forward is strictly after.
+    */
+  def asOfNearest(left: DataFrame, leftKey: Column, leftTime: Column,
+      right: DataFrame, rightKey: Column, rightTime: Column,
+      payload: Seq[(String, Column)]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val r0 = right.select(rightKey.as("_k"), rightTime.as("_t"),
+      struct(payload.map { case (n, c) => c.as(n) }: _*).as("_pay"))
+      .groupBy(col("_k"), col("_t")).agg(max(col("_pay")).as("_pay"))
+    val payTypes = r0.schema("_pay").dataType.asInstanceOf[StructType]
+    val leftTypes = left.schema
+
+    val l = left.select(
+      (leftKey.as("_k") +: leftTime.as("_t") +: lit(1).as("_side") +:
+        leftCols.map(c => left(c).as(c))) :+
+        lit(null).cast(r0.schema("_pay").dataType).as("_pay"): _*)
+    val r = r0.select(
+      (col("_k") +: col("_t") +: lit(0).as("_side") +:
+        leftTypes.map(f => lit(null).cast(f.dataType).as(f.name)).toSeq) :+
+        col("_pay"): _*)
+
+    val ord = Window.partitionBy(col("_k"))
+      .orderBy(col("_t").asc, col("_side").asc)
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tagged = struct(col("_t").as("t"), col("_pay").as("pay"))
+    val sided = when(col("_side") === 0, tagged)
+    val carried = l.unionByName(r)
+      .withColumn("_b", last(sided, ignoreNulls = true).over(back))
+      .withColumn("_f", first(sided, ignoreNulls = true).over(fwd))
+    val bd = col("_t") - col("_b.t") // ≥ 0
+    val fd = col("_f.t") - col("_t") // > 0
+    val useB = col("_b").isNotNull && (col("_f").isNull || bd <= fd)
+    carried.where(col("_side") === 1)
+      .withColumn("_c", when(useB, col("_b")).otherwise(col("_f")))
+      .select(leftCols.map(col) ++
+        payTypes.map(f => col(s"_c.pay.${f.name}")
+          .as(s"right_${f.name}")).toSeq ++ Seq(
+          (col("_c.t") - col("_t")).as("asof_dt"),
+          when(col("_c").isNull, lit(null).cast("string"))
+            .when(useB, lit("b")).otherwise(lit("f")).as("asof_dir")): _*)
+  }
 }

@@ -193,9 +193,20 @@ object IvfIndex {
     * corpus shuffles once on `cell`, candidates from the cell equi-join.
     */
   def annTopKWith(queries: DataFrame, corpus: DataFrame, k: Int,
+      nprobe: Int, centroids: DataFrame): DataFrame =
+    annTopKIndexed(queries, assign(corpus, centroids), k, nprobe, centroids)
+
+  /** [[annTopKWith]] against an ALREADY-ASSIGNED corpus (id, vec, cell) —
+    * the query side of a PERSISTED index: build + [[assign]] once, land
+    * centroids and assignments as parquet, and every later query batch
+    * reloads them and pays only probe + candidate scoring (the
+    * build-once / query-many lifecycle any production ANN service runs;
+    * the float vectors and double centroids round-trip parquet exactly,
+    * so results are bit-identical to the in-memory path — oracle-gated).
+    */
+  def annTopKIndexed(queries: DataFrame, indexed: DataFrame, k: Int,
       nprobe: Int, centroids: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val indexed = assign(corpus, centroids)
     val probes = probeCells(queries, centroids, nprobe)
 
     val cand = probes.join(indexed, "cell")

@@ -74,4 +74,75 @@ object TimeSeries {
       .select(col("u"), col("n_obs"),
         (col("vw").cast("double") / col("tw").cast("double")).as("twap"))
   }
+
+  /** Seasonal-naive anomaly screen: each day's count against the mean of
+    * the previous `lookback` SAME-WEEKDAY counts — the baseline that
+    * survives weekly seasonality, which a plain trailing mean flags as
+    * anomalies every weekend.
+    *
+    * Exactness: the baseline comparison is kept in integers — ratio =
+    * (n·lookback)/Σprev as ONE int/int double division, and the anomaly
+    * flag |ratio−1| > `tolerance` is a fixed double chain. Only days with
+    * a full lookback window report. Shape: one fact shuffle (the daily
+    * count agg); both windows run on the |days| frame partitioned by
+    * weekday.
+    */
+  def seasonalResiduals(events: DataFrame, ts: Column, lookback: Int = 4,
+      tolerance: Double = 0.5, dayUs: Long = 86400000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val day = call_function("div", unix_micros(ts), lit(dayUs))
+    val daily = events.groupBy(day.as("day_bucket"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("dow", pmod(col("day_bucket"), lit(7L)))
+    val w = Window.partitionBy(col("dow")).orderBy(col("day_bucket"))
+      .rowsBetween(-lookback, -1)
+    daily
+      .withColumn("sum_prev", sum(col("n_events")).over(w))
+      .withColumn("n_prev", count(lit(1)).over(w))
+      .where(col("n_prev") === lookback)
+      .withColumn("ratio",
+        (col("n_events") * lit(lookback.toLong)).cast("double")
+          / col("sum_prev").cast("double"))
+      .withColumn("anomaly",
+        when(abs(col("ratio") - lit(1.0)) > lit(tolerance), 1L)
+          .otherwise(0L))
+      .select(col("day_bucket"), col("dow"), col("n_events"),
+        col("sum_prev"), col("ratio"), col("anomaly"))
+  }
+
+  /** Trailing `windowDays`-row correlation between two daily count
+    * series — "do purchases still track views this month?" — the E29
+    * exact-sufficient-statistics discipline applied per window: the five
+    * sums accumulate over INTEGER daily counts inside ROWS frames (exact
+    * at any size), and only each row's closed form runs in double. Days
+    * with an incomplete window drop. One fact shuffle (the daily
+    * conditional-count agg); all five windows share one |days|-frame sort.
+    */
+  def rollingCorr(events: DataFrame, ts: Column, typeCol: Column,
+      typeA: String, typeB: String, windowDays: Int = 30,
+      dayUs: Long = 86400000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val day = call_function("div", unix_micros(ts), lit(dayUs))
+    val daily = events
+      .where(typeCol.isin(typeA, typeB))
+      .groupBy(day.as("day_bucket"))
+      .agg(sum(when(typeCol === typeA, 1L).otherwise(0L)).as("na"),
+        sum(when(typeCol === typeB, 1L).otherwise(0L)).as("nb"))
+    val w = Window.orderBy(col("day_bucket"))
+      .rowsBetween(-(windowDays - 1), 0)
+    val k = lit(windowDays.toLong)
+    daily
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("sa", sum(col("na")).over(w))
+      .withColumn("sb", sum(col("nb")).over(w))
+      .withColumn("sab", sum(col("na") * col("nb")).over(w))
+      .withColumn("saa", sum(col("na") * col("na")).over(w))
+      .withColumn("sbb", sum(col("nb") * col("nb")).over(w))
+      .where(col("cnt") === k)
+      .select(col("day_bucket"), col("na"), col("nb"),
+        ((k * col("sab") - col("sa") * col("sb")).cast("double") /
+          (sqrt((k * col("saa") - col("sa") * col("sa")).cast("double")) *
+           sqrt((k * col("sbb") - col("sb") * col("sb")).cast("double"))))
+          .as(s"corr_${windowDays}d"))
+  }
 }

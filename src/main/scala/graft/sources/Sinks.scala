@@ -107,4 +107,29 @@ object Sinks {
 
   def jsonl(df: DataFrame, path: String): Unit =
     write(df, path, "json")
+
+  /** Small-file compaction: rewrite a hive-partitioned parquet layout so
+    * each partition directory holds ONE file (up to `maxRecordsPerFile`).
+    *
+    * The small-file problem is THE operational tax of long-lived
+    * partitioned tables at scale — every incremental append (streaming
+    * microbatches, per-task reducer outputs, the reference's per-attempt
+    * files) multiplies per-leaf file counts, and scan planning, footer
+    * reads, and NameNode/object-store metadata all pay per FILE, not per
+    * byte. Compaction is a pure layout rewrite: `repartition(partCol)`
+    * puts every leaf's rows in exactly one task (collisions just mean one
+    * task writes several leaves — still one file each), `partitionBy`
+    * re-lands the identical directory contract, and content is
+    * byte-preserved (the caller's oracle can prove it: same rows, same
+    * values, fewer files). At 100 TB the unit of compaction is the
+    * partition, so stale leaves can be rewritten incrementally — pass a
+    * pre-filtered frame for that.
+    */
+  def compactPartitions(df: DataFrame, partCol: String, outPath: String,
+      maxRecordsPerFile: Long = 5000000L): Unit =
+    df.repartition(org.apache.spark.sql.functions.col(partCol))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partCol)
+      .parquet(outPath)
 }

@@ -38,6 +38,43 @@ object StreamingIngest {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Built-in gap sessionization: `session_window(ts, gap)` aggregation —
+    * the DECLARATIVE counterpart of [[StatefulSessionize]]'s
+    * flatMapGroupsWithState. Windows start at an event and extend `gap`
+    * past it; a key's windows MERGE when one starts at or before the
+    * previous window's end, so an event exactly `gap` after its
+    * predecessor still merges — the split happens at diff > gap, the
+    * SAME boundary convention as the batch [[graft.Queries.sessionize]]
+    * (spec-pinned at the exact boundary). State is the open session per
+    * key, merged by Spark's session-window state store support; per-key
+    * memory is one window, eviction rides the watermark in append mode
+    * or the trigger in complete mode.
+    */
+  def sessionWindowCounts(events: DataFrame, keyCol: String,
+      tsCol: String = "ts", gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        unix_micros(col("session_window.start")).as("start_us"),
+        col("n_events"))
+
+  /** Watermark-bounded key dedup WITHOUT the timestamp in the key:
+    * `dropDuplicatesWithinWatermark` guarantees dedup for duplicates
+    * arriving within the watermark delay of each other (the
+    * retry/at-least-once-delivery case) while EVICTING state as the
+    * watermark passes — unlike [[dedupStream]], whose key must include
+    * the event time for state to be bounded. The operational contract:
+    * state is O(keys per watermark window), duplicates separated by more
+    * than the delay MAY re-emit — which is exactly the delivery-retry
+    * dedup guarantee at-least-once pipelines need.
+    */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+      tsCol: String = "ts", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Streaming exact dedup: drop rows whose key was already seen, with
     * state bounded by the event-time watermark (keys older than the
     * watermark are forgotten — the streaming twin of `Dedup.exact`).

@@ -130,6 +130,53 @@ class AnalyticsOpsSpec extends AnyFunSuite with SparkFixture {
     } finally Queries.rmTree(new java.io.File(dir))
   }
 
+  test("pseudonym: deterministic, salt-sensitive, join-consistent") {
+    import graft.operators.Privacy
+    val a = Seq(1L, 2L, 3L).toDF("k")
+      .select(col("k"), Privacy.pseudonym(col("k"), "s1").as("p"))
+    val b = Seq(3L, 2L, 9L).toDF("k")
+      .select(col("k"), Privacy.pseudonym(col("k"), "s1").as("p"))
+    // equal keys map to equal pseudonyms across frames (referential
+    // integrity), distinct keys to distinct pseudonyms
+    assert(a.join(b, "p").where(a("k") =!= b("k")).count() === 0L)
+    assert(a.join(b, "p").count() === 2L)
+    val b2 = Seq(1L).toDF("k")
+      .select(Privacy.pseudonym(col("k"), "s2").as("p"))
+    assert(a.join(b2, "p").count() === 0L) // different salt, disjoint space
+    assert(a.select("p").head.getString(0).length === 16) // 64-bit hex
+    intercept[IllegalArgumentException] {
+      Privacy.pseudonym(col("k"), "s", bits = 63)
+    }
+  }
+
+  test("compactPartitions collapses each leaf to one file, content intact") {
+    import graft.sources.Sinks
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_compact_spec_").toString
+    try {
+      val df = spark.range(2000)
+        .select(col("id"), pmod(col("id"), lit(3L)).as("day"))
+      // explicit count — AQE would coalesce the tiny shuffle to one task
+      // and de-fragment the fixture
+      df.repartition(8, col("day"), pmod(col("id"), lit(8L)))
+        .write.partitionBy("day").parquet(s"$dir/frag")
+      def leafCounts(p: String): Map[String, Int] =
+        new java.io.File(p).listFiles().filter(_.getName.startsWith("day="))
+          .map(d => d.getName ->
+            d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+      assert(leafCounts(s"$dir/frag").values.forall(_ >= 2),
+        s"fixture must be fragmented: ${leafCounts(s"$dir/frag")}")
+      val frag = spark.read.parquet(s"$dir/frag")
+      Sinks.compactPartitions(frag, "day", s"$dir/compact")
+      assert(leafCounts(s"$dir/compact").values.forall(_ === 1),
+        s"each leaf must hold one file: ${leafCounts(s"$dir/compact")}")
+      val back = spark.read.parquet(s"$dir/compact")
+      assert(back.count() === 2000L)
+      assert(back.select(sum(col("id"))).head.getLong(0) ===
+        df.select(sum(col("id"))).head.getLong(0))
+    } finally Queries.rmTree(new java.io.File(dir))
+  }
+
   test("matview delta pass prunes old days at the scan") {
     // the maintenance premise: the delta aggregation's scan must carry a
     // pushed-down day filter, not rescan history

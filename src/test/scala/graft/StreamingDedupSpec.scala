@@ -30,6 +30,55 @@ class StreamingDedupSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark: retry duplicates drop, key carries no ts") {
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long)](spark)
+    val stream = input.toDS().toDF("event_id", "sec")
+      .select($"event_id", timestamp_seconds($"sec").as("ts"))
+    val name = s"graft_wmdedup_unit_${System.nanoTime()}"
+    val q = StreamingIngest
+      .dedupWithinWatermark(stream, Seq("event_id"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // the at-least-once retry shape: same id delivered twice in-batch
+      // and again (within the delay) next batch
+      input.addData((1L, 100L), (2L, 130L), (1L, 100L))
+      q.processAllAvailable()
+      input.addData((1L, 100L), (3L, 200L))
+      q.processAllAvailable()
+      val ids = spark.table(name).select($"event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("sessionWindowCounts splits at gap >= window (boundary exact)") {
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long)](spark)
+    val stream = input.toDS().toDF("user_id", "us")
+      .select($"user_id", timestamp_micros($"us").as("ts"))
+    val name = s"graft_sesswin_unit_${System.nanoTime()}"
+    val q = StreamingIngest
+      .sessionWindowCounts(stream, "user_id", "ts", "30 minutes")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try {
+      val gap = 1800L * 1000000L
+      // touching windows MERGE: an event exactly AT the gap boundary
+      // stays in the session (split only at diff > gap) — the same
+      // convention as the batch sessionize
+      input.addData((1L, 0L), (1L, gap), (2L, 0L), (2L, gap + 1L))
+      q.processAllAvailable()
+      val out = spark.table(name)
+        .select($"user_id", $"start_us", $"n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(r => (r._1, r._2))
+      assert(out.toSeq ===
+        Seq((1L, 0L, 2L), (2L, 0L, 1L), (2L, gap + 1L, 1L)))
+    } finally q.stop()
+  }
+
   test("foreachBatch incremental dedup: corpus state carries across batches") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_incdedup_")
