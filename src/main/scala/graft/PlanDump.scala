@@ -72,7 +72,24 @@ object PlanDump {
       "hll_rollup" -> "HLL rollup: daily sketch agg -> sketch-union agg on the tiny daily frame; exact side pays the only full distinct",
       "gapfill_interp" -> "interp gapfill: one fact agg; spine explode + IGNORE-NULLS prev/next windows share a single (type, day) sort on the |types x days| frame",
       "hierarchy_rollup" -> "hierarchy rollup: ancestor explode of the materialized path (narrow) -> one hash agg; no recursion, no per-level joins at query time",
-      "leakage_free_split" -> "leakage-free split: eval bands broadcast against the corpus band scan (L20 kernel), lang filter on the contamination-sized pair list; corpus never self-joins")
+      "leakage_free_split" -> "leakage-free split: eval bands broadcast against the corpus band scan (L20 kernel), lang filter on the contamination-sized pair list; corpus never self-joins",
+      "max_concurrency" -> "sweep line: endpoint deltas collapse per timestamp in a hash agg; running sum is per-day windows + a |days| carry frame — the ONLY SinglePartition sort is dimension-sized",
+      "allocate_rebate" -> "largest remainder: one orderkey exchange serves the total/base-sum/rank windows; the sample predicate pushes to both scans",
+      "basket_rules" -> "association rules: bit_or bitmap fold is ONE codegen HashAggregate over the fact (behind the localCheckpoint scan); pair counting runs on the |mask patterns| frame, supports join back broadcast",
+      "mv_incremental" -> "incremental MV: the delta pass scan carries the pushed day filter (history pruned at the source); the merge shuffles only the |days| partial frame",
+      "compact_files" -> "compaction: repartition(day) puts each leaf in one task; the read-back agg proves content exactness — per-leaf file count is the thing being fixed, not the plan",
+      "pseudonymize_join" -> "pseudonymization: the md5 surrogate is a narrow codegen projection on both sides; the join/distinct shapes are unchanged from the raw-key plan",
+      "oov_rate" -> "OOV rate: vocab agg collapses to the token dimension, joins back BROADCAST onto the exploded token stream; the fact shuffles once for the per-doc agg",
+      "gini_concentration" -> "Gini: per-segment window rank over the |customers| per-entity frame, then ONE decimal agg; two-level range-rank documented as the wide-group escape",
+      "survival_km" -> "Kaplan-Meier: one user shuffle (session build); at-risk/factor/fold all run on the |distinct durations| frame — the HOF fold is one row",
+      "tx_publish" -> "transactional publish: two full-fact aggs land as versioned parquet; readers resolve the manifest then scan — the plan is the ordinary agg, atomicity lives in the commit protocol",
+      "ann_index_persist" -> "persisted ANN: probe + candidate scoring against the RELOADED assignment scan — no re-assign, no corpus re-index; bit-identical to the in-memory path",
+      "mahalanobis_outliers" -> "Mahalanobis: ONE stats HashAggregate broadcast back onto the fact (never shuffled for the join); d-squared is a fixed scalar chain in the projection",
+      "asof_nearest" -> "nearest as-of: ONE key shuffle + ONE (t, side) sort serve BOTH direction windows (carry-forward and carry-backward frames over the same order)",
+      "skyline_parts" -> "skyline: strict-predecessor RANGE running-min + per-(group,x) tie-min share one sort — no quadratic dominance join",
+      "event_transitions" -> "transition matrix: lead window keys the one fact shuffle; the (from,to) agg collapses map-side to the |types|^2 grid",
+      "seasonal_residuals" -> "seasonal residuals: one fact agg; both lookback windows run on the |days| frame partitioned by weekday",
+      "rolling_corr" -> "rolling corr: five integer window sums share one |days|-frame sort; closed form in the final projection only")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` on `$sf`. Audit notes per plan;\n")

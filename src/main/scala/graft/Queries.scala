@@ -5633,4 +5633,139 @@ object Queries {
        SELECT p_brand, p_partkey, price_c, p_size
        FROM w WHERE (mb IS NULL OR mb > p_size) AND mt >= p_size
        ORDER BY p_brand, price_c, p_partkey"""
+
+  // ------------------------------------ L33 weighted systematic sample ----
+
+  /** Deterministic PPS corpus sampling ([[Sampling.weightedSystematic]]):
+    * ~100 draws proportional to document length, via the two-level
+    * prefix-sum cumulative line — no RNG, no global ordered window;
+    * oversized docs carry `n_hits` > 1.
+    */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSystematic(
+        documents(s, dir).select(col("doc_id"), col("n_chars")),
+        Seq("doc_id"), col("n_chars"), 100L)
+      .orderBy(col("doc_id"))
+
+  val sampleWeightedSql: String =
+    """WITH d AS (
+         SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents),
+       c AS (
+         SELECT doc_id, w,
+           COALESCE(CAST(SUM(w) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+             0) AS prior
+         FROM d),
+       t AS (SELECT CAST(SUM(w) AS BIGINT) AS total FROM d),
+       s AS (
+         SELECT doc_id, w, prior, (total + 99) // 100 AS step
+         FROM c CROSS JOIN t)
+       SELECT doc_id, w AS weight,
+         ((prior + w - 1) // step) - ((prior + step - 1) // step) + 1
+           AS n_hits
+       FROM s WHERE ((prior + step - 1) // step) * step < prior + w
+       ORDER BY doc_id"""
+
+  // --------------------------------- E36b streaming temporal enrichment ---
+
+  /** Streamed purchases enriched with the SESSION VALID AT EVENT TIME
+    * ([[graft.streaming.StreamingIngest.asofEnrichSink]]): each
+    * microbatch as-of joins against the static session-start dimension —
+    * the temporally-correct enrichment a plain stream-static equi-join
+    * can't do. Every purchase must land with its OWN session's index
+    * (the oracle reads it straight off the batch sessionize), so the
+    * gate is row-exact.
+    */
+  def streamAsofEnrich(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDir("graft_sae_")
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us").asc, col("event_id").asc)
+    val dim = events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t_us"))
+      .withColumn("prev_us", lag(col("t_us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("t_us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_sess"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id").as("d_user"), col("session_idx"))
+      .agg(min(col("t_us")).as("s_us"))
+    val purchases = events(s, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("pt"))
+    val landing = s"$tmp/landing"
+    purchases.coalesce(1).write.mode("overwrite").parquet(landing)
+    val stream = s.readStream.schema(purchases.schema).parquet(landing)
+    graft.streaming.StreamingIngest.asofEnrichSink(stream, dim,
+        "user_id", "pt", col("d_user"), col("s_us"),
+        Seq("session_idx" -> col("session_idx")),
+        s"$tmp/out", s"$tmp/ckpt")
+      .awaitTermination()
+    s.read.parquet(s"$tmp/out")
+      .select(col("event_id"), col("right_session_idx").as("session_idx"))
+      .orderBy(col("event_id"))
+  }
+
+  val streamAsofEnrichSql: String =
+    """WITH marked AS (
+         SELECT event_id, event_type,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         FROM (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us,
+             CASE WHEN lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY
+                 user_id ORDER BY epoch_us(ts), event_id) > 1800000000
+             THEN 1 ELSE 0 END AS new_sess
+           FROM events))
+       SELECT event_id, CAST(session_idx AS BIGINT) AS session_idx
+       FROM marked WHERE event_type = 'purchase' ORDER BY event_id"""
+
+  // ------------------------------------------ E6e HLL overlap estimate ----
+
+  /** Distinct-user overlap between the view and purchase audiences from
+    * MERGEABLE sketches: |A∩B| ≈ |A| + |B| − |A∪B| by inclusion-
+    * exclusion over three `hll_sketch_agg`s — set intersection made
+    * reaggregatable (exact intersections can't compose; sketches can).
+    * Same contract-oracle pattern as E6: the estimate must land within
+    * 10% of the exact intersection, which the oracle computes.
+    */
+  def hllOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"), col("user_id"))
+    val exact = ev.where(col("event_type") === "view")
+      .select(col("user_id")).distinct()
+      .join(ev.where(col("event_type") === "purchase")
+        .select(col("user_id")).distinct(), "user_id")
+      .agg(count(lit(1)).as("n_both_exact"))
+    val est = ev.agg(
+      hll_sketch_estimate(hll_sketch_agg(
+        when(col("event_type") === "view", col("user_id")))).as("ea"),
+      hll_sketch_estimate(hll_sketch_agg(
+        when(col("event_type") === "purchase", col("user_id")))).as("eb"),
+      hll_sketch_estimate(hll_sketch_agg(
+        when(col("event_type").isin("view", "purchase"), col("user_id"))))
+        .as("eu"),
+      count_distinct(when(col("event_type") === "view", col("user_id")))
+        .as("n_view"),
+      count_distinct(when(col("event_type") === "purchase", col("user_id")))
+        .as("n_purchase"))
+    est.crossJoin(broadcast(exact))
+      .select(col("n_view"), col("n_purchase"), col("n_both_exact"),
+        (abs(col("ea") + col("eb") - col("eu")
+          - col("n_both_exact").cast("double"))
+          <= lit(0.1) * col("n_both_exact").cast("double"))
+          .as("overlap_ok"))
+  }
+
+  val hllOverlapSql: String =
+    """WITH v AS (
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+       p AS (
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+       SELECT (SELECT COUNT(*) FROM v) AS n_view,
+         (SELECT COUNT(*) FROM p) AS n_purchase,
+         (SELECT COUNT(*) FROM v JOIN p USING (user_id)) AS n_both_exact,
+         true AS overlap_ok"""
 }

@@ -229,6 +229,11 @@ object SparkEntry {
     "mahalanobis_outliers" -> (Queries.mahalanobisOutliers _),
     "asof_nearest" -> (Queries.asofNearestQ _),
     "skyline_parts" -> (Queries.skylineParts _),
+    // L33 weighted systematic sampling, E36b streaming temporal
+    // enrichment, E6e HLL overlap
+    "sample_weighted" -> (Queries.sampleWeighted _),
+    "stream_asof_enrich" -> (Queries.streamAsofEnrich _),
+    "hll_overlap" -> (Queries.hllOverlap _),
   )
 
   /** Bench class per registered query — `pure` (compute only),
@@ -249,7 +254,8 @@ object SparkEntry {
       "streaming_hourly_counts", "streaming_sessionize", "streaming_late_drop",
       "dedup_stream_exact", "dedup_incremental_stream", "stream_stream_join",
       "merge_upsert_stream", "stream_static_join", "stream_heavy_hitters",
-      "streaming_session_window", "dedup_within_watermark")
+      "streaming_session_window", "dedup_within_watermark",
+      "stream_asof_enrich")
     queries.keys.map { n =>
       n -> (if (writeDemo(n)) "write_demo"
             else if (streamHarness(n)) "stream_harness"
@@ -427,5 +433,8 @@ object SparkEntry {
     "mahalanobis_outliers" -> Queries.mahalanobisOutliersSql,
     "asof_nearest" -> Queries.asofNearestSql,
     "skyline_parts" -> Queries.skylinePartsSql,
+    "sample_weighted" -> Queries.sampleWeightedSql,
+    "stream_asof_enrich" -> Queries.streamAsofEnrichSql,
+    "hll_overlap" -> Queries.hllOverlapSql,
   )
 }

@@ -46,7 +46,7 @@ object Chunking {
     * stage ever holding more than one partition and only O(partitions)
     * driver traffic.
     */
-  private def withExclusivePrior(narrow: DataFrame,
+  private[operators] def withExclusivePrior(narrow: DataFrame,
       orderKeys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keyCols = orderKeys.map(col)

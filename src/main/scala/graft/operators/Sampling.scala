@@ -80,4 +80,41 @@ object Sampling {
       .where(col("rn") <= col("quota"))
       .select(col(idCol), src)
   }
+
+  /** Weighted SYSTEMATIC sampling (probability-proportional-to-size):
+    * lay the units out on the cumulative-weight line in `orderKeys`
+    * order and take one unit at every `step = ⌈total/k⌉` weight units —
+    * each unit's inclusion count is exactly the number of grid points in
+    * its [prior, prior+w) interval, so E[hits] = w/step ∝ weight, with
+    * the classic systematic-sampling variance reduction over independent
+    * PPS draws — and, unlike them, fully DETERMINISTIC (no RNG: the grid
+    * phase is fixed at 0).
+    *
+    * All arithmetic is non-negative 64-bit integer — ⌈prior/step⌉ via
+    * div(prior+step−1, step), so truncating (Spark `div`) and flooring
+    * (DuckDB `//`) division agree. The global cumulative line is the
+    * [[Chunking.withExclusivePrior]] two-level prefix sum — no global
+    * ordered window, O(partitions) driver traffic. Rows with w ≥ step
+    * can be sampled multiple times (`n_hits` > 1) — the standard PPS
+    * convention for oversized units.
+    */
+  def weightedSystematic(df: DataFrame, orderKeys: Seq[String],
+      weight: Column, k: Long): DataFrame = {
+    require(k > 0, "k must be positive")
+    val keyCols = orderKeys.map(col)
+    val narrow = df.select(keyCols :+ weight.cast("long").as("_w"): _*)
+    val total = narrow.agg(sum(col("_w")).as("_total"))
+    Chunking.withExclusivePrior(narrow, orderKeys)
+      .crossJoin(broadcast(total))
+      .withColumn("_step",
+        call_function("div", col("_total") + lit(k - 1), lit(k)))
+      .withColumn("_first", call_function("div",
+        col("_prior") + col("_step") - 1, col("_step")) * col("_step"))
+      .where(col("_first") < col("_prior") + col("_w"))
+      .withColumn("n_hits", call_function("div",
+        col("_prior") + col("_w") - 1, col("_step"))
+        - call_function("div",
+          col("_prior") + col("_step") - 1, col("_step")) + 1)
+      .select(keyCols ++ Seq(col("_w").as("weight"), col("n_hits")): _*)
+  }
 }

@@ -180,8 +180,12 @@ object Stats {
     * E25/E41/E42 discipline), one census agg. `threshold` defaults to
     * the χ²(2 dof) 95th percentile.
     */
-  def mahalanobisCensus(df: DataFrame, group: Column, x: Column, y: Column,
+  def mahalanobisCensus(dfIn: DataFrame, group: Column, x: Column, y: Column,
       threshold: Double = 5.991464547107979): DataFrame = {
+    // two consumers (stats pass + census pass) — materialize the input
+    // once or any upstream join/agg runs twice (measured 87 s → 30 s at
+    // the 100× probe; the basket localCheckpoint lesson)
+    val df = dfIn.localCheckpoint()
     val xd = x.cast("decimal(18,2)")
     val yd = y.cast("decimal(18,0)")
     val stats = df.groupBy(group.as("_g"))

@@ -75,6 +75,36 @@ object StreamingIngest {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming temporal enrichment: every microbatch AS-OF joins
+    * (`AsOfJoin.asOf` — latest dim row at-or-before the event) against a
+    * STATIC interval dimension, landing each batch under
+    * `batch_id=N` with overwrite (the E8c replay-idempotence
+    * discipline). This is the temporally-CORRECT streaming enrichment —
+    * a plain stream-static equi-join would attach the dimension's
+    * current row, silently rewriting history for late events; the per
+    * batch as-of attaches the row that was valid AT the event's time.
+    * Per batch cost is the E13 shape: one key shuffle of the batch +
+    * dim, no range explosion — which is also the scale story (a
+    * BETWEEN-predicate stream-static join would nested-loop against the
+    * whole dimension every batch).
+    */
+  def asofEnrichSink(stream: DataFrame, dim: DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: org.apache.spark.sql.Column,
+      rightTime: org.apache.spark.sql.Column,
+      payload: Seq[(String, org.apache.spark.sql.Column)],
+      outDir: String, ckpt: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.AsOfJoin.asOf(batch, col(leftKey), col(leftTime),
+            dim, rightKey, rightTime, payload)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming exact dedup: drop rows whose key was already seen, with
     * state bounded by the event-time watermark (keys older than the
     * watermark are forgotten — the streaming twin of `Dedup.exact`).

@@ -174,6 +174,27 @@ class StatsOpsSpec extends AnyFunSuite with SparkFixture {
     } finally Queries.rmTree(new java.io.File(base))
   }
 
+  test("weightedSystematic: hand grid, hit conservation, PPS multiplicity") {
+    import graft.operators.Sampling
+    // weights 5,1,1,1,1,1 (total 10), k=5 → step 2, grid {0,2,4,6,8}
+    val df = Seq((1L, 5L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (6L, 1L)).toDF("id", "w")
+    val out = Sampling.weightedSystematic(df, Seq("id"), col("w"), 5L)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 3L), (3L, 1L), (5L, 1L)))
+    assert(out.map(_._2).sum === 5L) // exactly k when step divides total
+  }
+
+  test("weightedSystematic: draws scale with weight on the real corpus") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sf).select(col("doc_id"),
+      col("n_chars"))
+    val out = Sampling.weightedSystematic(docs, Seq("doc_id"),
+      col("n_chars"), 50L)
+    val hits = out.agg(sum("n_hits")).head.getLong(0)
+    assert(hits >= 45L && hits <= 50L) // ≤ k, and near k
+  }
+
   test("txPublish: reading an unpublished base fails loudly") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_txpub_spec2_").toString
