@@ -5768,4 +5768,88 @@ object Queries {
          (SELECT COUNT(*) FROM p) AS n_purchase,
          (SELECT COUNT(*) FROM v JOIN p USING (user_id)) AS n_both_exact,
          true AS overlap_ok"""
+
+  // --------------------------------------- L34 BM25-style retrieval -------
+
+  /** Ranked retrieval over the corpus for the query {hash, stream, dup} —
+    * the search capability on top of the E24 inverted-index family.
+    * Okapi BM25 shape (k1 = 1.2, b = 0.75) with the LOG-FREE idf ratio
+    * (N − df + 0.5)/(df + 0.5) — the L26 bigram-PMI discipline: a
+    * transcendental log would be libm-dependent across engines, and the
+    * ratio keeps per-term ranking monotone in df. Per-doc score is a
+    * LEFT FOLD over the term-sorted (term, score) list (the engine's
+    * cosine-fold rule), replayed by `list_reduce` in the oracle — so the
+    * double sum is bit-identical at any parallelism.
+    *
+    * Shape: ONE tokenization pass feeds both the doc-length agg and the
+    * term-filtered tf agg (term filter BEFORE the shuffle); df and the
+    * corpus stats broadcast back; the final cut rides the bounded-heap
+    * TopKPerKeyExec, never a corpus sort.
+    */
+  def bm25Retrieval(s: SparkSession, dir: String): DataFrame = {
+    val qTerms = Seq("hash", "stream", "dup")
+    val toks = documents(s, dir).select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z0-9]+"), lit(0))).as("t"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .localCheckpoint() // feeds stats + the per-doc join
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+      .select(col("n_docs"),
+        (col("tot").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl"))
+    val tf = toks.where(col("t").isInCollection(qTerms))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val idf = (col("n_docs").cast("double") - col("df").cast("double")
+      + lit(0.5)) / (col("df").cast("double") + lit(0.5))
+    val tfn = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") + lit(1.2) * (lit(0.25)
+        + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
+    val perTerm = tf
+      .join(broadcast(dfreq), "t")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("t"), (idf * tfn).as("s"))
+    val scored = perTerm.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sort_array(collect_list(struct(col("t"), col("s")))).as("parts"))
+      .select(col("doc_id"), col("n_terms"), expr(
+        "aggregate(parts, cast(0.0 as double), (acc, x) -> acc + x.s)")
+        .as("score"))
+      .withColumn("_k", lit(0))
+    val top = graft.plans.TopKPerKey.topK(scored, keys = Seq("_k"),
+      order = Seq("score" -> "desc", "doc_id" -> "asc"), k = 20)
+    top.select(col("doc_id"), col("n_terms"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+  }
+
+  val bm25RetrievalSql: String =
+    """WITH toks AS (
+         SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+             AS t
+         FROM documents),
+       dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+       st AS (
+         SELECT COUNT(*) AS n_docs,
+           CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+         FROM dl),
+       tf AS (
+         SELECT doc_id, t, COUNT(*) AS tf FROM toks
+         WHERE t IN ('hash', 'stream', 'dup') GROUP BY doc_id, t),
+       dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+       pt AS (
+         SELECT tf.doc_id, tf.t,
+           ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+             / (CAST(df AS DOUBLE) + 0.5))
+           * ((CAST(tf AS DOUBLE) * 2.2)
+             / (CAST(tf AS DOUBLE) + 1.2 * (0.25
+               + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) AS s
+         FROM tf JOIN dfreq USING (t) JOIN dl USING (doc_id) CROSS JOIN st),
+       sc AS (
+         SELECT doc_id, COUNT(*) AS n_terms,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(s ORDER BY t)), (acc, x) -> acc + x) AS score
+         FROM pt GROUP BY doc_id)
+       SELECT doc_id, n_terms, score FROM sc
+       ORDER BY score DESC, doc_id ASC LIMIT 20"""
 }

@@ -234,6 +234,8 @@ object SparkEntry {
     "sample_weighted" -> (Queries.sampleWeighted _),
     "stream_asof_enrich" -> (Queries.streamAsofEnrich _),
     "hll_overlap" -> (Queries.hllOverlap _),
+    // L34 BM25-style ranked retrieval
+    "bm25_retrieval" -> (Queries.bm25Retrieval _),
   )
 
   /** Bench class per registered query — `pure` (compute only),
@@ -436,5 +438,6 @@ object SparkEntry {
     "sample_weighted" -> Queries.sampleWeightedSql,
     "stream_asof_enrich" -> Queries.streamAsofEnrichSql,
     "hll_overlap" -> Queries.hllOverlapSql,
+    "bm25_retrieval" -> Queries.bm25RetrievalSql,
   )
 }
