@@ -4980,7 +4980,7 @@ object Queries {
     */
   def basketBrandRules(s: SparkSession, dir: String): DataFrame = {
     val baskets = lineitem(s, dir)
-      .join(part(s, dir), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(part(s, dir)), col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey"), col("p_brand"))
     Basket.pairRules(baskets, col("l_orderkey"), col("p_brand"), 10L)
       .orderBy(col("item_a"), col("item_b"))
@@ -5245,6 +5245,25 @@ object Queries {
         col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment"), col("c_custkey"), col("x"))
     Stats.gini(perCust, col("c_mktsegment"), col("c_custkey"), col("x"))
+      .select(col("g").as("c_mktsegment"), col("n").as("n_customers"),
+        col("gini"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** E54's wide-group escape, REGISTERED: the same Gini through the
+    * two-level range rank ([[Ranks.groupRankByRange]]) — every group's
+    * sort runs range-parallel instead of one task per segment. Must
+    * hash-match `gini_concentration`'s oracle exactly (identical ranks ⇒
+    * identical decimal sums ⇒ identical division).
+    */
+  def giniRanked(s: SparkSession, dir: String): DataFrame = {
+    val rev = orders(s, dir).groupBy(col("o_custkey"))
+      .agg((sum(dec2(col("o_totalprice"))) * lit(100)).cast("long").as("x"))
+    val perCust = rev.join(customer(s, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("c_custkey"), col("x"))
+    Stats.gini(perCust, col("c_mktsegment"), col("c_custkey"), col("x"),
+        twoLevelRank = true)
       .select(col("g").as("c_mktsegment"), col("n").as("n_customers"),
         col("gini"))
       .orderBy(col("c_mktsegment"))
@@ -5852,4 +5871,58 @@ object Queries {
          FROM pt GROUP BY doc_id)
        SELECT doc_id, n_terms, score FROM sc
        ORDER BY score DESC, doc_id ASC LIMIT 20"""
+
+  // ------------------------------------------ E61 trending rank movement --
+
+  /** Daily top-5 brands by revenue WITH rank movement vs the brand's
+    * previous active day — the "trending" report. Movement comes from a
+    * `lag` over each brand's day series (NOT a self-join onto a
+    * checkpointed rank table: that shape consumed the ranked frame twice
+    * and cost 85 s at the 100× probe; the lag form re-uses the one
+    * |days×brands| frame and runs at the revenue-scan floor). Revenue is
+    * the exact decimal term; ranks tie-break by brand, so both engines
+    * agree. The part dimension is BROADCAST-hinted — it crosses the
+    * 10 MB auto threshold at the decade dirs and the fact would
+    * otherwise SMJ-sort.
+    */
+  def trendingBrands(s: SparkSession, dir: String): DataFrame = {
+    val daily = lineitem(s, dir)
+      .join(broadcast(part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(call_function("div", unix_micros(col("l_shipdate")),
+        lit(86400000000L)).as("day_bucket"), col("p_brand"))
+      .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+        .as("rev"))
+    val byDay = Window.partitionBy(col("day_bucket"))
+      .orderBy(col("rev").desc, col("p_brand").asc)
+    val byBrand = Window.partitionBy(col("p_brand"))
+      .orderBy(col("day_bucket").asc)
+    daily.withColumn("rnk", row_number().over(byDay).cast("long"))
+      .withColumn("prev_rnk", lag(col("rnk"), 1).over(byBrand))
+      .where(col("rnk") <= 5)
+      .select(col("day_bucket"), col("p_brand"),
+        col("rev").cast("double").as("revenue"), col("rnk"),
+        col("prev_rnk"), (col("prev_rnk") - col("rnk")).as("movement"))
+      .orderBy(col("day_bucket"), col("rnk"))
+  }
+
+  val trendingBrandsSql: String =
+    s"""WITH daily AS (
+         SELECT epoch_us(l_shipdate) // 86400000000 AS day_bucket, p_brand,
+           SUM($sqlRev) AS rev
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY day_bucket, p_brand),
+       ranked AS (
+         SELECT day_bucket, p_brand, rev,
+           CAST(ROW_NUMBER() OVER (PARTITION BY day_bucket
+             ORDER BY rev DESC, p_brand) AS BIGINT) AS rnk
+         FROM daily),
+       mv AS (
+         SELECT day_bucket, p_brand, rev, rnk,
+           lag(rnk, 1) OVER (PARTITION BY p_brand ORDER BY day_bucket)
+             AS prev_rnk
+         FROM ranked)
+       SELECT day_bucket, p_brand, CAST(rev AS DOUBLE) AS revenue,
+         rnk, prev_rnk, prev_rnk - rnk AS movement
+       FROM mv WHERE rnk <= 5
+       ORDER BY day_bucket, rnk"""
 }

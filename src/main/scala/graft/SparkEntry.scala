@@ -236,6 +236,10 @@ object SparkEntry {
     "hll_overlap" -> (Queries.hllOverlap _),
     // L34 BM25-style ranked retrieval
     "bm25_retrieval" -> (Queries.bm25Retrieval _),
+    // E61 trending rank movement
+    "trending_brands" -> (Queries.trendingBrands _),
+    // E54b two-level-rank Gini (the wide-group escape, same oracle)
+    "gini_ranked" -> (Queries.giniRanked _),
   )
 
   /** Bench class per registered query — `pure` (compute only),
@@ -439,5 +443,7 @@ object SparkEntry {
     "stream_asof_enrich" -> Queries.streamAsofEnrichSql,
     "hll_overlap" -> Queries.hllOverlapSql,
     "bm25_retrieval" -> Queries.bm25RetrievalSql,
+    "trending_brands" -> Queries.trendingBrandsSql,
+    "gini_ranked" -> Queries.giniConcentrationSql,
   )
 }

@@ -99,6 +99,24 @@ object StreamScaleBench {
       Map.empty
     }
 
+    // E7c: built-in session_window aggregation (complete-mode drain —
+    // state here is ALL sessions by design; the row proves the merge
+    // state follows sessions, not events)
+    run("streaming_session_window") {
+      Queries.streamingSessionWindow(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      Map.empty
+    }
+
+    // E8f: dropDuplicatesWithinWatermark — state rows must track DISTINCT
+    // KEYS inside the watermark horizon, not input rows (the doubled
+    // landing feeds 2× rows through 1× keys)
+    run("dedup_within_watermark") {
+      Queries.dedupWithinWatermarkQ(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      Map.empty
+    }
+
     // L12: foreachBatch incremental dedup — the registered query's exact
     // logic (Queries.dedupIncrementalStream) with a pinned fpDir so the
     // fingerprint table — this family's state — can be measured on disk

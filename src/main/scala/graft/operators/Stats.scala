@@ -144,11 +144,20 @@ object Stats {
     * O(partitions×groups) offset pass for full sort parallelism.
     */
   def gini(perEntity: DataFrame, group: Column, ord: Column,
-      x: Column): DataFrame = {
+      x: Column, twoLevelRank: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ranked = Window.partitionBy(group).orderBy(x.asc, ord.asc)
-    perEntity
-      .withColumn("_i", row_number().over(ranked).cast("long"))
+    val withRank =
+      if (twoLevelRank) {
+        // few WIDE groups: the per-group window would sort each group in
+        // one task — rank through [[Ranks.groupRankByRange]] instead.
+        // Caller contract: group/ord/x are plain column references.
+        val named = perEntity
+          .withColumn("_g", group).withColumn("_x", x).withColumn("_o", ord)
+        Ranks.groupRankByRange(named, Seq("_g"), Seq("_x", "_o"), out = "_i")
+      } else perEntity
+        .withColumn("_i", row_number().over(ranked).cast("long"))
+    withRank
       .groupBy(group.as("g"))
       .agg(count(lit(1)).as("n"),
         sum(x.cast("decimal(38,0)")).as("s0"),

@@ -59,6 +59,10 @@ object ConfigJson {
             Pipeline.RedactPii(textCol = str(f \ "column").get)
           case "nfc_clean" =>
             Pipeline.NfcCleanCol(textCol = str(f \ "column").get)
+          case "pseudonymize" => Pipeline.PseudonymizeCol(
+            keyCol = str(f \ "column").get,
+            salt = str(f \ "salt").get,
+            bits = int(f \ "bits").getOrElse(64))
           case "source_quota" => Pipeline.SourceQuota(
             keyCol = str(f \ "key").get,
             textCol = str(f \ "column").get,

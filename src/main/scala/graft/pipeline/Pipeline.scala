@@ -59,6 +59,13 @@ object Pipeline {
     * bytes. Pure narrow map (NfcClean codegen kernel).
     */
   final case class NfcCleanCol(textCol: String) extends Transform
+  /** Key pseudonymization as a config step (E51): replace `keyCol` in
+    * place with its salted one-way surrogate
+    * ([[graft.operators.Privacy.pseudonym]]) — every table run with the
+    * same salt stays joinable on the pseudonym. Pure narrow map.
+    */
+  final case class PseudonymizeCol(keyCol: String, salt: String,
+    bits: Int = 64) extends Transform
   /** Per-source quota as a config step (the `source_quota` curation cut):
     * keep the top-`k` rows per `keyCol` by quality score over `textCol`
     * (ties by `idCol` ascending) — runs through the bounded-heap
@@ -165,6 +172,8 @@ object Pipeline {
           df.withColumn(c, graft.operators.TextAnalysis.redactPii(col(c)))
         case NfcCleanCol(c) =>
           df.withColumn(c, graft.functions.NormalizeFunctions.nfcClean(col(c)))
+        case PseudonymizeCol(c, salt, bits) =>
+          df.withColumn(c, graft.operators.Privacy.pseudonym(col(c), salt, bits))
         case SourceQuota(key, textCol, idCol, k) =>
           requireNoInternalCols(df, "source_quota")
           val scored = df.withColumn("_gq_score",

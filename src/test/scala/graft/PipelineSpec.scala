@@ -237,6 +237,26 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(out.where(TextAnalysis.qualityScore($"text") < 0.8).count() === 0)
   }
 
+  test("pseudonymize config step keeps tables joinable across runs") {
+    val cfg = graft.pipeline.ConfigJson.parse(s"""{
+      "in": {"path": "$sf/orders.parquet"},
+      "filters": [
+        {"type": "pseudonymize", "column": "o_custkey", "salt": "s1"}
+      ]
+    }""")
+    assert(cfg.transforms.head ===
+      Pipeline.PseudonymizeCol("o_custkey", "s1"))
+    val ordersP = Pipeline.plan(spark, cfg)
+    val custP = Tables.customer(spark, sf)
+      .withColumn("c_custkey",
+        graft.operators.Privacy.pseudonym($"c_custkey", "s1"))
+    // every pseudonymized order still finds its customer, none leak raw
+    val joined = ordersP.join(custP,
+      ordersP("o_custkey") === custP("c_custkey"))
+    assert(joined.count() === Tables.orders(spark, sf).count())
+    assert(ordersP.schema("o_custkey").dataType.typeName === "string")
+  }
+
   test("task report aggregates per-stage records (AttemptState surface)") {
     val report = TaskReport.attach(spark)
     Tables.lineitem(spark, sf).groupBy($"l_returnflag").count().collect()

@@ -195,6 +195,26 @@ class StatsOpsSpec extends AnyFunSuite with SparkFixture {
     assert(hits >= 45L && hits <= 50L) // ≤ k, and near k
   }
 
+  test("groupRankByRange equals the window rank across range boundaries") {
+    import graft.operators.Ranks
+    import org.apache.spark.sql.expressions.Window
+    // 3 wide groups, enough rows that each spans several range partitions
+    val df = (1 to 3).flatMap(g => (1 to 400).map(i =>
+      (s"g$g", (i * 37) % 401, i))).toDF("g", "x", "tie")
+    val two = Ranks.groupRankByRange(df, Seq("g"), Seq("x", "tie"),
+        out = "rk")
+      .select("g", "x", "tie", "rk").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+    val win = df.withColumn("rk", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("x"), col("tie")))
+        .cast("long"))
+      .select("g", "x", "tie", "rk").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(two.toSeq === win.toSeq)
+  }
+
   test("txPublish: reading an unpublished base fails loudly") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_txpub_spec2_").toString
