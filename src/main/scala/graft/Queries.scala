@@ -5925,4 +5925,110 @@ object Queries {
          rnk, prev_rnk, prev_rnk - rnk AS movement
        FROM mv WHERE rnk <= 5
        ORDER BY day_bucket, rnk"""
+
+  // ------------------------------------ E62 bitemporal reconstruction -----
+
+  /** Two-axis time travel ([[Bitemporal.stateAt]]): every order lands as
+    * a tx-1 'P' row; orders with key % 7 = 0 get a RETROACTIVE status
+    * correction at tx 2 (same valid time, later transaction time). The
+    * query reconstructs the valid-date-1997-06-30 state under BOTH
+    * transaction views — what we believed then (tx ≤ 1) vs what we know
+    * now (tx ≤ 2) — and aggregates per status; the oracle derives both
+    * views independently from the raw orders.
+    */
+  def bitemporalAsof(s: SparkSession, dir: String): DataFrame = {
+    val vf = call_function("div", unix_micros(col("o_orderdate")),
+      lit(86400000000L))
+    val validAt = lit(
+      java.time.LocalDate.parse("1997-06-30").toEpochDay)
+    val base = orders(s, dir).select(col("o_orderkey"), vf.as("vf"),
+      col("o_orderstatus"), col("o_totalprice"))
+    val fact = base
+      .select(col("o_orderkey"), col("vf"), lit(1L).as("tx"),
+        lit("P").as("status"), col("o_totalprice"))
+      .unionByName(base.where(pmod(col("o_orderkey"), lit(7L)) === 0L)
+        .select(col("o_orderkey"), col("vf"), lit(2L).as("tx"),
+          col("o_orderstatus").as("status"), col("o_totalprice")))
+    def view(tx: Long): DataFrame =
+      Bitemporal.stateAt(fact, col("o_orderkey"), col("vf"), col("tx"),
+          Seq("status" -> col("status"),
+            "o_totalprice" -> col("o_totalprice")),
+          validAt, lit(tx))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total_value"))
+        .select(lit(tx).as("tx_view"), col("status"), col("n_orders"),
+          col("total_value"))
+    view(1L).unionByName(view(2L))
+      .orderBy(col("tx_view"), col("status"))
+  }
+
+  val bitemporalAsofSql: String =
+    """WITH v AS (
+         SELECT epoch_us(TIMESTAMP '1997-06-30') // 86400000000 AS va),
+       eligible AS (
+         SELECT o_orderkey, o_orderstatus, o_totalprice
+         FROM orders CROSS JOIN v
+         WHERE epoch_us(o_orderdate) // 86400000000 <= va),
+       both_views AS (
+         SELECT 1 AS tx_view, 'P' AS status, o_totalprice FROM eligible
+         UNION ALL
+         SELECT 2,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_orderstatus ELSE 'P' END,
+           o_totalprice
+         FROM eligible)
+       SELECT CAST(tx_view AS BIGINT) AS tx_view, status,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_value
+       FROM both_views GROUP BY tx_view, status
+       ORDER BY tx_view, status"""
+
+  // ------------------------------------- E44b config-driven DQ rules ------
+
+  /** Declarative data-quality rules evaluated as one audit
+    * ([[graft.pipeline.Pipeline.dqRulesAudit]] — the same frame the
+    * `dq_check` config step gates on): not-null, uniqueness (orderkey
+    * clean, custkey deliberately violated — repeat customers), a range
+    * rule, and the customer FK. One row per rule with its violation
+    * count; the oracle recomputes every rule independently.
+    */
+  def dqRules(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Pipeline.DqRule
+    Pipeline.dqRulesAudit(s, orders(s, dir), Seq(
+        DqRule("not_null", "o_custkey"),
+        DqRule("unique", "o_orderkey"),
+        DqRule("unique", "o_custkey"),
+        DqRule("min", "o_totalprice", value = Some("0")),
+        DqRule("fk", "o_custkey", refPath = Some(s"$dir/customer.parquet"),
+          refColumn = Some("c_custkey"))))
+      .orderBy(col("rule"), col("col_name"))
+  }
+
+  val dqRulesSql: String =
+    """SELECT * FROM (
+         SELECT 'not_null' AS rule, 'o_custkey' AS col_name,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_violations
+         FROM orders
+         UNION ALL
+         SELECT 'unique', 'o_orderkey',
+           CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+         FROM orders
+         UNION ALL
+         SELECT 'unique', 'o_custkey',
+           CAST(COUNT(o_custkey) - COUNT(DISTINCT o_custkey) AS BIGINT)
+         FROM orders
+         UNION ALL
+         SELECT 'min', 'o_totalprice',
+           CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+             AS BIGINT)
+         FROM orders
+         UNION ALL
+         SELECT 'fk', 'o_custkey',
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM orders o LEFT JOIN customer c
+              ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey IS NULL AND o.o_custkey IS NOT NULL))
+       ORDER BY rule, col_name"""
 }

@@ -240,6 +240,9 @@ object SparkEntry {
     "trending_brands" -> (Queries.trendingBrands _),
     // E54b two-level-rank Gini (the wide-group escape, same oracle)
     "gini_ranked" -> (Queries.giniRanked _),
+    // E62 bitemporal reconstruction, E44b config-driven DQ rules
+    "bitemporal_asof" -> (Queries.bitemporalAsof _),
+    "dq_rules" -> (Queries.dqRules _),
   )
 
   /** Bench class per registered query — `pure` (compute only),
@@ -445,5 +448,7 @@ object SparkEntry {
     "bm25_retrieval" -> Queries.bm25RetrievalSql,
     "trending_brands" -> Queries.trendingBrandsSql,
     "gini_ranked" -> Queries.giniConcentrationSql,
+    "bitemporal_asof" -> Queries.bitemporalAsofSql,
+    "dq_rules" -> Queries.dqRulesSql,
   )
 }

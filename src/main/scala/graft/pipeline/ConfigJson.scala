@@ -63,6 +63,21 @@ object ConfigJson {
             keyCol = str(f \ "column").get,
             salt = str(f \ "salt").get,
             bits = int(f \ "bits").getOrElse(64))
+          case "dq_check" => Pipeline.DqCheck(
+            rules = (f \ "rules") match {
+              case JArray(rs) => rs.map { r =>
+                Pipeline.DqRule(
+                  rule = str(r \ "rule").get,
+                  column = str(r \ "column").get,
+                  value = str(r \ "value"),
+                  refPath = str(r \ "ref_path"),
+                  refColumn = str(r \ "ref_column"))
+              }
+              case _ => Nil
+            },
+            failOnViolation = (f \ "fail") match {
+              case JBool(b) => b; case _ => false
+            })
           case "source_quota" => Pipeline.SourceQuota(
             keyCol = str(f \ "key").get,
             textCol = str(f \ "column").get,

@@ -66,6 +66,68 @@ object Pipeline {
     */
   final case class PseudonymizeCol(keyCol: String, salt: String,
     bits: Int = 64) extends Transform
+  /** One declarative data-quality rule (the `dq_check` config step):
+    * `not_null` / `unique` / `min` / `max` (with `value`) / `fk` (with
+    * `refPath` + `refColumn`). Violations are COUNTED, not sampled.
+    */
+  final case class DqRule(rule: String, column: String,
+    value: Option[String] = None, refPath: Option[String] = None,
+    refColumn: Option[String] = None)
+  /** Dataset-level quality gate as a config step — the E44 audit wired
+    * into the R14 config pipeline, with the `stop_on_invalid_record`
+    * failure discipline lifted from rows to RULES: the rule set is
+    * evaluated EAGERLY when the plan is built (the gate is the point),
+    * and any violation with `failOnViolation` aborts the run with the
+    * per-rule counts in the exception. Scalar rules share one aggregation
+    * pass; `unique` is n − distinct; `fk` is a key-projected anti-join
+    * count (the E44 shape).
+    */
+  final case class DqCheck(rules: Seq[DqRule],
+    failOnViolation: Boolean = false) extends Transform
+
+  final class DqViolationException(val counts: Seq[(DqRule, Long)])
+    extends RuntimeException(DqViolationException.describe(counts))
+
+  object DqViolationException {
+    private[pipeline] def describe(counts: Seq[(DqRule, Long)]): String =
+      "dq_check failed: " + counts.collect {
+        case (r, n) if n > 0 => s"${r.rule}(${r.column})=$n"
+      }.mkString(", ")
+  }
+
+  /** The audit frame behind [[DqCheck]]: one row per rule —
+    * (rule, column, n_violations). Shared by the config step and the
+    * registered `dq_rules` query so both gate the same logic.
+    */
+  def dqRulesAudit(spark: SparkSession, df: DataFrame,
+      rules: Seq[DqRule]): DataFrame = {
+    val frames = rules.map { r =>
+      val viol: DataFrame = r.rule match {
+        case "not_null" =>
+          df.agg(sum(when(col(r.column).isNull, 1L).otherwise(0L)).as("v"))
+        case "unique" =>
+          df.agg((count(col(r.column)) - count_distinct(col(r.column)))
+            .as("v"))
+        case "min" =>
+          df.agg(sum(when(col(r.column) < lit(r.value.get.toDouble), 1L)
+            .otherwise(0L)).as("v"))
+        case "max" =>
+          df.agg(sum(when(col(r.column) > lit(r.value.get.toDouble), 1L)
+            .otherwise(0L)).as("v"))
+        case "fk" =>
+          val ref = spark.read.parquet(r.refPath.get)
+            .select(col(r.refColumn.get).as("_ref")).distinct()
+          df.select(col(r.column).as("_k")).where(col("_k").isNotNull)
+            .join(ref, col("_k") === col("_ref"), "left_anti")
+            .agg(count(lit(1)).as("v"))
+        case other =>
+          throw new IllegalArgumentException(s"unknown dq rule: $other")
+      }
+      viol.select(lit(r.rule).as("rule"), lit(r.column).as("col_name"),
+        coalesce(col("v").cast("long"), lit(0L)).as("n_violations"))
+    }
+    frames.reduce(_ unionByName _)
+  }
   /** Per-source quota as a config step (the `source_quota` curation cut):
     * keep the top-`k` rows per `keyCol` by quality score over `textCol`
     * (ties by `idCol` ascending) — runs through the bounded-heap
@@ -174,6 +236,14 @@ object Pipeline {
           df.withColumn(c, graft.functions.NormalizeFunctions.nfcClean(col(c)))
         case PseudonymizeCol(c, salt, bits) =>
           df.withColumn(c, graft.operators.Privacy.pseudonym(col(c), salt, bits))
+        case DqCheck(rules, failOnViolation) =>
+          // the gate evaluates EAGERLY — the point is to stop a bad load
+          val counts = dqRulesAudit(spark, df, rules).collect()
+            .map(r => (rules.find(x => x.rule == r.getString(0)
+              && x.column == r.getString(1)).get, r.getLong(2)))
+          if (failOnViolation && counts.exists(_._2 > 0))
+            throw new DqViolationException(counts.toSeq)
+          df
         case SourceQuota(key, textCol, idCol, k) =>
           requireNoInternalCols(df, "source_quota")
           val scored = df.withColumn("_gq_score",

@@ -215,6 +215,52 @@ class StatsOpsSpec extends AnyFunSuite with SparkFixture {
     assert(two.toSeq === win.toSeq)
   }
 
+  test("bitemporal stateAt: corrections visible per tx view, valid cut") {
+    import graft.operators.Bitemporal
+    // key 1: recorded 'a' (valid 10, tx 1), corrected to 'b' (valid 10,
+    // tx 2), later version 'c' (valid 20, tx 3)
+    val df = Seq((1L, 10L, 1L, "a"), (1L, 10L, 2L, "b"), (1L, 20L, 3L, "c"))
+      .toDF("k", "vf", "tx", "v")
+    def at(va: Long, ta: Long): Seq[(Long, String)] =
+      Bitemporal.stateAt(df, col("k"), col("vf"), col("tx"),
+          Seq("v" -> col("v")), lit(va), lit(ta))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(at(15L, 1L) === Seq((1L, "a"))) // what we believed at tx 1
+    assert(at(15L, 2L) === Seq((1L, "b"))) // the correction, same valid
+    assert(at(25L, 3L) === Seq((1L, "c"))) // the newer valid version
+    assert(at(5L, 3L) === Seq.empty) // before any valid time
+  }
+
+  test("dq_check config step gates the load: fail throws with counts") {
+    import graft.pipeline.Pipeline
+    val cfg = graft.pipeline.ConfigJson.parse(s"""{
+      "in": {"path": "$sf/orders.parquet"},
+      "filters": [
+        {"type": "dq_check", "fail": true, "rules": [
+          {"rule": "not_null", "column": "o_custkey"},
+          {"rule": "unique", "column": "o_custkey"}
+        ]}
+      ]
+    }""")
+    val e = intercept[Pipeline.DqViolationException](
+      Pipeline.plan(spark, cfg))
+    assert(e.counts.exists { case (r, n) => r.rule == "unique" && n > 0 })
+    assert(e.getMessage.contains("unique(o_custkey)"))
+    // the same rules without fail pass the frame through
+    val cfg2 = graft.pipeline.ConfigJson.parse(s"""{
+      "in": {"path": "$sf/orders.parquet"},
+      "filters": [
+        {"type": "dq_check", "rules": [
+          {"rule": "unique", "column": "o_orderkey"},
+          {"rule": "fk", "column": "o_custkey",
+           "ref_path": "$sf/customer.parquet", "ref_column": "c_custkey"}
+        ], "fail": true}
+      ]
+    }""")
+    assert(Pipeline.plan(spark, cfg2).count() ===
+      Tables.orders(spark, sf).count())
+  }
+
   test("txPublish: reading an unpublished base fails loudly") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_txpub_spec2_").toString
