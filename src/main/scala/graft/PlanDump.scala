@@ -89,7 +89,13 @@ object PlanDump {
       "skyline_parts" -> "skyline: strict-predecessor RANGE running-min + per-(group,x) tie-min share one sort — no quadratic dominance join",
       "event_transitions" -> "transition matrix: lead window keys the one fact shuffle; the (from,to) agg collapses map-side to the |types|^2 grid",
       "seasonal_residuals" -> "seasonal residuals: one fact agg; both lookback windows run on the |days| frame partitioned by weekday",
-      "rolling_corr" -> "rolling corr: five integer window sums share one |days|-frame sort; closed form in the final projection only")
+      "rolling_corr" -> "rolling corr: five integer window sums share one |days|-frame sort; closed form in the final projection only",
+      "bm25_retrieval" -> "BM25: one tokenization pass feeds dl + term-filtered tf aggs; df/stats broadcast back; top-20 through TopKPerKeyExec — never a corpus sort",
+      "sample_weighted" -> "PPS sampling: the cumulative line is the two-level prefix sum (range exchange + local windows + broadcast offsets); selection is per-row integer arithmetic",
+      "gini_ranked" -> "two-level rank: range partition on (group, x, tie), local per-slice rank, broadcast slice offsets — no one-task-per-group sort; decimal rank sums after",
+      "trending_brands" -> "trending: broadcast part dim; ONE (day,brand) agg; day-rank and brand-series lag windows on the |days×brands| frame",
+      "bitemporal_asof" -> "bitemporal: per tx view one max_by hash agg over the filtered union fact; both time predicates at the scan",
+      "dq_rules" -> "dq rules: scalar rules are one-row aggregates; the fk rule is a key-projected anti-join — the corpus never carries payload through the checks")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` on `$sf`. Audit notes per plan;\n")

@@ -5984,6 +5984,51 @@ object Queries {
        FROM both_views GROUP BY tx_view, status
        ORDER BY tx_view, status"""
 
+  // ---------------------------------- L35 cluster-dedup-aware sampling ----
+
+  /** The curation recipe COMPOSED: collapse near-dup clusters to their
+    * min-id representative (L2's MinHash pairs → E11's components), then
+    * draw the content-deterministic 4/16 hash sample over REPRESENTATIVES
+    * (L14's nibble cut) — sampling after dedup, so duplicate-heavy
+    * sources can't flood the sample. Every stage is an already-gated
+    * kernel; the composition gate is row-exact (the oracle replays
+    * clusters via the recursive CTE, reps, and the nibble predicate).
+    */
+  def sampleClusterDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val pairs = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
+      threshold = 0.5)
+    val reps = Dedup.clusters(docs.select(col("doc_id").as("id")), pairs)
+      .where(col("id") === col("root")).select(col("id").as("doc_id"))
+    Sampling.hashSample(docs.join(reps, "doc_id"), col("text"), lit(4))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sampleClusterDedupSql: String =
+    s"""WITH RECURSIVE
+       s AS (SELECT doc_id, lang, $shingleSql AS sh FROM ($shingleSrcSql)),
+       pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE $jaccardSql >= 0.5),
+       edges AS (
+         SELECT id_a AS src, id_b AS dst FROM pairs
+         UNION ALL
+         SELECT id_b AS src, id_a AS dst FROM pairs),
+       reach(id, root) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id),
+       reps AS (
+         SELECT id AS doc_id FROM (
+           SELECT id, MIN(root) AS root FROM reach GROUP BY id)
+         WHERE id = root)
+       SELECT d.doc_id, d.lang
+       FROM documents d JOIN reps USING (doc_id)
+       WHERE strpos('0123456789abcdef', substr(md5(d.text), 1, 1)) - 1 < 4
+       ORDER BY d.doc_id"""
+
   // ------------------------------------- E44b config-driven DQ rules ------
 
   /** Declarative data-quality rules evaluated as one audit

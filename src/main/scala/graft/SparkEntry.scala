@@ -243,6 +243,8 @@ object SparkEntry {
     // E62 bitemporal reconstruction, E44b config-driven DQ rules
     "bitemporal_asof" -> (Queries.bitemporalAsof _),
     "dq_rules" -> (Queries.dqRules _),
+    // L35 cluster-dedup-aware sampling
+    "sample_cluster_dedup" -> (Queries.sampleClusterDedup _),
   )
 
   /** Bench class per registered query — `pure` (compute only),
@@ -450,5 +452,6 @@ object SparkEntry {
     "gini_ranked" -> Queries.giniConcentrationSql,
     "bitemporal_asof" -> Queries.bitemporalAsofSql,
     "dq_rules" -> Queries.dqRulesSql,
+    "sample_cluster_dedup" -> Queries.sampleClusterDedupSql,
   )
 }
