@@ -6029,6 +6029,58 @@ object Queries {
        WHERE strpos('0123456789abcdef', substr(md5(d.text), 1, 1)) - 1 < 4
        ORDER BY d.doc_id"""
 
+  // ---------------------------------- E63 power-iteration PCA -------------
+
+  /** Top principal direction of the embedding corpus
+    * ([[Spectral.pcaTopComponent]]): integer-exact quantized Gram (one
+    * corpus pass, vectors never shuffle), 20 fixed power-iteration
+    * rounds as ascending-index double folds — the oracle replays the
+    * Gram in SQL and the iteration with a recursive CTE over list
+    * folds, instruction for instruction.
+    */
+  def pcaTopComponentQ(s: SparkSession, dir: String): DataFrame =
+    Spectral.pcaTopComponent(s, embeddings(s, dir), "embedding")
+      .orderBy(col("dim_idx"))
+
+  val pcaTopComponentSql: String =
+    """WITH RECURSIVE g AS (
+         SELECT ti.i AS i, tj.j AS j,
+           CAST(SUM(CAST(floor(CAST(e.embedding[ti.i + 1] AS DOUBLE)
+             * CAST(e.embedding[tj.j + 1] AS DOUBLE) * 1048576.0)
+             AS BIGINT)) AS BIGINT) AS q
+         FROM embeddings e, range(64) ti(i), range(64) tj(j)
+         GROUP BY ti.i, tj.j),
+       gml AS (
+         SELECT list(grow ORDER BY i) AS mat FROM (
+           SELECT i, list(q ORDER BY j) AS grow FROM g GROUP BY i)),
+       it(k, x, m) AS (
+         SELECT 0, list_transform(range(64), r -> CAST(1.0 AS DOUBLE)),
+           CAST(1.0 AS DOUBLE)
+         UNION ALL
+         SELECT k + 1,
+           list_transform(y, v -> v
+             / list_reduce(list_transform(y, w -> abs(w)),
+                 (a, b) -> CASE WHEN b > a THEN b ELSE a END)),
+           list_reduce(list_transform(y, w -> abs(w)),
+             (a, b) -> CASE WHEN b > a THEN b ELSE a END)
+         FROM (
+           SELECT k,
+             list_transform(mat, grow -> list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(list_zip(grow, x),
+                   z -> CAST(z[1] AS DOUBLE) * z[2])),
+               (a, b) -> a + b)) AS y
+           FROM it CROSS JOIN gml WHERE k < 20) t),
+       fin AS (SELECT x, m FROM it WHERE k = 20),
+       nrm AS (
+         SELECT x, m,
+           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(x, v -> v * v)), (a, b) -> a + b)) AS l2
+         FROM fin)
+       SELECT r.i AS dim_idx, x[r.i + 1] / l2 AS loading,
+         m / 1048576.0 AS eigenvalue
+       FROM nrm, range(64) r(i) ORDER BY dim_idx"""
+
   // ------------------------------------- E44b config-driven DQ rules ------
 
   /** Declarative data-quality rules evaluated as one audit

@@ -245,6 +245,8 @@ object SparkEntry {
     "dq_rules" -> (Queries.dqRules _),
     // L35 cluster-dedup-aware sampling
     "sample_cluster_dedup" -> (Queries.sampleClusterDedup _),
+    // E63 power-iteration PCA
+    "pca_top_component" -> (Queries.pcaTopComponentQ _),
   )
 
   /** Bench class per registered query — `pure` (compute only),
@@ -453,5 +455,6 @@ object SparkEntry {
     "bitemporal_asof" -> Queries.bitemporalAsofSql,
     "dq_rules" -> Queries.dqRulesSql,
     "sample_cluster_dedup" -> Queries.sampleClusterDedupSql,
+    "pca_top_component" -> Queries.pcaTopComponentSql,
   )
 }

@@ -261,6 +261,27 @@ class StatsOpsSpec extends AnyFunSuite with SparkFixture {
       Tables.orders(spark, sf).count())
   }
 
+  test("powerIterate recovers the dominant eigenvector of a known matrix") {
+    import graft.operators.Spectral
+    // diag(4, 1) scaled: dominant direction is e0, eigenvalue 4s
+    val s = 1000L
+    val g = Array(4L * s, 0L, 0L, 1L * s)
+    val (x, m) = Spectral.powerIterate(g, 2, iters = 30)
+    assert(math.abs(x(0)) === 1.0) // L-inf normalized dominant axis
+    assert(math.abs(x(1)) < 1e-12)
+    assert(math.abs(m - 4000.0) < 1e-9)
+  }
+
+  test("gramQuantized is partitioning-invariant (integer sums)") {
+    import graft.operators.Spectral
+    val e = Tables.embeddings(spark, sf).limit(200)
+    def cells(df: org.apache.spark.sql.DataFrame): Seq[(Int, Long)] =
+      Spectral.gramQuantized(df, "embedding", 1L << 20)
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+        .sortBy(_._1).toSeq
+    assert(cells(e.repartition(1)) === cells(e.repartition(13)))
+  }
+
   test("txPublish: reading an unpublished base fails loudly") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_txpub_spec2_").toString
