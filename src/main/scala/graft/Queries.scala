@@ -6029,6 +6029,47 @@ object Queries {
        WHERE strpos('0123456789abcdef', substr(md5(d.text), 1, 1)) - 1 < 4
        ORDER BY d.doc_id"""
 
+  // ----------------------------------- E6f windowed HLL distinct ----------
+
+  /** Trailing 7-day distinct users from MERGEABLE daily sketches: one
+    * `hll_sketch_agg` per day, then `hll_union_agg` over the ROWS window
+    * — E6d's reaggregatable-distinct discipline extended to SLIDING
+    * windows (the exact E32 form re-touches the distinct frame ×7; the
+    * sketch form unions 7 fixed-size summaries per day and never
+    * revisits data). ROWS frames equal day frames because the event
+    * series is day-contiguous (a gapped series would need a day spine
+    * first — E2b's). Contract oracle: each estimate within 5% of the
+    * exact E32 truth, which the oracle computes.
+    */
+  def slidingDistinctHll(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(call_function("div", unix_micros(col("ts")),
+        lit(86400000000L)).as("day_bucket"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val w = Window.orderBy(col("day_bucket")).rowsBetween(-6, 0)
+    val est = daily.withColumn("est",
+      hll_sketch_estimate(hll_union_agg(col("sk")).over(w)))
+    val exact = TimeSeries.rollingDistinct(events(s, dir), col("user_id"),
+      col("ts"), 86400000000L, windowDays = 7)
+    exact.join(est.select(col("day_bucket"), col("est")), "day_bucket")
+      .select(col("day_bucket"), col("n_users_7d"),
+        (abs(col("est").cast("double")
+          - col("n_users_7d").cast("double"))
+          <= lit(0.05) * col("n_users_7d").cast("double")).as("hll_ok"))
+      .orderBy(col("day_bucket"))
+  }
+
+  val slidingDistinctHllSql: String =
+    """WITH ud AS (
+         SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS d
+         FROM events),
+       tg AS (
+         SELECT DISTINCT u, d + o AS td
+         FROM ud, generate_series(0, 6) AS t(o))
+       SELECT td AS day_bucket, COUNT(*) AS n_users_7d, true AS hll_ok
+       FROM tg WHERE td <= (SELECT MAX(d) FROM ud)
+       GROUP BY 1 ORDER BY 1"""
+
   // ---------------------------------- E63 power-iteration PCA -------------
 
   /** Top principal direction of the embedding corpus

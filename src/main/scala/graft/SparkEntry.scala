@@ -247,6 +247,8 @@ object SparkEntry {
     "sample_cluster_dedup" -> (Queries.sampleClusterDedup _),
     // E63 power-iteration PCA
     "pca_top_component" -> (Queries.pcaTopComponentQ _),
+    // E6f windowed mergeable distinct
+    "sliding_distinct_hll" -> (Queries.slidingDistinctHll _),
   )
 
   /** Bench class per registered query — `pure` (compute only),
@@ -456,5 +458,6 @@ object SparkEntry {
     "dq_rules" -> Queries.dqRulesSql,
     "sample_cluster_dedup" -> Queries.sampleClusterDedupSql,
     "pca_top_component" -> Queries.pcaTopComponentSql,
+    "sliding_distinct_hll" -> Queries.slidingDistinctHllSql,
   )
 }
