@@ -6029,6 +6029,58 @@ object Queries {
        WHERE strpos('0123456789abcdef', substr(md5(d.text), 1, 1)) - 1 < 4
        ORDER BY d.doc_id"""
 
+  // --------------------------------------- E64 exact weighted median ------
+
+  /** Per-segment WEIGHTED median of customer revenue, weighted by order
+    * count — "the revenue level at which half the segment's ORDERS sit
+    * with smaller-or-equal customers": the smallest x whose cumulative
+    * weight reaches half the total. Pure integer comparisons (2·cum ≥
+    * tot avoids any division), per-group window cumsum on the
+    * per-entity frame — the plain median is the w≡1 special case (E6b),
+    * and no engine builtin computes the weighted form. Same wide-group
+    * note as E54 (the E54b two-level rank is the escape).
+    */
+  def weightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val perCust = orders(s, dir).groupBy(col("o_custkey"))
+      .agg((sum(dec2(col("o_totalprice"))) * lit(100)).cast("long").as("x"),
+        count(lit(1)).as("w"))
+      .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("c_custkey"), col("x"), col("w"))
+    val byX = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("x").asc, col("c_custkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byG = Window.partitionBy(col("c_mktsegment"))
+    perCust
+      .withColumn("cum", sum(col("w")).over(byX))
+      .withColumn("tot", sum(col("w")).over(byG))
+      .where(lit(2L) * col("cum") >= col("tot"))
+      .groupBy(col("c_mktsegment"))
+      .agg(min(col("x")).as("median_rev_c"),
+        min(col("tot")).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val weightedMedianSql: String =
+    """WITH pc AS (
+         SELECT c_mktsegment, c_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+             AS x,
+           COUNT(*) AS w
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment, c_custkey),
+       cw AS (
+         SELECT c_mktsegment, x, w,
+           CAST(SUM(w) OVER (PARTITION BY c_mktsegment
+             ORDER BY x, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum,
+           CAST(SUM(w) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS tot
+         FROM pc)
+       SELECT c_mktsegment, MIN(x) AS median_rev_c,
+         CAST(MIN(tot) AS BIGINT) AS n_orders
+       FROM cw WHERE 2 * cum >= tot
+       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   // ----------------------------------- E6f windowed HLL distinct ----------
 
   /** Trailing 7-day distinct users from MERGEABLE daily sketches: one

@@ -249,6 +249,8 @@ object SparkEntry {
     "pca_top_component" -> (Queries.pcaTopComponentQ _),
     // E6f windowed mergeable distinct
     "sliding_distinct_hll" -> (Queries.slidingDistinctHll _),
+    // E64 exact weighted median
+    "weighted_median" -> (Queries.weightedMedian _),
   )
 
   /** Bench class per registered query — `pure` (compute only),
@@ -459,5 +461,6 @@ object SparkEntry {
     "sample_cluster_dedup" -> Queries.sampleClusterDedupSql,
     "pca_top_component" -> Queries.pcaTopComponentSql,
     "sliding_distinct_hll" -> Queries.slidingDistinctHllSql,
+    "weighted_median" -> Queries.weightedMedianSql,
   )
 }
