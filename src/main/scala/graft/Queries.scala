@@ -3970,7 +3970,8 @@ object Queries {
              l_returnflag, epoch_us(l_shipdate))), 1, 15) AS BIGINT) AS h
          FROM lineitem)
        SELECT bucket, COUNT(*) AS n_rows, bit_xor(h) AS xor_sig,
-              CAST(SUM(h) AS DECIMAL(38,0)) AS sum_sig
+              CAST(SUM(h & 1073741823) AS BIGINT) AS sum_lo,
+              CAST(SUM(h >> 30) AS BIGINT) AS sum_hi
        FROM h GROUP BY bucket ORDER BY bucket"""
 
   // --------------------------------------------- E38 heavy hitters --------
@@ -4876,10 +4877,14 @@ object Queries {
            SELECT e_us + 1 AS t, -1 AS d FROM ivals)
          GROUP BY t),
        run AS (
-         SELECT t // 86400000000 AS day,
+         SELECT t // 86400000000 AS day, delta,
            CAST(SUM(delta) OVER (ORDER BY t) AS BIGINT) AS conc
          FROM deltas)
-       SELECT day AS day_bucket, MAX(conc) AS max_concurrency
+       -- conc - delta is the level JUST BEFORE each endpoint; for a day's
+       -- first endpoint that is the start-of-day carry-in plateau, which
+       -- must compete with the endpoint values for the day's max
+       SELECT day AS day_bucket,
+              MAX(GREATEST(conc, conc - delta)) AS max_concurrency
        FROM run GROUP BY day ORDER BY day_bucket"""
 
   // -------------------------------------- E47 largest-remainder rebate ----

@@ -40,12 +40,17 @@ object Basket {
     */
   def pairRules(df: DataFrame, basket: Column, item: Column,
       minSupport: Long): DataFrame = {
-    val vocab = df.select(item.as("it")).distinct()
-      .withColumn("idx",
+    // Probe WITHOUT the window: distinct().limit(65) short-circuits on a
+    // partial-agg'd frame, so an unbounded item domain (the very case the
+    // generic path exists for) never pays a single-task row_number sort
+    // just to learn it has > 64 items.
+    val distinctItems = df.select(item.as("it")).distinct()
+    if (distinctItems.limit(65).count() <= 64) {
+      // dense 0-based idx; the ≤64-row sort is a no-op at this size
+      val vocab = distinctItems.withColumn("idx",
         (row_number().over(Window.orderBy(col("it"))) - 1).cast("int"))
-    if (vocab.limit(65).count() <= 64)
       pairRulesBitmap(df, basket, item, minSupport, vocab)
-    else pairRulesGeneric(df, basket, item, minSupport)
+    } else pairRulesGeneric(df, basket, item, minSupport)
   }
 
   /** Small-domain path: one fact shuffle (the per-basket OR-fold), then

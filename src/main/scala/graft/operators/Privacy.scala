@@ -16,10 +16,12 @@ import org.apache.spark.sql.functions._
   * tables is the whole point.
   *
   * Shape: a pure narrow codegen'd projection (md5 over salt‖key) — zero
-  * shuffle, zero state; at 100 TB it rides every scan for free. 64 bits
-  * of digest keep accidental collisions < 3·10⁻⁸ even at 10⁹ distinct
-  * keys (birthday bound) — callers needing a hard no-collision contract
-  * keep the full 128-bit hex by passing `bits = 128`.
+  * shuffle, zero state; at 100 TB it rides every scan for free. Size the
+  * digest by the birthday bound n²/2N: 64 bits keep the collision
+  * probability < 3·10⁻⁸ at ~10⁶ distinct keys, but at 10⁹ keys it rises
+  * to ~2.7% — percent-level odds of silently merging two identities. At
+  * ≥ 10⁸ distinct keys pass `bits = 128` (collision odds < 2·10⁻²¹ even
+  * at 10⁹ keys); 128 bits is also the hard no-collision contract.
   */
 object Privacy {
 

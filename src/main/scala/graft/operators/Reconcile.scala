@@ -66,11 +66,18 @@ object Reconcile {
     * CANONICAL row rendering (`repr` — the caller casts doubles through
     * decimal and timestamps through epoch micros so the string is
     * engine-portable). Per bucket: row count, XOR of digests, and an
-    * exact decimal SUM of digests. XOR alone misses duplicated-row-pair
-    * anomalies (x ⊕ x = 0); count+sum+xor together make any single-row
-    * change visible. Both combiners are commutative-associative, so the
-    * aggregation is one HashAggregate with map-side partials and the
-    * result is partitioning-invariant — bit-identical on any cluster.
+    * exact SUM of digests carried as TWO int64 halves (`sum_lo` over the
+    * low 30 bits, `sum_hi` over the high 30) — each half stays below
+    * 2^63 for up to 2^33 rows per bucket, so the signature schema is
+    * all-BIGINT and renders bit-identically in every engine (a 128-bit
+    * decimal sum is value-equal across engines but its in-memory
+    * materialization differs — Decimal object vs float — which broke
+    * byte-level result comparison). XOR alone misses duplicated-row-pair
+    * anomalies (x ⊕ x = 0); count+split-sum+xor together make any
+    * single-row change visible. All combiners are
+    * commutative-associative, so the aggregation is one HashAggregate
+    * with map-side partials and the result is partitioning-invariant —
+    * bit-identical on any cluster.
     */
   def tableChecksum(df: DataFrame, bucket: Column, repr: Column): DataFrame =
     df.select(bucket.as("bucket"),
@@ -78,5 +85,6 @@ object Reconcile {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(h)").as("xor_sig"),
-        sum(col("h").cast("decimal(28,0)")).as("sum_sig"))
+        sum(col("h").bitwiseAND(lit((1L << 30) - 1))).as("sum_lo"),
+        sum(shiftright(col("h"), 30)).as("sum_hi"))
 }

@@ -22,12 +22,29 @@ import org.apache.spark.sql.expressions.Window
   */
 object Skyline {
 
-  /** Rows of `df` on the per-group minimize-(x, y) frontier. `x` must be
-    * integral-valued or exact (cents, sizes) — the dominance comparisons
-    * are pure orderings, so any engine replays them identically.
+  /** Rows of `df` on the per-group minimize-(x, y) frontier. `x` MUST be
+    * an integer-typed column (byte/short/int/long, or decimal with scale
+    * 0) — integer CENT counts, not decimal dollars: the strict-
+    * predecessor frame is `rangeBetween(…, -1)`, and "current x minus 1"
+    * only excludes exactly the x-ties when consecutive x values differ
+    * by ≥ 1. A fractional x (1.49 vs 1.50) would leave dominated rows in
+    * the gap `(x−1, x)` outside the frame and wrongly keep them, so
+    * non-integer x types are rejected up front.
     */
   def skyline2d(df: DataFrame, group: Column, x: Column,
       y: Column): DataFrame = {
+    val xType = df.select(x.as("_x")).schema.head.dataType
+    val xIntegral = xType match {
+      case org.apache.spark.sql.types.ByteType
+         | org.apache.spark.sql.types.ShortType
+         | org.apache.spark.sql.types.IntegerType
+         | org.apache.spark.sql.types.LongType => true
+      case d: org.apache.spark.sql.types.DecimalType => d.scale == 0
+      case _ => false
+    }
+    require(xIntegral,
+      s"skyline2d needs an integer-typed x (got $xType): the -1 range " +
+        "frame is only tie-exact when x values are whole numbers")
     val byX = Window.partitionBy(group).orderBy(x.asc)
     val strictlyBefore = byX.rangeBetween(Window.unboundedPreceding, -1)
     val tiedOnX = Window.partitionBy(group, x)

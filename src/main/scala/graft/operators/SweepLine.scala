@@ -21,7 +21,11 @@ object SweepLine {
   /** Max number of concurrently-open `[startUs, endUs]` (closed, µs)
     * intervals, reported per day bucket (`t div dayUs`). Only days that
     * contain at least one interval endpoint appear (concurrency cannot
-    * change — and so cannot peak anew — on silent days).
+    * change — and so cannot peak anew — on silent days). On days that DO
+    * appear, the start-of-day carry-in plateau is a candidate for the
+    * max alongside every endpoint value: a day whose only events are
+    * interval ENDS still reports the morning plateau it opened with,
+    * not the post-close trough.
     *
     * Shape: endpoints → net delta per distinct timestamp (one hash agg —
     * simultaneous starts/ends collapse BEFORE any sort, making the running
@@ -52,6 +56,10 @@ object SweepLine {
     deltas.join(broadcast(carry), "day")
       .withColumn("conc", col("carry_in") + sum(col("delta")).over(byDay))
       .groupBy(col("day").as("day_bucket"))
-      .agg(max(col("conc")).as("max_concurrency"))
+      // greatest(conc, carry_in): the start-of-day plateau competes with
+      // every endpoint value, so an all-negative-delta day reports the
+      // level it opened at instead of its post-close trough.
+      .agg(max(greatest(col("conc"), col("carry_in")))
+        .as("max_concurrency"))
   }
 }

@@ -100,8 +100,17 @@ object Pipeline {
     * registered `dq_rules` query so both gate the same logic.
     */
   def dqRulesAudit(spark: SparkSession, df: DataFrame,
-      rules: Seq[DqRule]): DataFrame = {
-    val frames = rules.map { r =>
+      rules: Seq[DqRule]): DataFrame =
+    dqRulesAuditIndexed(spark, df, rules)
+      .select(col("rule"), col("col_name"), col("n_violations"))
+
+  /** [[dqRulesAudit]] plus a positional `rule_idx` column, so callers can
+    * attribute counts back to the EXACT rule instance even when two rules
+    * share (rule, column) — e.g. two `min` thresholds on one column.
+    */
+  private[pipeline] def dqRulesAuditIndexed(spark: SparkSession,
+      df: DataFrame, rules: Seq[DqRule]): DataFrame = {
+    val frames = rules.zipWithIndex.map { case (r, i) =>
       val viol: DataFrame = r.rule match {
         case "not_null" =>
           df.agg(sum(when(col(r.column).isNull, 1L).otherwise(0L)).as("v"))
@@ -123,7 +132,8 @@ object Pipeline {
         case other =>
           throw new IllegalArgumentException(s"unknown dq rule: $other")
       }
-      viol.select(lit(r.rule).as("rule"), lit(r.column).as("col_name"),
+      viol.select(lit(i).as("rule_idx"), lit(r.rule).as("rule"),
+        lit(r.column).as("col_name"),
         coalesce(col("v").cast("long"), lit(0L)).as("n_violations"))
     }
     frames.reduce(_ unionByName _)
@@ -237,10 +247,11 @@ object Pipeline {
         case PseudonymizeCol(c, salt, bits) =>
           df.withColumn(c, graft.operators.Privacy.pseudonym(col(c), salt, bits))
         case DqCheck(rules, failOnViolation) =>
-          // the gate evaluates EAGERLY — the point is to stop a bad load
-          val counts = dqRulesAudit(spark, df, rules).collect()
-            .map(r => (rules.find(x => x.rule == r.getString(0)
-              && x.column == r.getString(1)).get, r.getLong(2)))
+          // the gate evaluates EAGERLY — the point is to stop a bad load;
+          // counts join back to rules POSITIONALLY (rule_idx), so two
+          // rules sharing (rule, column) each keep their own count
+          val counts = dqRulesAuditIndexed(spark, df, rules).collect()
+            .map(r => (rules(r.getInt(0)), r.getLong(3)))
           if (failOnViolation && counts.exists(_._2 > 0))
             throw new DqViolationException(counts.toSeq)
           df

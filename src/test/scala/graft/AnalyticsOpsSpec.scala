@@ -27,6 +27,18 @@ class AnalyticsOpsSpec extends AnyFunSuite with SparkFixture {
       Seq((0L, 2L), (1L, 2L)))
   }
 
+  test("sweep-line: all-negative-delta day reports its carry-in plateau") {
+    // one interval opens on day 0 and closes early on day 1; day 1's only
+    // endpoint is the close (delta -1). The day-1 max must be the
+    // morning plateau (1 interval open), not the post-close trough (0).
+    val d = 86400000000L
+    val iv = Seq((10L, d + 10000000000L)).toDF("s", "e")
+    val out = SweepLine.maxConcurrency(iv, col("s"), col("e"))
+      .orderBy("day_bucket").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((0L, 1L), (1L, 1L)))
+  }
+
   test("sweep-line: simultaneous start/end at one timestamp nets first") {
     // [0,100] ends at 100 (delta at 101), [101,200] starts at 101:
     // net at t=101 is 0 → concurrency never exceeds 1

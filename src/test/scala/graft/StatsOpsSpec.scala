@@ -114,6 +114,19 @@ class StatsOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out.toSeq === Seq(1L, 2L, 4L, 5L))
   }
 
+  test("skyline2d rejects fractional x types (range-frame contract)") {
+    import graft.operators.Skyline
+    val df = Seq(("g", 1.49, 3), ("g", 1.50, 2)).toDF("g", "x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Skyline.skyline2d(df, col("g"), col("x"), col("y"))
+    }
+    assert(e.getMessage.contains("integer-typed x"))
+    // decimal scale 0 (exact whole numbers) is accepted
+    val ok = df.withColumn("x", (col("x") * 100).cast("decimal(20,0)"))
+    assert(Skyline.skyline2d(ok, col("g"), col("x"), col("y"))
+      .count() === 2L)
+  }
+
   test("mahalanobisCensus: off-ellipse point flags, on-trend extremes don't") {
     import graft.operators.Stats
     // tight y≈x trend plus one on-trend extension and one off-trend point
