@@ -59,6 +59,27 @@ object StreamingIngest {
         unix_micros(col("session_window.start")).as("start_us"),
         col("n_events"))
 
+  /** APPEND-mode session windows — the production form of
+    * [[sessionWindowCounts]]: with a watermark on the event time, the
+    * state store emits each session ONCE, when the watermark passes its
+    * close, and then evicts it. Per-trigger output is O(sessions closed
+    * this trigger), not O(all sessions ever) — the complete-mode drain
+    * rewrites the entire result every trigger and exists only as the
+    * all-data demo/unit-test shape. State is one open window per active
+    * key; both forms share the merge-touching-windows boundary (split at
+    * gap >, not ≥ — the batch sessionize convention).
+    */
+  def sessionWindowCountsAppend(events: DataFrame, keyCol: String,
+      tsCol: String = "ts", gap: String = "30 minutes",
+      watermark: String = "1 minute"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        unix_micros(col("session_window.start")).as("start_us"),
+        col("n_events"))
+
   /** Watermark-bounded key dedup WITHOUT the timestamp in the key:
     * `dropDuplicatesWithinWatermark` guarantees dedup for duplicates
     * arriving within the watermark delay of each other (the
