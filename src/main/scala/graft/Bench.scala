@@ -175,7 +175,18 @@ object Bench {
       if (fork.nonEmpty)
         s""","total_fork":${fork.map(_._2).filter(_ >= 0).sum},"queries_fork":${json(fork)}"""
       else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(inRun)}$coldPart$forkPart$classPart,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(inRun)}$coldPart$forkPart$classPart,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's BENCH_rN.json keeps only the tail of stdout, which
+    // truncates the per-query map past ~70 queries — persist the FULL
+    // line to a repo file so every round-over-round diff covers every
+    // query (the file rides the driver's end-of-round commit)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_full.json")),
+      line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_full.json write failed: ${e.getMessage}")
+    }
     spark.stop()
     // the wh tree (warehouse + spark.local.dir + fork subtrees) lives on
     // RAM-backed tmpfs: reclaim it now — it can't go through tempDirs,

@@ -5093,16 +5093,23 @@ object Queries {
     * for the per-doc count agg.
     */
   def oovRate(s: SparkSession, dir: String): DataFrame = {
-    val toks = documents(s, dir).select(col("doc_id"),
-      explode(regexp_extract_all(lower(col("text")),
-        lit("[a-z0-9]+"), lit(0))).as("t"))
-    val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    // ONE tokenization pass (previously two full explode+regex scans):
+    // the per-(doc, token) count table is the Zipf-compact intermediate
+    // — materialized once, then BOTH the vocab ranking and the per-doc
+    // OOV census are token-count-weighted aggs over it. At 100× the old
+    // shape re-tokenized the whole corpus for each side (69.5 s).
+    val tokCounts = documents(s, dir).select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z0-9]+"), lit(0))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val vocab = tokCounts.groupBy(col("t")).agg(sum(col("cnt")).as("c"))
       .orderBy(col("c").desc, col("t").asc).limit(20)
       .select(col("t").as("v"))
-    toks.join(broadcast(vocab), col("t") === col("v"), "left")
+    tokCounts.join(broadcast(vocab), col("t") === col("v"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        count(when(col("v").isNull, 1)).as("n_oov"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(when(col("v").isNull, col("cnt")).otherwise(lit(0L))).as("n_oov"))
       .withColumn("oov_rate",
         col("n_oov").cast("double") / col("n_tokens").cast("double"))
       .orderBy(col("doc_id"))
@@ -5161,28 +5168,58 @@ object Queries {
 
   // ------------------------------------ E7c built-in session windows ------
 
-  /** The DECLARATIVE streaming sessionizer
-    * ([[graft.streaming.StreamingIngest.sessionWindowCounts]]):
-    * `session_window(ts, 30 min)` over the landed event stream, drained
-    * availableNow in complete mode. Touching windows merge, so the split
-    * boundary is gap > 30 min — the same convention as the E4 batch
-    * `sessionize` (the exact boundary is unit-pinned in
-    * StreamingDedupSpec), and the oracle replays it.
+  /** The DECLARATIVE streaming sessionizer, in its PRODUCTION (append-
+    * mode) form ([[graft.streaming.StreamingIngest.sessionWindowCountsAppend]]):
+    * `session_window(ts, 30 min)` with a 1-hour watermark, drained with
+    * the E12 two-drain discipline. Drain 1 lands the full history plus a
+    * far-future advancer row (sentinel user_id −1), pushing the watermark
+    * past every real session's close — append mode emits each session
+    * EXACTLY ONCE and evicts its state. Drain 2 lands a verbatim LATE
+    * REPLAY of the earliest hour (now entirely behind the watermark —
+    * Spark must drop it before the merge; the original sessions' state is
+    * already gone, so un-dropped replays would emit fresh duplicate
+    * session rows and fail the hash) plus a second advancer that closes
+    * the first advancer's own session. Sentinel rows are filtered on
+    * readback. Touching windows merge, so the split boundary is
+    * gap > 30 min — the same convention as the E4 batch `sessionize`
+    * (the exact boundary is unit-pinned in StreamingDedupSpec), and the
+    * oracle replays it. The complete-mode drain
+    * ([[graft.streaming.StreamingIngest.sessionWindowCounts]]) remains as
+    * the all-data demo/unit-test shape only: per-trigger output here is
+    * O(sessions closed this trigger), not O(all sessions ever).
     */
   def streamingSessionWindow(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingIngest
     val tmp = tempDir("graft_sesswin_")
-    val landing = s"$tmp/landing"
+    val landing = s"$tmp/landing"; val ckpt = s"$tmp/ckpt"
+    val outDir = s"$tmp/out"
     val ev = events(s, dir).select(col("user_id"), col("ts"))
+    val bounds = ev.agg(
+      min(unix_micros(col("ts"))).as("mn"),
+      max(unix_micros(col("ts"))).as("mx")).head()
+    val mnUs = bounds.getLong(0); val mxUs = bounds.getLong(1)
+    val hourUs = 3600L * 1000 * 1000
+    def advancer(tUs: Long) = s.range(1).select(
+      lit(-1L).as("user_id"), timestamp_micros(lit(tUs)).as("ts"))
+    def drain(): Unit = StreamingIngest.drainAppendToDir(s, landing,
+      ev.schema, df => StreamingIngest.sessionWindowCountsAppend(
+        df, "user_id", "ts", "30 minutes", "1 hour"), ckpt, outDir)
+    // drain 1: full history + advancer → watermark (mx+3h−1h) passes
+    // every real session's close (≤ mx+30min); all sessions emit once
     ev.coalesce(1).write.mode("overwrite").parquet(landing)
-    val stream = s.readStream.schema(ev.schema).parquet(landing)
-    val name = s"graft_sesswin_${System.nanoTime()}"
-    graft.streaming.StreamingIngest
-      .sessionWindowCounts(stream, "user_id", "ts", "30 minutes")
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start().awaitTermination()
-    s.table(name).orderBy(col("user_id"), col("start_us"))
+    advancer(mxUs + 3 * hourUs).coalesce(1).write.mode("append").parquet(landing)
+    drain()
+    // drain 2: late replay of the earliest hour (behind the watermark —
+    // must be DROPPED, or duplicate sessions emit) + a second advancer
+    // that closes advancer 1's own session
+    ev.where(unix_micros(col("ts")) < mnUs + hourUs)
+      .coalesce(1).write.mode("append").parquet(landing)
+    advancer(mxUs + 6 * hourUs).coalesce(1).write.mode("append").parquet(landing)
+    drain()
+    s.read.parquet(outDir)
+      .where(col("user_id") >= 0L)
+      .select(col("user_id"), col("start_us"), col("n_events"))
+      .orderBy(col("user_id"), col("start_us"))
   }
 
   val streamingSessionWindowSql: String =
@@ -6040,10 +6077,15 @@ object Queries {
     * count — "the revenue level at which half the segment's ORDERS sit
     * with smaller-or-equal customers": the smallest x whose cumulative
     * weight reaches half the total. Pure integer comparisons (2·cum ≥
-    * tot avoids any division), per-group window cumsum on the
-    * per-entity frame — the plain median is the w≡1 special case (E6b),
-    * and no engine builtin computes the weighted form. Same wide-group
-    * note as E54 (the E54b two-level rank is the escape).
+    * tot avoids any division), and no engine builtin computes the
+    * weighted form; the plain median is the w≡1 special case (E6b).
+    * The cumulative weight runs through the E54b two-level range
+    * discipline ([[graft.operators.Ranks.groupCumSumByRange]]) — a plain
+    * per-group window cumsum would sort each of the 5 segments' full
+    * customer set in ONE task (the E54 wide-group wall); the two-level
+    * form range-partitions (segment, x, custkey), cumsums locally, and
+    * broadcasts the |partitions × segments| offset frame back. Totals
+    * reuse the same materialized layout (max cum per group).
     */
   def weightedMedian(s: SparkSession, dir: String): DataFrame = {
     val perCust = orders(s, dir).groupBy(col("o_custkey"))
@@ -6051,13 +6093,11 @@ object Queries {
         count(lit(1)).as("w"))
       .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment"), col("c_custkey"), col("x"), col("w"))
-    val byX = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("x").asc, col("c_custkey").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val byG = Window.partitionBy(col("c_mktsegment"))
-    perCust
-      .withColumn("cum", sum(col("w")).over(byX))
-      .withColumn("tot", sum(col("w")).over(byG))
+    val cum = graft.operators.Ranks.groupCumSumByRange(perCust,
+      Seq("c_mktsegment"), Seq("x", "c_custkey"), "w", "cum")
+    val tots = cum.groupBy(col("c_mktsegment"))
+      .agg(max(col("cum")).as("tot")) // last running sum = group total
+    cum.join(broadcast(tots), Seq("c_mktsegment"))
       .where(lit(2L) * col("cum") >= col("tot"))
       .groupBy(col("c_mktsegment"))
       .agg(min(col("x")).as("median_rev_c"),

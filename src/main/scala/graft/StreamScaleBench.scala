@@ -99,9 +99,11 @@ object StreamScaleBench {
       Map.empty
     }
 
-    // E7c: built-in session_window aggregation (complete-mode drain —
-    // state here is ALL sessions by design; the row proves the merge
-    // state follows sessions, not events)
+    // E7c: built-in session_window aggregation — the registered query
+    // path verbatim, now the APPEND-mode two-drain form: state is OPEN
+    // sessions only (closed sessions emit once and evict on the
+    // watermark), and the late-replay drain's rows must show up in
+    // rows_dropped_by_watermark
     run("streaming_session_window") {
       Queries.streamingSessionWindow(spark, dir)
         .write.format("noop").mode("overwrite").save()

@@ -58,6 +58,54 @@ object AsOfJoin {
         payTypes.map(f => col(s"right_${f.name}")): _*)
   }
 
+  /** Pack the right side ONCE into one row per key holding the time-
+    * sorted (t, pay) array — the build side of the repeated-probe as-of
+    * ([[asOfPacked]]). Ties are first reduced exactly as in [[asOf]]
+    * (one right row per (key, t), max payload struct), so `t` is unique
+    * within each array and struct ordering is ordering by `t`.
+    *
+    * Scale shape: the dim collapses to |keys| rows whose array length is
+    * that key's version count — bounded per key by construction in
+    * temporal dimensions (versions-per-entity, not events). Written
+    * `bucketBy(_k)` this is the E16 layout: every later probe join on
+    * `_k` plans with ZERO dim-side exchange.
+    */
+  def packDim(right: DataFrame, rightKey: Column, rightTime: Column,
+      payload: Seq[(String, Column)]): DataFrame =
+    right.select(rightKey.as("_k"), rightTime.as("_t"),
+        struct(payload.map { case (n, c) => c.as(n) }: _*).as("_pay"))
+      .groupBy(col("_k"), col("_t")).agg(max(col("_pay")).as("_pay"))
+      .groupBy(col("_k"))
+      .agg(sort_array(collect_list(struct(col("_t").as("t"),
+        col("_pay").as("pay")))).as("_arr"))
+
+  /** As-of probe against a [[packDim]]-packed dimension: ONE equi-join on
+    * the key (left outer — unmatched keys keep null payloads, matching
+    * [[asOf]]) plus a per-row `array_max(filter(arr, t ≤ leftTime))` —
+    * the latest version at-or-before the event, `>=` tie semantics
+    * identical to [[asOf]] because a version AT the probe time passes the
+    * filter. Emits the same `right_<name>` columns as [[asOf]].
+    *
+    * When `packed` is read from a table bucketed (and sorted) on `_k`,
+    * the join plans with NO exchange and NO sort on the dim side — only
+    * the probe side moves. That is the repeated-probe / streaming-
+    * microbatch shape: [[asOf]] re-shuffles the whole dimension on every
+    * call, this probes a build-once layout.
+    */
+  def asOfPacked(left: DataFrame, leftKey: Column, leftTime: Column,
+      packed: DataFrame): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val elemT = packed.schema("_arr").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[StructType]
+    val payT = elemT("pay").dataType.asInstanceOf[StructType]
+    left.join(packed, leftKey === packed("_k"), "left")
+      .withColumn("_pick",
+        array_max(filter(col("_arr"), e => e("t") <= leftTime)))
+      .select(leftCols.map(col) ++
+        payT.map(f => col(s"_pick.pay.${f.name}").as(s"right_${f.name}")): _*)
+  }
+
   /** Nearest-direction as-of: each left row takes the right row closest
     * in time — backward (≤, via the same carry-forward window) or
     * forward (strictly >, via the mirrored carry-BACKWARD window) —

@@ -49,4 +49,38 @@ object Ranks {
       .withColumn(out, col("_off") + row_number().over(wLocal).cast("long"))
       .drop("_pid", "_off")
   }
+
+  /** Two-level per-group running WEIGHTED sum — `sum(weight) OVER
+    * (PARTITION BY group ORDER BY order ROWS UNBOUNDED PRECEDING)`
+    * without one task per group: the same range-partition + local-window
+    * + broadcast-offset discipline as [[groupRankByRange]], with each
+    * slice's offset being the sum of same-group WEIGHT in earlier range
+    * partitions. The long-typed weight keeps partial sums exact across
+    * slice boundaries (the engine determinism contract). Same total-
+    * order requirement on `order` as the rank form.
+    */
+  def groupCumSumByRange(df: DataFrame, group: Seq[String],
+      order: Seq[String], weight: String, out: String = "cum"): DataFrame = {
+    val all = (group ++ order).map(col)
+    val parts = df.repartitionByRange(all: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val wLocal = Window
+      .partitionBy(col("_pid") +: group.map(col): _*)
+      .orderBy(order.map(col(_).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val counts = parts
+      .groupBy(col("_pid") +: group.map(col): _*)
+      .agg(sum(col(weight)).as("_c"))
+    val wOff = Window.partitionBy(group.map(col): _*)
+      .orderBy(col("_pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("_off", coalesce(sum(col("_c")).over(wOff), lit(0L)))
+      .select(col("_pid") +: group.map(col) :+ col("_off"): _*)
+    parts
+      .join(broadcast(offsets), "_pid" +: group)
+      .withColumn(out, col("_off") + sum(col(weight)).over(wLocal))
+      .drop("_pid", "_off")
+  }
 }

@@ -118,7 +118,30 @@ object ConfigJson {
 
     val partitioning = (root \ "partitioning") match {
       case JNothing | JNull => None
-      case p => Some(Pipeline.Partitioning(
+      case p =>
+        // the reference validates the partitioning block LOUDLY: unknown
+        // keys never pass silently, and `timezone` accepts only UTC
+        // (TimestampPartitioning.java:34-36,128-131 throws ConfigException
+        // for anything else) — a silently-ignored timezone would bucket
+        // every timestamp wrong by the offset
+        val known = Set("column", "unit", "unix_timestamp_unit",
+          "map_side_partition_split", "type", "buckets", "second_column",
+          "timezone")
+        p match {
+          case JObject(fields) =>
+            val unknown = fields.map(_._1).filterNot(known)
+            if (unknown.nonEmpty)
+              throw new IllegalArgumentException(
+                s"config: unknown partitioning key(s): ${unknown.mkString(", ")}")
+          case _ => throw new IllegalArgumentException(
+            "config: partitioning must be an object")
+        }
+        str(p \ "timezone").foreach { tz =>
+          if (tz != "UTC")
+            throw new IllegalArgumentException(
+              s"config: partitioning.timezone must be UTC, got '$tz'")
+        }
+        Some(Pipeline.Partitioning(
         column = str(p \ "column").getOrElse(
           throw new IllegalArgumentException("config: partitioning.column is required")),
         unit = str(p \ "unit").getOrElse("hour"),
@@ -154,6 +177,15 @@ object ConfigJson {
       stopOnInvalidRecord = (root \ "stop_on_invalid_record") match {
         case JBool(b) => b; case _ => false
       },
-      out = out)
+      out = out,
+      // the reference's `job_name` (MapReduceExecutorTask.java:20-22) and
+      // `config` passthrough (ib:24-30, arbitrary Hadoop conf injection):
+      // job_name labels the Spark jobs, `config` sets runtime SQL confs
+      jobName = str(root \ "job_name"),
+      sparkConf = (root \ "config") match {
+        case JObject(fields) =>
+          fields.collect { case (k, JString(v)) => k -> v }.toMap
+        case _ => Map.empty[String, String]
+      })
   }
 }

@@ -193,7 +193,9 @@ object Pipeline {
     reducers: Option[Int] = None,
     localModeMaxTasks: Option[Int] = None,
     stopOnInvalidRecord: Boolean = false,
-    out: Out = Out())
+    out: Out = Out(),
+    jobName: Option[String] = None,
+    sparkConf: Map[String, String] = Map.empty)
 
   /** Build the logical plan for a config. With `stopOnInvalidRecord` set,
     * every Cast step gates eagerly: a row whose source value is non-null but
@@ -209,6 +211,13 @@ object Pipeline {
     if (config.partitioning.isDefined && config.reducers.exists(_ <= 0))
       throw new IllegalArgumentException(
         "Reducers must be larger than 1 if partition: is set")
+    // reference parity: `config` passthrough injects runtime conf before
+    // the job plans (MapReduceExecutorTask.java:24-30 — arbitrary Hadoop
+    // conf on the job); a static/unknown Spark conf fails loudly here,
+    // which is the reference's ConfigException discipline. `job_name`
+    // labels every job this pipeline triggers (ib:20-22 → job name).
+    config.sparkConf.foreach { case (k, v) => spark.conf.set(k, v) }
+    config.jobName.foreach(spark.sparkContext.setJobDescription)
     val in = spark.read.format(config.format).load(config.inputPath)
     val transformed = config.transforms.foldLeft(in) { (df, t) =>
       t match {

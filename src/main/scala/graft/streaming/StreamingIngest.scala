@@ -97,34 +97,69 @@ object StreamingIngest {
       .dropDuplicatesWithinWatermark(keyCols)
 
   /** Streaming temporal enrichment: every microbatch AS-OF joins
-    * (`AsOfJoin.asOf` — latest dim row at-or-before the event) against a
-    * STATIC interval dimension, landing each batch under
-    * `batch_id=N` with overwrite (the E8c replay-idempotence
-    * discipline). This is the temporally-CORRECT streaming enrichment —
-    * a plain stream-static equi-join would attach the dimension's
-    * current row, silently rewriting history for late events; the per
-    * batch as-of attaches the row that was valid AT the event's time.
-    * Per batch cost is the E13 shape: one key shuffle of the batch +
-    * dim, no range explosion — which is also the scale story (a
-    * BETWEEN-predicate stream-static join would nested-loop against the
-    * whole dimension every batch).
+    * (latest dim row at-or-before the event) against a STATIC interval
+    * dimension, landing each batch under `batch_id=N` with overwrite
+    * (the E8c replay-idempotence discipline). This is the temporally-
+    * CORRECT streaming enrichment — a plain stream-static equi-join
+    * would attach the dimension's current row, silently rewriting
+    * history for late events; the per-batch as-of attaches the row that
+    * was valid AT the event's time.
+    *
+    * Scale shape — build once, probe many: the dimension is packed to
+    * one time-sorted version array per key ([[graft.operators.AsOfJoin
+    * .packDim]]) and written ONCE as a table bucketed+sorted on the key
+    * (the E16 layout, one file per bucket so the sorted metadata holds).
+    * Each microbatch then probes it with a key equi-join that plans with
+    * ZERO dim-side exchange and zero dim-side sort — ONLY THE MICROBATCH
+    * moves (one hash shuffle of the batch to the dim's bucketing;
+    * PlanSpec asserts the single-exchange plan). The previous form
+    * (`AsOfJoin.asOf` inside foreachBatch) re-shuffled and re-sorted the
+    * ENTIRE dimension union'd with every batch — super-linear across a
+    * stream's lifetime and the recorded scale-killer at 100 TB. Batch-
+    * side broadcast is pinned off inside the probe so the co-located
+    * shape is what plans at every scale (at real scale the dim never
+    * broadcasts anyway).
     */
   def asofEnrichSink(stream: DataFrame, dim: DataFrame,
       leftKey: String, leftTime: String,
       rightKey: org.apache.spark.sql.Column,
       rightTime: org.apache.spark.sql.Column,
       payload: Seq[(String, org.apache.spark.sql.Column)],
-      outDir: String, ckpt: String): StreamingQuery =
+      outDir: String, ckpt: String,
+      dimTable: String = "graft_asof_dim_b",
+      buckets: Int = 32): StreamingQuery = {
+    val spark = dim.sparkSession
+    graft.sources.Sinks.dropManagedTable(spark, dimTable)
+    // explicit repartition onto the bucket hash → one file per bucket →
+    // per-bucket sort metadata survives and probe joins skip the sort
+    graft.operators.AsOfJoin.packDim(dim, rightKey, rightTime, payload)
+      .repartition(buckets, col("_k"))
+      .write.bucketBy(buckets, "_k").sortBy("_k")
+      .mode("overwrite").saveAsTable(dimTable)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        graft.operators.AsOfJoin.asOf(batch, col(leftKey), col(leftTime),
-            dim, rightKey, rightTime, payload)
+        val s = batch.sparkSession
+        val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        // one-file-per-bucket layout (guaranteed by the repartition above)
+        // makes the sorted-scan ordering safe: with it the probe join
+        // also plans ZERO dim-side sort, not just zero exchange
+        val ordKey = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+        val prevOrd = s.conf.get(ordKey)
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set(ordKey, "true")
+        try graft.operators.AsOfJoin.asOfPacked(batch, col(leftKey),
+            col(leftTime), s.table(dimTable))
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+        finally {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+          s.conf.set(ordKey, prevOrd)
+        }
         ()
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** Streaming exact dedup: drop rows whose key was already seen, with
     * state bounded by the event-time watermark (keys older than the

@@ -23,6 +23,22 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
     assert(out(2).isNullAt(out(2).fieldIndex("right_rid")))
   }
 
+  test("asOfPacked over packDim matches asOf exactly (incl. nulls and unmatched keys)") {
+    val left = Seq((1L, 10L, 100L), (1L, 25L, 101L), (2L, 5L, 102L),
+        (3L, 99L, 103L)) // key 3 absent from the dim entirely
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 10L, 900L), (1L, 20L, 901L), (2L, 50L, 902L),
+        (1L, 20L, 899L)) // tie at (1,20) must reduce identically
+      .toDF("k", "t", "rid")
+    val viaUnion = AsOfJoin.asOf(left, $"k", $"t", right, $"k", $"t",
+        Seq("rid" -> $"rid"))
+      .orderBy($"lid").collect().toSeq
+    val packed = AsOfJoin.packDim(right, $"k", $"t", Seq("rid" -> $"rid"))
+    val viaProbe = AsOfJoin.asOfPacked(left, $"k", $"t", packed)
+      .orderBy($"lid").collect().toSeq
+    assert(viaProbe === viaUnion)
+  }
+
   test("right-side timestamp ties reduce deterministically (max payload)") {
     val left = Seq((1L, 10L, 100L)).toDF("k", "t", "lid")
     val right = Seq((1L, 5L, 900L), (1L, 5L, 903L), (1L, 5L, 901L))

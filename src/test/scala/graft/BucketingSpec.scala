@@ -46,6 +46,48 @@ class BucketingSpec extends AnyFunSuite with SparkFixture {
     spark.sql("DROP TABLE IF EXISTS ord_b")
   }
 
+  test("packed as-of probe against a bucketed dim: only the probe side shuffles or sorts") {
+    import spark.implicits._
+    graft.sources.Sinks.dropManagedTable(spark, "asof_dim_b_spec")
+    val dim = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("event_id"))
+    graft.operators.AsOfJoin
+      .packDim(dim, $"user_id", $"t_us", Seq("event_id" -> $"event_id"))
+      .repartition(8, col("_k"))
+      .write.bucketBy(8, "_k").sortBy("_k")
+      .mode("overwrite").saveAsTable("asof_dim_b_spec")
+    val probe = Tables.events(spark, sf)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        unix_micros(col("ts")).as("pt"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val ordKey = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val prevOrd = spark.conf.get(ordKey)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(ordKey, "true") // safe: one file per bucket by layout
+    try {
+      val out = graft.operators.AsOfJoin.asOfPacked(
+        probe, col("user_id"), col("pt"), spark.table("asof_dim_b_spec"))
+      out.collect()
+      // AQE's toString appends the pre-adaptive "Initial Plan" section,
+      // which double-counts nodes — assert on the FINAL plan section only
+      val plan = out.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("SortMergeJoin"), plan.take(1500))
+      // the streaming-microbatch contract: ONE exchange and ONE sort —
+      // both on the probe side; the bucketed+sorted dim scan feeds the
+      // join directly ("only the microbatch moves")
+      def count(p: String) = plan.sliding(p.length).count(_ == p)
+      assert(count("Exchange hashpartitioning") === 1, plan.take(2500))
+      assert(count("Sort [") === 1, plan.take(2500))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set(ordKey, prevOrd)
+      spark.sql("DROP TABLE IF EXISTS asof_dim_b_spec")
+    }
+  }
+
   test("bucketed snapshot diff: the full-outer reconciliation join plans no exchange") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

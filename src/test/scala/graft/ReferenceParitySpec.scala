@@ -109,6 +109,53 @@ class ReferenceParitySpec extends AnyFunSuite with SparkFixture {
     assert(Pipeline.plan(spark, cfg.copy(partitioning = None)) != null)
   }
 
+  test("unknown partitioning keys and non-UTC timezone rejected loudly") {
+    // TimestampPartitioning.java:34-36,128-131: `timezone` is declared,
+    // validated, and anything non-UTC throws ConfigException — a silently
+    // ignored timezone would hour-bucket every row wrong by the offset
+    val base = """{"in": {"path": "/dev/null"}, "partitioning":
+      {"column": "ts", "unit": "hour""""
+    val tz = intercept[IllegalArgumentException] {
+      graft.pipeline.ConfigJson.parse(
+        base + """, "timezone": "America/Los_Angeles"}}""")
+    }
+    assert(tz.getMessage.contains("timezone must be UTC"))
+    // explicit UTC is the reference's accepted value
+    assert(graft.pipeline.ConfigJson.parse(
+      base + """, "timezone": "UTC"}}""").partitioning.isDefined)
+    // any unknown key in the partitioning block is a config error, not a
+    // silently dropped option (the reference's @Config field set is closed)
+    val unk = intercept[IllegalArgumentException] {
+      graft.pipeline.ConfigJson.parse(base + """, "granularity": "day"}}""")
+    }
+    assert(unk.getMessage.contains("unknown partitioning key"))
+    assert(unk.getMessage.contains("granularity"))
+  }
+
+  test("job_name labels the pipeline's Spark jobs (MapReduceExecutorTask.job_name)") {
+    val in = writeFixture(goodRows)
+    val prev = spark.sparkContext.getLocalProperty("spark.job.description")
+    try {
+      Pipeline.plan(spark, graft.pipeline.ConfigJson.parse(
+        s"""{"in": {"path": "$in", "format": "csv"},
+             "job_name": "graft parity job"}"""))
+      assert(spark.sparkContext.getLocalProperty("spark.job.description")
+        === "graft parity job")
+    } finally spark.sparkContext.setJobDescription(prev)
+  }
+
+  test("config passthrough sets runtime conf before planning (MapReduceExecutorTask.config)") {
+    val in = writeFixture(goodRows)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    try {
+      Pipeline.plan(spark, graft.pipeline.ConfigJson.parse(
+        s"""{"in": {"path": "$in", "format": "csv"},
+             "config": {"$key": "7"}}"""))
+      assert(spark.conf.get(key) === "7")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("embulk_mapred_stop_on_invalid_record_config.yml: failfast vs skip") {
     val in = writeFixture(goodRows :+ "not-a-timestamp,h9,/z,GET,xx,yy,zz,notabool")
     val base = StructType(schema.fields :+ StructField("_corrupt_record", StringType))

@@ -244,6 +244,33 @@ class StatsOpsSpec extends AnyFunSuite with SparkFixture {
     assert(at(5L, 3L) === Seq.empty) // before any valid time
   }
 
+  test("dq_check: duplicate (rule, column) pairs each keep their own count") {
+    import graft.pipeline.Pipeline
+    // two `min` thresholds on ONE column — the positional rule_idx
+    // attribution case: a (rule, column)-keyed join would collapse or
+    // cross-assign these counts
+    val cfg = graft.pipeline.ConfigJson.parse(s"""{
+      "in": {"path": "$sf/orders.parquet"},
+      "filters": [
+        {"type": "dq_check", "fail": true, "rules": [
+          {"rule": "min", "column": "o_totalprice", "value": "1000"},
+          {"rule": "min", "column": "o_totalprice", "value": "100000"}
+        ]}
+      ]
+    }""")
+    val ord = Tables.orders(spark, sf)
+    def below(t: Double) =
+      ord.where(col("o_totalprice") < t).count()
+    val (lo, hi) = (below(1000.0), below(100000.0))
+    assert(lo !== hi) // fixture must actually distinguish the two rules
+    val e = intercept[Pipeline.DqViolationException](
+      Pipeline.plan(spark, cfg))
+    val minCounts = e.counts.collect {
+      case (r, n) if r.rule == "min" => r.value.get -> n
+    }
+    assert(minCounts.toSet === Set("1000" -> lo, "100000" -> hi))
+  }
+
   test("dq_check config step gates the load: fail throws with counts") {
     import graft.pipeline.Pipeline
     val cfg = graft.pipeline.ConfigJson.parse(s"""{

@@ -53,7 +53,7 @@ class StreamingDedupSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
-  test("sessionWindowCounts splits at gap >= window (boundary exact)") {
+  test("sessionWindowCounts splits only at gap > window (boundary merges)") {
     import spark.implicits._
     val input = MemoryStream[(Long, Long)](spark)
     val stream = input.toDS().toDF("user_id", "us")
@@ -76,6 +76,43 @@ class StreamingDedupSpec extends AnyFunSuite with SparkFixture {
         .sortBy(r => (r._1, r._2))
       assert(out.toSeq ===
         Seq((1L, 0L, 2L), (2L, 0L, 1L), (2L, gap + 1L, 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionWindowCountsAppend emits a session once after the watermark passes its close") {
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long)](spark)
+    val stream = input.toDS().toDF("user_id", "us")
+      .select($"user_id", timestamp_micros($"us").as("ts"))
+    val name = s"graft_sesswin_app_${System.nanoTime()}"
+    val q = StreamingIngest
+      .sessionWindowCountsAppend(stream, "user_id", "ts",
+        gap = "30 minutes", watermark = "1 minute")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      val gap = 1800L * 1000000L
+      def rows() = spark.table(name)
+        .select($"user_id", $"start_us", $"n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(r => (r._1, r._2)).toSeq
+      // boundary event merges (split at gap >, not ≥ — the batch
+      // sessionize convention the complete-mode test pins)
+      input.addData((1L, 0L), (1L, gap))
+      q.processAllAvailable()
+      // watermark still behind the session's close → nothing emitted yet
+      assert(rows() === Seq.empty)
+      // advancer: watermark passes user 1's close (gap + 30min + 1min);
+      // its session emits ONCE; the advancer's own session stays open
+      input.addData((9L, 3L * gap))
+      q.processAllAvailable()
+      assert(rows() === Seq((1L, 0L, 2L)))
+      // further advance: no re-emission (state was evicted), and a LATE
+      // event behind the watermark is dropped, not resurrected as a new
+      // session for user 1
+      input.addData((1L, gap / 2L), (9L, 6L * gap))
+      q.processAllAvailable()
+      assert(rows() === Seq((1L, 0L, 2L), (9L, 3L * gap, 1L)))
     } finally q.stop()
   }
 
