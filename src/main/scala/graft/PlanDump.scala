@@ -63,7 +63,7 @@ object PlanDump {
       "rolling_distinct_users" -> "rolling distinct: distinct (user,day) agg FIRST, then the x7 explode on the reduced frame + broadcast max-day cut; the fact shuffles once",
       "snapshot_diff" -> "snapshot diff: both sides projected to key+struct, ONE full-outer shuffled join, ONE agg of case-counters — no per-column re-scan",
       "twap_value" -> "twap: lead window and per-user agg share one user_id exchange; decimal-exact weighted sums",
-      "table_checksum" -> "anti-entropy checksum: md5 digest is one narrow codegen map; ONE 64-key HashAggregate with map-side partials — nothing else moves",
+      "table_checksum" -> "anti-entropy checksum: md5 digest is one narrow codegen map; ONE 64-key HashAggregate with map-side partials (count + bit_xor + the sum signature carried as two exact BIGINT halves, sum_lo/sum_hi) — nothing else moves",
       "heavy_words" -> "heavy hitters: the recount pass — InSet candidate filter BEFORE the aggregation, so the shuffle carries <= k-1 keys; the MG sketch pass is a separate O(k)-memory mapPartitions job",
       "bigram_pmi" -> "collocations: slice+arrays_zip pair build (codegen'd, NOT a HOF lambda) -> vocab-sized count aggs -> joins only on aggregated frames",
       "hierarchy_flatten" -> "pointer doubling: printed plan is the final projection — each round is one shuffled self-join on the pointer key, lineage truncated per round",
@@ -79,7 +79,8 @@ object PlanDump {
       "mv_incremental" -> "incremental MV: the delta pass scan carries the pushed day filter (history pruned at the source); the merge shuffles only the |days| partial frame",
       "compact_files" -> "compaction: repartition(day) puts each leaf in one task; the read-back agg proves content exactness — per-leaf file count is the thing being fixed, not the plan",
       "pseudonymize_join" -> "pseudonymization: the md5 surrogate is a narrow codegen projection on both sides; the join/distinct shapes are unchanged from the raw-key plan",
-      "oov_rate" -> "OOV rate: vocab agg collapses to the token dimension, joins back BROADCAST onto the exploded token stream; the fact shuffles once for the per-doc agg",
+      "oov_rate" -> "OOV rate: ONE tokenization pass — per-(doc,token) counts localCheckpointed, vocab agg and per-doc census both run weighted over that compact frame; vocab joins back BROADCAST",
+      "weighted_median" -> "weighted median: cumulative weight via two-level range cumsum (local windows per range slice + broadcast offset frame) — no per-segment single-task sort; totals reuse the layout (max cum per group)",
       "gini_concentration" -> "Gini: per-segment window rank over the |customers| per-entity frame, then ONE decimal agg; two-level range-rank documented as the wide-group escape",
       "survival_km" -> "Kaplan-Meier: one user shuffle (session build); at-risk/factor/fold all run on the |distinct durations| frame — the HOF fold is one row",
       "tx_publish" -> "transactional publish: two full-fact aggs land as versioned parquet; readers resolve the manifest then scan — the plan is the ordinary agg, atomicity lives in the commit protocol",
