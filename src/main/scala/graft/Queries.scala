@@ -1013,6 +1013,45 @@ object Queries {
        ASOF LEFT JOIN r ON l.user_id = r.user_id AND epoch_us(l.ts) >= r.t
        ORDER BY l.event_id"""
 
+  /** E13's build-once/probe-many form, REGISTERED (E13c): the click
+    * dimension packs to one time-sorted version array per user
+    * ([[AsOfJoin.packDim]]) written bucketed+sorted on the key — the E16
+    * layout the E36b streaming enrichment probes every microbatch — and
+    * the error events probe it via [[AsOfJoin.asOfPacked]] with ZERO
+    * dim-side exchange or sort (BucketingSpec asserts the plan shape).
+    * Must hash-match the asof_join oracle exactly; executed inside the
+    * pinned-conf window so the restore can't re-plan it.
+    */
+  def asofPackedQ(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.Sinks.dropManagedTable(s, "graft_asof_packed_q")
+    val ev = events(s, dir)
+    AsOfJoin.packDim(ev.where(col("event_type") === "click"),
+        col("user_id"), unix_micros(col("ts")),
+        Seq("click_event_id" -> col("event_id"),
+          "click_value" -> col("value")))
+      .repartition(8, col("_k"))
+      .write.bucketBy(8, "_k").sortBy("_k")
+      .mode("overwrite").saveAsTable("graft_asof_packed_q")
+    val l = ev.where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t_us"))
+    val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val ordKey = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val prevOrd = s.conf.get(ordKey)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set(ordKey, "true")
+    try AsOfJoin.asOfPacked(l, col("user_id"), col("t_us"),
+        s.table("graft_asof_packed_q"))
+      .orderBy(col("event_id"))
+      .localCheckpoint(true)
+    finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      s.conf.set(ordKey, prevOrd)
+    }
+  }
+
+  val asofPackedSql: String = asofJoinSql
+
   // ----------------------------------------------------- L1 exact dedup --
 
   def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -2289,6 +2328,38 @@ object Queries {
              SELECT DISTINCT md5(text) FROM documents WHERE doc_id % 2 = 0)
          GROUP BY 1)
        ORDER BY fp"""
+
+  /** L12's store-side scale form, REGISTERED (the E16 layout applied to
+    * the fingerprint corpus): same two-drain replay as
+    * `dedup_incremental_stream`, but through
+    * [[graft.streaming.StreamingIngest.incrementalDedupSinkBucketed]] —
+    * the corpus anti-joins each batch with ZERO store-side exchange
+    * (bucketed on fp), so only the microbatch moves as the corpus grows.
+    * Same oracle gates both forms.
+    */
+  def dedupIncrementalBucketed(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDir("graft_bstream_")
+    val landing = s"$tmp/landing"
+    val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val fpTable = "graft_fp_store_q"
+    graft.sources.Sinks.dropManagedTable(s, fpTable)
+    val d = documents(s, dir).select(col("doc_id"), col("text"))
+    d.where(pmod(col("doc_id"), lit(2)) === 0)
+      .write.mode("overwrite").parquet(landing)
+    def drain(): Unit =
+      graft.streaming.StreamingIngest.incrementalDedupSinkBucketed(
+        s.readStream.schema(d.schema).parquet(landing), "doc_id", "text",
+        fpTable, outDir, checkpointDir = Some(ckpt), availableNow = true)
+        .awaitTermination()
+    drain()
+    d.where(pmod(col("doc_id"), lit(2)) === 1)
+      .write.mode("append").parquet(landing)
+    drain()
+    s.read.parquet(outDir).select(col("fp"), col("keep_id"))
+      .orderBy(col("fp"))
+  }
+
+  val dedupIncrementalBucketedSql: String = dedupIncrementalStreamSql
 
   /** Bloom-pruned incremental dedup — the registered scale path for L12
     * (`BloomPrune.incrementalPruned`): rows whose content hash definitely

@@ -61,8 +61,9 @@ object SparkEntry {
     "q3_top_orders" -> (Queries.q3TopOrders _),
     "q5_region_revenue" -> (Queries.q5RegionRevenue _),
     "join_broadcast_part" -> (Queries.joinBroadcastPart _),
-    // as-of temporal join
+    // as-of temporal join (+ the build-once/probe-many bucketed form)
     "asof_join" -> (Queries.asofJoin _),
+    "asof_packed" -> (Queries.asofPackedQ _),
     // E3-E6 windows / sessions / rollup / distinct
     "window_top_events" -> (Queries.windowTopEvents _),
     "topk_per_key" -> (Queries.topkPerKey _),
@@ -110,6 +111,7 @@ object SparkEntry {
     // corpus curation (incremental dedup, compaction, sampling, chunking)
     "dedup_incremental" -> (Queries.dedupIncremental _),
     "dedup_incremental_stream" -> (Queries.dedupIncrementalStream _),
+    "dedup_incremental_bucketed" -> (Queries.dedupIncrementalBucketed _),
     "dedup_incremental_bloom" -> (Queries.dedupIncrementalBloom _),
     "latest_by_key" -> (Queries.latestByKey _),
     "scd2_history" -> (Queries.scd2History _),
@@ -266,10 +268,11 @@ object SparkEntry {
     val writeDemo = Set(
       "pipeline_config_out", "pipeline_config_composite", "join_bucketed",
       "pipeline_resume_partial", "snapshot_diff_bucketed", "compact_files",
-      "mv_incremental", "tx_publish", "ann_index_persist")
+      "mv_incremental", "tx_publish", "ann_index_persist", "asof_packed")
     val streamHarness = Set(
       "streaming_hourly_counts", "streaming_sessionize", "streaming_late_drop",
-      "dedup_stream_exact", "dedup_incremental_stream", "stream_stream_join",
+      "dedup_stream_exact", "dedup_incremental_stream",
+      "dedup_incremental_bucketed", "stream_stream_join",
       "merge_upsert_stream", "stream_static_join", "stream_heavy_hitters",
       "streaming_session_window", "dedup_within_watermark",
       "stream_asof_enrich")
@@ -323,6 +326,7 @@ object SparkEntry {
     "q5_region_revenue" -> Queries.q5RegionRevenueSql,
     "join_broadcast_part" -> Queries.joinBroadcastPartSql,
     "asof_join" -> Queries.asofJoinSql,
+    "asof_packed" -> Queries.asofPackedSql,
     "window_top_events" -> Queries.windowTopEventsSql,
     "topk_per_key" -> Queries.topkPerKeySql,
     "sessionize" -> Queries.sessionizeSql,
@@ -356,6 +360,7 @@ object SparkEntry {
     "ann_topk" -> Queries.annTopkSql,
     "dedup_incremental" -> Queries.dedupIncrementalSql,
     "dedup_incremental_stream" -> Queries.dedupIncrementalStreamSql,
+    "dedup_incremental_bucketed" -> Queries.dedupIncrementalBucketedSql,
     "dedup_incremental_bloom" -> Queries.dedupIncrementalBloomSql,
     "ann_topk_lsh" -> Queries.annTopkLshSql,
     "ann_topk_q8" -> Queries.annTopkQ8Sql,

@@ -223,6 +223,56 @@ object StreamingIngest {
       .start()
   }
 
+  /** [[incrementalDedupSink]] with the fingerprint store kept as a table
+    * BUCKETED on the fingerprint — the E16 layout fix for the store-side
+    * per-batch re-shuffle (the same class as the as-of enrichment's dim):
+    * the anti-join reads the corpus hash-partitioned straight off
+    * storage, ZERO corpus-side exchange, and the batch's own fp agg
+    * already leaves it co-partitioned when `buckets` equals the shuffle
+    * partition count — so each trigger moves ONLY the microbatch no
+    * matter how large the corpus grows (the dir-based sink re-shuffles
+    * every corpus fingerprint every batch).
+    *
+    * Replay discipline: the store is APPEND-ONLY with `batch_id` as a
+    * column. A crash-replayed batch may append a duplicate generation —
+    * harmless to correctness, because the anti-join is an EXISTENCE
+    * test and duplicate fingerprints cannot change it; the rare extra
+    * rows fold away in the same periodic compaction generation the
+    * heavy-hitter partials document. The corpus read still excludes
+    * batch_id ≥ the current batch, so a replayed batch never anti-joins
+    * its own half-written generation (the incrementalDedupSink rule).
+    */
+  def incrementalDedupSinkBucketed(docs: DataFrame, idCol: String,
+      textCol: String, fpTable: String, outDir: String,
+      buckets: Int = 32, checkpointDir: Option[String] = None,
+      availableNow: Boolean = false): StreamingQuery = {
+    val writer = docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val hashed = batch
+          .select(md5(col(textCol)).as("fp"), col(idCol).as("id"))
+          .groupBy(col("fp")).agg(min(col("id")).as("keep_id"))
+        val corpus =
+          if (spark.catalog.tableExists(fpTable))
+            spark.table(fpTable)
+              .where(col("batch_id") < batchId).select(col("fp"))
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            new StructType().add("fp", "string"))
+        val fresh = hashed.join(corpus, Seq("fp"), "left_anti")
+          .localCheckpoint() // two sinks below; don't recompute the anti-join
+        fresh.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        fresh.select(col("fp"), lit(batchId).as("batch_id"))
+          .write.bucketBy(buckets, "fp")
+          .mode("append").saveAsTable(fpTable)
+        ()
+      }
+    val withCkpt =
+      checkpointDir.fold(writer)(c => writer.option("checkpointLocation", c))
+    (if (availableNow) withCkpt.trigger(Trigger.AvailableNow()) else withCkpt)
+      .start()
+  }
+
   /** Streaming incremental heavy hitters — continuous maintenance of a
     * global frequency aggregate (the streaming twin of
     * `Sketches.heavyHitters`' recount side): each microbatch collapses

@@ -88,6 +88,38 @@ class BucketingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("bucketed fp store: the incremental-dedup anti-join shuffles only the batch side") {
+    import spark.implicits._
+    graft.sources.Sinks.dropManagedTable(spark, "fp_store_plan_spec")
+    // the store as incrementalDedupSinkBucketed lays it out: bucketed on
+    // fp, batch_id as a plain column, bucket count == shuffle partitions
+    val buckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    Tables.documents(spark, sf)
+      .select(md5(col("text")).as("fp"), lit(0L).as("batch_id"))
+      .write.bucketBy(buckets, "fp")
+      .mode("overwrite").saveAsTable("fp_store_plan_spec")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val batch = Tables.documents(spark, sf).limit(500)
+        .select(md5(col("text")).as("fp"), col("doc_id").as("id"))
+        .groupBy($"fp").agg(min($"id").as("keep_id"))
+      val corpus = spark.table("fp_store_plan_spec")
+        .where($"batch_id" < 1L).select($"fp")
+      val fresh = batch.join(corpus, Seq("fp"), "left_anti")
+      fresh.collect()
+      val plan = fresh.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      def count(p: String) = plan.sliding(p.length).count(_ == p)
+      // ONE exchange: the batch's own fp agg — the corpus side reads
+      // hash-partitioned off the bucketed scan ("only the batch moves")
+      assert(count("Exchange hashpartitioning") === 1, plan.take(2500))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS fp_store_plan_spec")
+    }
+  }
+
   test("bucketed snapshot diff: the full-outer reconciliation join plans no exchange") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -140,6 +140,42 @@ class StreamingDedupSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("bucketed incremental dedup: corpus carries, duplicate generations are harmless") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bincdedup_")
+    val outDir = s"$tmp/out"
+    val fpTable = "graft_fp_store_spec"
+    graft.sources.Sinks.dropManagedTable(spark, fpTable)
+    val input = MemoryStream[(Long, String)](spark)
+    val stream = input.toDS().toDF("doc_id", "text")
+    val q = StreamingIngest.incrementalDedupSinkBucketed(
+      stream, "doc_id", "text", fpTable, outDir, buckets = 4)
+    try {
+      input.addData((1L, "aa"), (2L, "bb"))
+      q.processAllAvailable()
+      // "bb" already in corpus; "cc" dups within batch -> keep id 3
+      input.addData((10L, "bb"), (3L, "cc"), (4L, "cc"), (5L, "dd"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(outDir)
+        .select($"keep_id").collect().map(_.getLong(0)).sorted
+      assert(out.toSeq === Seq(1L, 2L, 3L, 5L))
+      // append-only store: distinct fingerprints = distinct contents seen
+      assert(spark.table(fpTable).select($"fp").distinct().count() === 4)
+      // a replayed generation (same batch_id re-appended) is an existence
+      // no-op: the anti-join result for a later batch cannot change
+      spark.table(fpTable).where($"batch_id" === 0L)
+        .write.bucketBy(4, "fp").mode("append").saveAsTable(fpTable)
+      input.addData((20L, "aa"), (6L, "ee")) // aa dies, ee is fresh
+      q.processAllAvailable()
+      val out2 = spark.read.parquet(outDir)
+        .select($"keep_id").collect().map(_.getLong(0)).sorted
+      assert(out2.toSeq === Seq(1L, 2L, 3L, 5L, 6L))
+    } finally {
+      q.stop()
+      graft.sources.Sinks.dropManagedTable(spark, fpTable)
+    }
+  }
+
   test("heavyHitterSink: additive partials accumulate and replay clean") {
     import spark.implicits._
     val tmp = java.nio.file.Files
