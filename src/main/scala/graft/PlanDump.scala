@@ -96,7 +96,15 @@ object PlanDump {
       "gini_ranked" -> "two-level rank: range partition on (group, x, tie), local per-slice rank, broadcast slice offsets — no one-task-per-group sort; decimal rank sums after",
       "trending_brands" -> "trending: broadcast part dim; ONE (day,brand) agg; day-rank and brand-series lag windows on the |days×brands| frame",
       "bitemporal_asof" -> "bitemporal: per tx view one max_by hash agg over the filtered union fact; both time predicates at the scan",
-      "dq_rules" -> "dq rules: scalar rules are one-row aggregates; the fk rule is a key-projected anti-join — the corpus never carries payload through the checks")
+      "dq_rules" -> "dq rules: scalar rules are one-row aggregates; the fk rule is a key-projected anti-join — the corpus never carries payload through the checks",
+      "cms_counts" -> "Count-Min: ONE tokenization pass -> vocab-sized exact frame; the d-way explode collapses map-side to the fixed d×w grid; estimate joins the BROADCAST grid",
+      "retrieval_rrf" -> "RRF: lexical arm = the BM25 plan; semantic arm broadcasts ONE query vector over the corpus scan (codegen cosine + TopKPerKey); fusion joins two ≤20-row frames",
+      "vocab_growth" -> "vocab growth: one tokenization pass -> per-(doc,token) frame; two vocab-sized aggs; cumulative windows only on the |docs|/100 checkpoint frame",
+      "sliding_percentile" -> "sliding percentiles: narrow ≤3× window explode, per-window sort-agg bounded by the window span; no self-join",
+      "triangle_parts" -> "triangles: basket groupBy + narrow pair explode (no fact self-join); degree/adjacency frames broadcast; per-edge array intersection — the wedge stream never materializes",
+      "cusum_daily" -> "CUSUM: one fact agg to the |days| frame; prefix sum + two running extrema share ONE sorted window",
+      "attribution_position" -> "multi-touch: one user-keyed equi-join; per-purchase rank/count windows and the largest-remainder pass all share the purchase partitioning",
+      "novelty_ngrams" -> "novelty: narrow window explode -> one hash groupBy (min doc) -> co-partitioned join back; the text never rides a shuffle")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` on `$sf`. Audit notes per plan;\n")

@@ -6337,4 +6337,520 @@ object Queries {
               ON o.o_custkey = c.c_custkey
             WHERE c.c_custkey IS NULL AND o.o_custkey IS NOT NULL))
        ORDER BY rule, col_name"""
+
+  // ------------------------------------- L36 hybrid retrieval (RRF) ------
+
+  /** Hybrid search over the corpus: the L34 BM25 lexical arm fused with
+    * an embedding-cosine semantic arm by reciprocal-rank fusion
+    * (Cormack et al. 2009) — rrf(d) = Σ_arms 1/(60 + rank_arm(d)), the
+    * standard rank-level combiner (no score normalization across
+    * incomparable scales). The curation use: retrieval-based corpus
+    * probes where lexical match and semantic match each miss documents
+    * the other finds.
+    *
+    * Determinism: each arm's rank is an integer (score ties broken by
+    * doc_id), so every RRF term is 1/(60+k) for integer k — the same
+    * IEEE double in any engine — and the fused score is ONE fixed-order
+    * two-term sum (lexical + semantic). Scale shape: the lexical arm is
+    * the L34 plan (one tokenization pass, TopKPerKey cut); the semantic
+    * arm BROADCASTS the single query vector over the corpus scan (narrow
+    * codegen'd cosine, TopKPerKey cut — at corpus-sized query sets the
+    * L6 IVF candidate path swaps in); fusion joins two ≤20-row frames.
+    * Rank windows run on ≤20-row single-key frames (bounded).
+    */
+  def retrievalRrf(s: SparkSession, dir: String): DataFrame = {
+    val lex = bm25Retrieval(s, dir).withColumn("_k", lit(0))
+    val lexR = lex.withColumn("lex_rank", row_number().over(
+        Window.partitionBy(col("_k"))
+          .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val e = embeddings(s, dir)
+    val qv = e.where(col("vec_id") === 0).select(col("embedding").as("q_vec"))
+    val scored = e.where(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        Similarity.cosine(col("embedding"), col("q_vec")).as("cos"))
+      .withColumn("_k", lit(0))
+    val semR = graft.plans.TopKPerKey.topK(scored, keys = Seq("_k"),
+        order = Seq("cos" -> "desc", "doc_id" -> "asc"), k = 20)
+      .withColumn("sem_rank", row_number().over(
+        Window.partitionBy(col("_k"))
+          .orderBy(col("cos").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("sem_rank"))
+    val term: Column => Column = r =>
+      coalesce(lit(1.0) / (lit(60.0) + r.cast("double")), lit(0.0))
+    val fused = lexR.join(semR, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        (term(col("lex_rank")) + term(col("sem_rank"))).as("rrf"))
+      .withColumn("_k", lit(0))
+    fused.withColumn("fused_rank", row_number().over(
+        Window.partitionBy(col("_k"))
+          .orderBy(col("rrf").desc, col("doc_id").asc)).cast("long"))
+      .where(col("fused_rank") <= 10)
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"), col("rrf"),
+        col("fused_rank"))
+      .orderBy(col("fused_rank"))
+  }
+
+  val retrievalRrfSql: String = {
+    def rrfTerm(r: String): String =
+      s"""COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE)
+          + CAST($r AS DOUBLE)), CAST(0 AS DOUBLE))"""
+    s"""WITH lex0 AS (SELECT * FROM ($bm25RetrievalSql) t),
+       lex AS (
+         SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+           AS BIGINT) AS lex_rank
+         FROM lex0),
+       sem0 AS (
+         SELECT c.vec_id AS doc_id,
+           ${cosSql("q.embedding", "c.embedding")} AS cos
+         FROM embeddings q JOIN embeddings c ON c.vec_id != 0
+         WHERE q.vec_id = 0),
+       sem AS (
+         SELECT doc_id, sem_rank FROM (
+           SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+             AS BIGINT) AS sem_rank
+           FROM sem0)
+         WHERE sem_rank <= 20),
+       f AS (
+         SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           l.lex_rank, s.sem_rank,
+           ${rrfTerm("l.lex_rank")} + ${rrfTerm("s.sem_rank")} AS rrf
+         FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+       SELECT doc_id, lex_rank, sem_rank, rrf,
+         CAST(rn AS BIGINT) AS fused_rank
+       FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn
+             FROM f)
+       WHERE rn <= 10 ORDER BY fused_rank"""
+  }
+
+  // --------------------------------------- E65 Count-Min sketch ----------
+
+  /** Count-Min point-frequency estimates vs the exact recount for the
+    * corpus's top-10 tokens — the E38 Misra-Gries discipline applied to
+    * the OTHER classic frequency sketch (operators/CountMin.scala: fixed
+    * d×w additive cell grid, mergeable across partitions/days/streams,
+    * one-sided error). ONE tokenization pass: the per-token exact-count
+    * frame (vocabulary-sized, Zipf-compact — the L30 fusion) feeds the
+    * grid as a WEIGHTED sketch build (provably cell-identical to
+    * sketching the raw stream — CountMin cells are sums over items, and
+    * summing per-token weights groups the same addends; spec-pinned),
+    * the top-10 cut (TopKPerKey), and the recount column. The estimate
+    * join BROADCASTS the ≤ d·w-row grid. `over_ok` pins the sketch's
+    * one-sided guarantee est ≥ exact on every probe.
+    */
+  def cmsCounts(s: SparkSession, dir: String): DataFrame = {
+    val exact = documents(s, dir)
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z0-9]+"), lit(0))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("exact_cnt"))
+      .localCheckpoint() // one tokenization pass feeds grid + cut + recount
+    val cells = CountMin.sketchWeighted(exact, col("t"), col("exact_cnt"))
+    val top = graft.plans.TopKPerKey.topK(exact.withColumn("_k", lit(0)),
+        keys = Seq("_k"), order = Seq("exact_cnt" -> "desc", "t" -> "asc"),
+        k = 10)
+      .select(col("t"), col("exact_cnt"))
+    CountMin.estimate(cells, top, col("t"))
+      .select(col("t").as("token"), col("exact_cnt"), col("est_cnt"),
+        (col("est_cnt") >= col("exact_cnt")).as("over_ok"))
+      .orderBy(col("exact_cnt").desc, col("token"))
+  }
+
+  val cmsCountsSql: String = {
+    def bSql(j: String, t: String): String =
+      s"""((strpos('0123456789abcdef',
+            substr(md5(CAST($j AS VARCHAR) || ':' || $t), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef',
+            substr(md5(CAST($j AS VARCHAR) || ':' || $t), 2, 1)) - 1))"""
+    s"""WITH toks AS (
+         SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+         FROM documents),
+       hj AS (SELECT unnest([0, 1, 2, 3]) AS j),
+       cells AS (
+         SELECT j, b, COUNT(*) AS cnt FROM (
+           SELECT j, ${bSql("j", "t")} AS b FROM toks CROSS JOIN hj)
+         GROUP BY 1, 2),
+       exact AS (SELECT t, COUNT(*) AS exact_cnt FROM toks GROUP BY t),
+       top AS (
+         SELECT t, exact_cnt FROM exact ORDER BY exact_cnt DESC, t LIMIT 10),
+       probes AS (
+         SELECT t, exact_cnt, j, ${bSql("j", "t")} AS b
+         FROM top CROSS JOIN hj)
+       SELECT p.t AS token, p.exact_cnt, CAST(MIN(c.cnt) AS BIGINT) AS est_cnt,
+         MIN(c.cnt) >= p.exact_cnt AS over_ok
+       FROM probes p JOIN cells c ON c.j = p.j AND c.b = p.b
+       GROUP BY 1, 2 ORDER BY exact_cnt DESC, token"""
+  }
+
+  // ------------------------------------ L37 vocabulary growth curve ------
+
+  /** Heaps-law vocabulary growth: cumulative distinct-token count vs
+    * cumulative token count at every 100-document checkpoint of the
+    * corpus in doc_id order — the tokenizer-sizing / corpus-saturation
+    * diagnostic (is new data still adding vocabulary?). The naive
+    * formulation (distinct-count per prefix) is quadratic; this one is
+    * linear: a token contributes to the vocabulary curve exactly at its
+    * FIRST-occurrence document, so vocab(c) = Σ_{b ≤ c} new_tokens(b) —
+    * two vocabulary-sized aggs off the shared per-(doc, token) count
+    * frame (ONE tokenization pass, the L30 fusion), then cumulative sums
+    * over the checkpoint frame (corpus/100 rows — dimension-sized, the
+    * one global window this plan runs).
+    */
+  def vocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val step = 100L
+    val dt = documents(s, dir)
+      .select(col("doc_id"), explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z0-9]+"), lit(0))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // one tokenization pass feeds both aggs
+    val nv = dt.groupBy(col("t")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(call_function("div", col("first_doc"), lit(step)).as("bucket"))
+      .agg(count(lit(1)).as("new_tokens"))
+    val nt = dt
+      .groupBy(call_function("div", col("doc_id"), lit(step)).as("bucket"))
+      .agg(sum(col("c")).as("bucket_tokens"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nt.join(nv, Seq("bucket"), "left")
+      .select(col("bucket"),
+        sum(col("bucket_tokens")).over(w).as("cum_tokens"),
+        sum(col("new_tokens")).over(w).as("vocab_size"))
+      .orderBy(col("bucket"))
+  }
+
+  val vocabGrowthSql: String =
+    """WITH dt AS (
+         SELECT doc_id, t, COUNT(*) AS c FROM (
+           SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+           FROM documents)
+         GROUP BY doc_id, t),
+       nv AS (
+         SELECT first_doc // 100 AS bucket, COUNT(*) AS new_tokens FROM (
+           SELECT t, MIN(doc_id) AS first_doc FROM dt GROUP BY t)
+         GROUP BY 1),
+       nt AS (
+         SELECT doc_id // 100 AS bucket, CAST(SUM(c) AS BIGINT)
+             AS bucket_tokens
+         FROM dt GROUP BY 1)
+       SELECT bucket,
+         CAST(SUM(bucket_tokens) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens,
+         CAST(SUM(new_tokens) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS vocab_size
+       FROM nt LEFT JOIN nv USING (bucket)
+       ORDER BY bucket"""
+
+  // --------------------------- E6g sliding-window exact percentiles ------
+
+  /** Exact interpolated p50/p95 per 3-hour window sliding hourly — the
+    * windowed form of E6b (`value_percentiles`), the latency/SLA report
+    * shape. Declarative `window(ts, 3h, 1h)`: each event lands in its ≤ 3
+    * covering windows via a narrow explode (no self-join), the per-window
+    * percentile is a sort-based aggregate whose group size is bounded by
+    * the WINDOW SPAN, not the table — at 100 TB each 3-hour group is one
+    * shuffle partition's worth of a day's 1/8, and skewed hours split
+    * under AQE. Spark `percentile` and DuckDB `quantile_cont` share the
+    * p·(n−1) interpolation definition (the E6b bit-equality).
+    */
+  def slidingPercentile(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "3 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"))
+      .select(unix_micros(col("window.start")).as("w_start_us"),
+        col("n"), col("p50"), col("p95"))
+      .orderBy(col("w_start_us"))
+
+  val slidingPercentileSql: String =
+    """SELECT w_start_us, COUNT(*) AS n,
+       quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.95) AS p95
+       FROM (
+         SELECT (epoch_us(ts) // 3600000000 - k) * 3600000000 AS w_start_us,
+           value
+         FROM events, UNNEST(range(0, 3)) AS u(k))
+       GROUP BY 1 ORDER BY 1"""
+
+  // --------------------------------------- E66 triangle census -----------
+
+  /** Triangle census of the part co-purchase graph (parts co-occurring in
+    * an order are adjacent): total triangles + the top-10 parts by
+    * triangle membership — the local-clustering signal behind community/
+    * bundle detection (and, on a near-dup pair graph, the transitivity
+    * diagnostic for dedup clusters). `operators/Triangles.scala`:
+    * degree-ordered orientation bounds every out-adjacency by ~√(2m)
+    * (hub-skew-proof collect_list), and per-edge sorted-array
+    * intersection finds each triangle exactly once WITHOUT materializing
+    * the Θ(wedges) pair stream (41M wedges vs 1.9M triangles on this
+    * graph at sf0.1). The oracle replays the canonical a<b triple join —
+    * orientation changes the plan, never the count. Total = Σ n_tri / 3
+    * (each triangle counts at its three vertices; integer-exact).
+    */
+  def triangleParts(s: SparkSession, dir: String): DataFrame = {
+    // per-order part sets via ONE groupBy (collect_set dedups in-order
+    // repeats before the explode), pairs generated narrow from the
+    // sorted array — no fact self-join; basket size bounds the explode
+    val edges = lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+           transform(slice(ps, i + 2, size(ps)),
+             y -> struct(x AS pa, y AS pb))))""")).as("e"))
+      .select(col("e.pa"), col("e.pb"))
+    val pv = Triangles.vertexTriangles(edges, col("pa"), col("pb"))
+      .localCheckpoint() // feeds the top-10 cut and the global total
+    val tot = pv.agg(call_function("div", sum(col("n_tri")), lit(3L))
+      .as("n_triangles"))
+    graft.plans.TopKPerKey.topK(pv.withColumn("_k", lit(0)),
+        keys = Seq("_k"), order = Seq("n_tri" -> "desc", "part" -> "asc"),
+        k = 10)
+      .crossJoin(broadcast(tot))
+      .select(col("part"), col("n_tri"), col("n_triangles"))
+      .orderBy(col("n_tri").desc, col("part"))
+  }
+
+  val trianglePartsSql: String =
+    """WITH e AS (
+         SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       tri AS (
+         SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+         FROM e e1 JOIN e e2 ON e2.pa = e1.pb
+         JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+       tot AS (SELECT COUNT(*) AS n_triangles FROM tri),
+       pv AS (
+         SELECT v AS part, COUNT(*) AS n_tri FROM (
+           SELECT a AS v FROM tri
+           UNION ALL SELECT b FROM tri
+           UNION ALL SELECT c FROM tri)
+         GROUP BY 1)
+       SELECT part, n_tri, n_triangles FROM pv CROSS JOIN tot
+       ORDER BY n_tri DESC, part LIMIT 10"""
+
+  // --------------------------------------- E67 CUSUM change-point --------
+
+  /** Two-sided CUSUM over the daily order-count series
+    * (`TimeSeries.cusum`) — sustained-drift detection for ingest
+    * monitoring, complementing the E56 single-day residual anomalies.
+    * The sequential max(0, s+y) recurrence closes over prefix sums
+    * (s_i = p_i − min(0, min p_j); mirrored for the lower side), so the
+    * whole series is two running extrema sharing ONE |days|-frame sorted
+    * window — no recursion, no driver loop. All-integer: deviations are
+    * n-scaled (y = n·x − Σx), both engines carry identical BIGINTs.
+    */
+  def cusumDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = orders(s, dir)
+      .groupBy(dayBucket(col("o_orderdate")).as("day_bucket"))
+      .agg(count(lit(1)).as("n_orders"))
+    TimeSeries.cusum(daily, col("day_bucket"), col("n_orders"))
+      .select(col("bucket").as("day_bucket"), col("x").as("n_orders"),
+        col("cusum_up"), col("cusum_dn"))
+      .orderBy(col("day_bucket"))
+  }
+
+  val cusumDailySql: String =
+    """WITH daily AS (
+         SELECT epoch_us(o_orderdate) // 86400000000 AS day_bucket,
+           COUNT(*) AS n_orders
+         FROM orders GROUP BY 1),
+       tot AS (
+         SELECT CAST(SUM(n_orders) AS BIGINT) AS t, COUNT(*) AS n
+         FROM daily),
+       p AS (
+         SELECT day_bucket, n_orders,
+           CAST(SUM(n_orders * n - t) OVER (ORDER BY day_bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS p
+         FROM daily CROSS JOIN tot)
+       SELECT day_bucket, n_orders,
+         CAST(p - LEAST(MIN(p) OVER w, 0) AS BIGINT) AS cusum_up,
+         CAST(GREATEST(MAX(p) OVER w, 0) - p AS BIGINT) AS cusum_dn
+       FROM p
+       WINDOW w AS (ORDER BY day_bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       ORDER BY day_bucket"""
+
+  // --------------------------------- E65b streaming Count-Min sketch -----
+
+  /** Continuous Count-Min maintenance (`StreamingIngest.cmsSink`): each
+    * microbatch commits its own d×w partial grid under `batch_id=N`
+    * (overwrite-idempotent, the E38b discipline), and because cells are
+    * ADDITIVE the live sketch at any moment is one sum over the ≤ d·w·B
+    * partial rows — no raw row is ever re-read, state per batch is the
+    * fixed grid. Two-drain replay over the split corpus must land on
+    * EXACTLY the batch sketch (integer cell sums in any grouping), so
+    * this gates on the same oracle as `cms_counts`.
+    */
+  def streamCms(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDir("graft_scms_")
+    val landing = s"$tmp/landing"; val cellsDir = s"$tmp/cells"
+    val ckpt = s"$tmp/ckpt"
+    val toks = documents(s, dir).select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z0-9]+"), lit(0))).as("t"))
+    toks.where(pmod(col("doc_id"), lit(2)) === 0).select(col("t"))
+      .write.mode("overwrite").parquet(landing)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("t STRING")
+    def drain(): Unit =
+      graft.streaming.StreamingIngest.cmsSink(
+        s.readStream.schema(schema).parquet(landing), "t", cellsDir,
+        checkpointDir = Some(ckpt), availableNow = true)
+        .awaitTermination()
+    drain()
+    toks.where(pmod(col("doc_id"), lit(2)) === 1).select(col("t"))
+      .write.mode("append").parquet(landing)
+    drain()
+    val cells = s.read.parquet(cellsDir)
+      .groupBy(col("j"), col("b")).agg(sum(col("cnt")).as("cnt"))
+    val exact = toks.groupBy(col("t")).agg(count(lit(1)).as("exact_cnt"))
+    val top = graft.plans.TopKPerKey.topK(exact.withColumn("_k", lit(0)),
+        keys = Seq("_k"), order = Seq("exact_cnt" -> "desc", "t" -> "asc"),
+        k = 10)
+      .select(col("t"), col("exact_cnt"))
+    CountMin.estimate(cells, top, col("t"))
+      .select(col("t").as("token"), col("exact_cnt"), col("est_cnt"),
+        (col("est_cnt") >= col("exact_cnt")).as("over_ok"))
+      .orderBy(col("exact_cnt").desc, col("token"))
+  }
+
+  val streamCmsSql: String = cmsCountsSql
+
+  // --------------------------- E45b position-based multi-touch attribution
+
+  /** U-shaped multi-touch attribution with EXACT-cents credit: each
+    * purchase's value splits across its view touchpoints in the 24 h
+    * lookback — 40% to the first touch, 40% to the last, 20% shared by
+    * the middles (one/two touches degenerate to 100% / 50-50) — through
+    * the E47 largest-remainder apportionment, so credited cents per
+    * purchase sum EXACTLY to the purchase value at any parallelism (the
+    * float-proration attribution every BI tool gets off by a cent).
+    * Weights stay integral: ends carry 40·(k−2), middles 20 (ratio
+    * 40 : 20/(k−2) scaled by k−2). Purchases with no in-window touch
+    * report under hour −1 at full value. Shape: one user-keyed
+    * equi-join (per-user touch lists are delivery-bounded — the E45
+    * premise), per-purchase windows on purchase-sized frames, one
+    * allocation pass sharing the purchase partitioning.
+    */
+  def attributionPosition(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        unix_micros(col("ts")).as("pt"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("vid"),
+        unix_micros(col("ts")).as("vt"))
+    val touches = p.join(v, Seq("user_id"))
+      .where(col("vt") <= col("pt")
+        && col("pt") - col("vt") <= lit(86400000000L))
+    val byP = Window.partitionBy(col("pid"))
+    val t2 = touches
+      .withColumn("rn", row_number().over(
+        byP.orderBy(col("vt").asc, col("vid").asc)).cast("long"))
+      .withColumn("k", count(lit(1)).over(byP))
+      .withColumn("w",
+        when(col("k") <= 2, lit(1L))
+          .otherwise(when(col("rn") === 1 || col("rn") === col("k"),
+            lit(40L) * (col("k") - 2)).otherwise(lit(20L))))
+    val alloc = Allocation.largestRemainder(t2, key = col("pid"),
+      ord = col("rn"), weight = col("w"), budget = col("cents"))
+    val attributed = alloc.select(
+      pmod(call_function("div", col("vt"), lit(3600000000L)), lit(24L))
+        .as("view_hour"),
+      col("allocated"))
+    val unattributed = p
+      .join(touches.select(col("pid")).distinct(), Seq("pid"), "left_anti")
+      .select(lit(-1L).as("view_hour"), col("cents").as("allocated"))
+    attributed.unionByName(unattributed)
+      .groupBy(col("view_hour"))
+      .agg(count(lit(1)).as("n_touches"),
+        (sum(col("allocated")).cast("double") / lit(100.0).cast("double"))
+          .as("credited_value"))
+      .orderBy(col("view_hour"))
+  }
+
+  val attributionPositionSql: String =
+    """WITH p AS (
+         SELECT event_id AS pid, user_id, epoch_us(ts) AS pt,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         FROM events WHERE event_type = 'purchase'),
+       v AS (
+         SELECT user_id, event_id AS vid, epoch_us(ts) AS vt FROM events
+         WHERE event_type = 'view'),
+       t AS (
+         SELECT pid, cents, vt,
+           CAST(ROW_NUMBER() OVER (PARTITION BY pid ORDER BY vt, vid)
+             AS BIGINT) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY pid) AS BIGINT) AS k
+         FROM p JOIN v USING (user_id)
+         WHERE vt <= pt AND pt - vt <= 86400000000),
+       tw AS (
+         SELECT *, CASE WHEN k <= 2 THEN 1
+           WHEN rn = 1 OR rn = k THEN 40 * (k - 2) ELSE 20 END AS w
+         FROM t),
+       j AS (
+         SELECT *, CAST(SUM(w) OVER (PARTITION BY pid) AS BIGINT) AS tot
+         FROM tw),
+       b AS (
+         SELECT *, (cents * w) // tot AS base, (cents * w) % tot AS rem
+         FROM j),
+       r AS (
+         SELECT *, CAST(SUM(base) OVER (PARTITION BY pid) AS BIGINT)
+             AS base_sum,
+           ROW_NUMBER() OVER (PARTITION BY pid ORDER BY rem DESC, rn)
+             AS brn
+         FROM b),
+       cred AS (
+         SELECT (vt // 3600000000) % 24 AS view_hour,
+           base + CASE WHEN brn <= cents - base_sum THEN 1 ELSE 0 END
+             AS allocated
+         FROM r
+         UNION ALL
+         SELECT -1, cents FROM p
+         WHERE pid NOT IN (SELECT pid FROM t))
+       SELECT view_hour, COUNT(*) AS n_touches,
+         CAST(SUM(allocated) AS DOUBLE) / CAST(100 AS DOUBLE)
+           AS credited_value
+       FROM cred GROUP BY 1 ORDER BY 1"""
+
+  // ----------------------------------- L38 n-gram novelty scoring --------
+
+  /** Per-document 8-gram novelty (`SpanDedup.noveltyStats`) — what
+    * fraction of the doc's rolling word-windows introduce text the
+    * corpus has never seen before it (first occurrence = min doc_id) —
+    * the contribution/memorization-risk mirror of `span_dedup`'s
+    * duplication fraction, on the same linear window-hash machinery.
+    */
+  def noveltyNgrams(s: SparkSession, dir: String): DataFrame =
+    SpanDedup.noveltyStats(documents(s, dir), col("doc_id"), col("text"),
+        n = 8)
+      .orderBy(col("doc_id"))
+
+  val noveltyNgramsSql: String =
+    s"""WITH base AS (
+         SELECT doc_id, string_split($normalizeSql, ' ') AS w
+         FROM documents),
+       b2 AS (SELECT doc_id, w, len(w) AS nw FROM base),
+       wins AS (
+         SELECT doc_id, md5(array_to_string(w[i+1:i+8], ' ')) AS h
+         FROM (SELECT doc_id, w, nw, unnest(range(nw - 7)) AS i
+               FROM b2 WHERE nw >= 8)),
+       first AS (SELECT h, MIN(doc_id) AS first_doc FROM wins GROUP BY 1),
+       novel AS (
+         SELECT doc_id,
+           CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel
+         FROM wins JOIN first USING (h) GROUP BY 1)
+       SELECT b2.doc_id,
+         CAST(GREATEST(nw - 7, 0) AS BIGINT) AS n_windows,
+         CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel,
+         CASE WHEN nw >= 8
+           THEN CAST(COALESCE(n_novel, 0) AS DOUBLE) / CAST(nw - 7 AS DOUBLE)
+           ELSE 1.0 END AS novelty
+       FROM b2 LEFT JOIN novel USING (doc_id)
+       ORDER BY doc_id"""
 }

@@ -253,6 +253,19 @@ object SparkEntry {
     "sliding_distinct_hll" -> (Queries.slidingDistinctHll _),
     // E64 exact weighted median
     "weighted_median" -> (Queries.weightedMedian _),
+    // L36 hybrid retrieval (RRF), E65 Count-Min sketch,
+    // L37 vocabulary growth, E6g sliding exact percentiles
+    "retrieval_rrf" -> (Queries.retrievalRrf _),
+    "cms_counts" -> (Queries.cmsCounts _),
+    "vocab_growth" -> (Queries.vocabGrowth _),
+    "sliding_percentile" -> (Queries.slidingPercentile _),
+    // E66 triangle census, E67 CUSUM change-point, E65b streaming CMS
+    "triangle_parts" -> (Queries.triangleParts _),
+    "cusum_daily" -> (Queries.cusumDaily _),
+    "stream_cms" -> (Queries.streamCms _),
+    // E45b position-based multi-touch attribution, L38 n-gram novelty
+    "attribution_position" -> (Queries.attributionPosition _),
+    "novelty_ngrams" -> (Queries.noveltyNgrams _),
   )
 
   /** Bench class per registered query — `pure` (compute only),
@@ -275,7 +288,7 @@ object SparkEntry {
       "dedup_incremental_bucketed", "stream_stream_join",
       "merge_upsert_stream", "stream_static_join", "stream_heavy_hitters",
       "streaming_session_window", "dedup_within_watermark",
-      "stream_asof_enrich")
+      "stream_asof_enrich", "stream_cms")
     queries.keys.map { n =>
       n -> (if (writeDemo(n)) "write_demo"
             else if (streamHarness(n)) "stream_harness"
@@ -467,5 +480,14 @@ object SparkEntry {
     "pca_top_component" -> Queries.pcaTopComponentSql,
     "sliding_distinct_hll" -> Queries.slidingDistinctHllSql,
     "weighted_median" -> Queries.weightedMedianSql,
+    "retrieval_rrf" -> Queries.retrievalRrfSql,
+    "cms_counts" -> Queries.cmsCountsSql,
+    "vocab_growth" -> Queries.vocabGrowthSql,
+    "sliding_percentile" -> Queries.slidingPercentileSql,
+    "triangle_parts" -> Queries.trianglePartsSql,
+    "cusum_daily" -> Queries.cusumDailySql,
+    "stream_cms" -> Queries.streamCmsSql,
+    "attribution_position" -> Queries.attributionPositionSql,
+    "novelty_ngrams" -> Queries.noveltyNgramsSql,
   )
 }

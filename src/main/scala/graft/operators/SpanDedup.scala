@@ -55,4 +55,44 @@ object SpanDedup {
             col("n_windows").cast("double"))
           .otherwise(lit(0.0)).as("dup_frac"))
   }
+
+  /** Per-document n-gram NOVELTY — the corpus-order mirror of
+    * [[spanStats]]: a window instance is novel when its hash FIRST
+    * appears (min doc_id over the corpus) in this document, so novelty
+    * = fraction of the doc's windows introducing never-before-seen
+    * n-grams — the memorization-risk / contribution signal behind
+    * "does this source still add new text, or restate the corpus?"
+    * (every instance inside the introducing doc counts novel; repeats
+    * in LATER docs do not — the L37 first-occurrence discipline on
+    * spans instead of tokens). Docs shorter than `n` words report
+    * novelty 1.0 (nothing restated). Same linear shape as spanStats:
+    * one hash groupBy (min doc), one co-partitioned join back.
+    */
+  def noveltyStats(docs: DataFrame, id: Column, text: Column,
+      n: Int): DataFrame = {
+    require(n >= 2, s"window must be >= 2 words, got $n")
+    val base = docs
+      .select(id.as("doc_id"), split(TextAnalysis.normalize(text), " ").as("w"))
+      .withColumn("nw", size(col("w")).cast("long"))
+    val wins = base.where(col("nw") >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), (col("nw") - n).cast("int")),
+          i => md5(array_join(slice(col("w"), i + 1, lit(n)), " "))))
+          .as("h"))
+    val first = wins.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    val novel = wins.join(first, "h")
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+        .as("n_novel"))
+    base
+      .select(col("doc_id"),
+        greatest(col("nw") - (n - 1), lit(0L)).as("n_windows"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_windows") > 0L,
+          coalesce(col("n_novel"), lit(0L)).cast("double") /
+            col("n_windows").cast("double"))
+          .otherwise(lit(1.0)).as("novelty"))
+  }
 }

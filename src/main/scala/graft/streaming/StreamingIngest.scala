@@ -303,6 +303,29 @@ object StreamingIngest {
       .start()
   }
 
+  /** Continuous Count-Min maintenance — the E38b heavy-hitter-sink
+    * discipline applied to the [[graft.operators.CountMin]] grid: each
+    * microbatch commits its own d×w partial cell grid under
+    * `cellsDir/batch_id=N` (overwrite-idempotent on replay), and because
+    * cells are ADDITIVE the live sketch is one cell-wise sum over the
+    * partials — fixed-size state per batch, raw rows never re-read, the
+    * periodic-compaction note from `heavyHitterSink` applies verbatim.
+    */
+  def cmsSink(items: DataFrame, itemCol: String, cellsDir: String,
+      d: Int = 4, w: Int = 256, checkpointDir: Option[String] = None,
+      availableNow: Boolean = false): StreamingQuery = {
+    val writer = items.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.CountMin.sketch(batch, col(itemCol), d, w)
+          .write.mode("overwrite").parquet(s"$cellsDir/batch_id=$batchId")
+        ()
+      }
+    val withCkpt =
+      checkpointDir.fold(writer)(c => writer.option("checkpointLocation", c))
+    (if (availableNow) withCkpt.trigger(Trigger.AvailableNow()) else withCkpt)
+      .start()
+  }
+
   /** Continuous CDC apply (streaming twin of
     * [[graft.operators.Compaction.mergeChangelog]]): each microbatch of
     * changelog rows merges onto the latest snapshot version and writes a
