@@ -274,6 +274,46 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     } finally restore()
   }
 
+  test("cms estimate joins the grid BROADCAST — probes never shuffle") {
+    import spark.implicits._
+    val items = (1 to 50).flatMap(i => Seq.fill(100 / i)(s"w$i")).toDF("t")
+    val cells = graft.operators.CountMin.sketch(items, col("t"))
+    val est = graft.operators.CountMin
+      .estimate(cells, items.distinct(), col("t"))
+    est.collect()
+    val plan = physical(est)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("triangle census joins only broadcast frames — never an SMJ on the edge stream") {
+    import spark.implicits._
+    val edges = (for { a <- 0L to 30L; b <- 0L to 30L if a < b }
+      yield (a, b)).toDF("a", "b")
+    val te = graft.operators.Triangles.triangleEdges(edges, col("a"), col("b"))
+    te.collect()
+    val plan = physical(te)
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("retrieval_rrf: query vector broadcasts; both arm cuts ride TopKPerKey") {
+    val df = Queries.retrievalRrf(spark, sf)
+    df.collect()
+    val plan = physical(df)
+    // the semantic arm's 1-row query vector crosses as a broadcast NLJ
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("TopKPerKey"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("sliding percentiles: one hash exchange for the windowed agg") {
+    // static plan (no collect): the executed AQE string would print the
+    // final AND initial plans and double-count the exchange
+    val plan = physical(Queries.slidingPercentile(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"want 1 hash exchange, got $exchanges:\n${plan.take(3000)}")
+  }
+
   test("flagship queries keep whole-stage codegen in the hot path") {
     // AQE finalizes the physical plan lazily — execute first. Codegen'd
     // operators print with a `*(stageId)` prefix in the final plan.
