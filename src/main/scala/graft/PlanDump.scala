@@ -104,7 +104,9 @@ object PlanDump {
       "triangle_parts" -> "triangles: basket groupBy + narrow pair explode (no fact self-join); degree/adjacency frames broadcast; per-edge array intersection — the wedge stream never materializes",
       "cusum_daily" -> "CUSUM: one fact agg to the |days| frame; prefix sum + two running extrema share ONE sorted window",
       "attribution_position" -> "multi-touch: one user-keyed equi-join; per-purchase rank/count windows and the largest-remainder pass all share the purchase partitioning",
-      "novelty_ngrams" -> "novelty: narrow window explode -> one hash groupBy (min doc) -> co-partitioned join back; the text never rides a shuffle")
+      "novelty_ngrams" -> "novelty: narrow window explode -> one hash groupBy (min doc) -> co-partitioned join back; the text never rides a shuffle",
+      "phrase_search" -> "phrase: postings term-filtered AT THE SCAN; (doc,pos) equi-joins co-partitioned on doc — the corpus never shuffles",
+      "quality_calibrated" -> "calibrated quality: two-level range rank (no one-task-per-source sort) + broadcast per-source counts; one decile agg")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` on `$sf`. Audit notes per plan;\n")

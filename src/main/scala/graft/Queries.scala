@@ -6853,4 +6853,142 @@ object Queries {
            ELSE 1.0 END AS novelty
        FROM b2 LEFT JOIN novel USING (doc_id)
        ORDER BY doc_id"""
+
+  // ------------------------------- E24b positional phrase search ---------
+
+  /** Exact-phrase retrieval over POSITIONAL postings — the E24 inverted
+    * index extended with term positions, the capability BM25's
+    * bag-of-words scoring cannot express ("row column sort" as
+    * consecutive words, not co-occurrence). Postings are TERM-FILTERED
+    * AT THE SCAN (only the phrase's words survive the narrow posexplode
+    * — the corpus never shuffles), each later term's positions shift
+    * back by its offset, and the phrase match is (doc, pos) equi-joins —
+    * co-partitioned on doc after the first shuffle, occurrence-list
+    * sized. The oracle replays by direct adjacent-word inspection
+    * (`w[i] = t1 AND w[i+1] = t2 …`), so the compare gates the index
+    * structure against an independent formulation.
+    */
+  def phraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val phrase = Seq("row", "column", "sort")
+    val toks = documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "t")))
+      .where(col("t").isInCollection(phrase))
+    val aligned = phrase.zipWithIndex.map { case (w, i) =>
+      toks.where(col("t") === w)
+        .select(col("doc_id"), (col("pos") - i).cast("long").as("p"))
+    }
+    aligned.reduce((a, b) => a.join(b, Seq("doc_id", "p")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("p")).as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  val phraseSearchSql: String =
+    """WITH t AS (
+         SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       m AS (
+         SELECT doc_id, i - 1 AS p
+         FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM t)
+         WHERE w[i] = 'row' AND w[i+1] = 'column' AND w[i+2] = 'sort')
+       SELECT doc_id, COUNT(*) AS n_matches,
+         CAST(MIN(p) AS BIGINT) AS first_pos
+       FROM m GROUP BY 1 ORDER BY 1"""
+
+  // ----------------------------- E68 time-to-convert percentiles ---------
+
+  /** View→purchase conversion-latency distribution by purchase hour —
+    * the funnel-timing report on top of the E13/E45 as-of machinery:
+    * each purchase joins its LAST view at-or-before it (one shared
+    * shuffle in the as-of union), and the per-hour latency percentiles
+    * are the E6b exact interpolated form over integer microseconds
+    * (only the final seconds conversion runs in double). Purchases with
+    * no prior view drop (they never entered the funnel).
+    */
+  def timeToConvert(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("pt"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("vt"))
+    AsOfJoin.asOf(purchases, col("user_id"), col("pt"),
+        views, col("user_id"), col("vt"), Seq("vt" -> col("vt")))
+      .where(col("right_vt").isNotNull)
+      .select(pmod(call_function("div", col("pt"), lit(3600000000L)),
+          lit(24L)).as("conv_hour"),
+        (col("pt") - col("right_vt")).as("lat_us"))
+      .groupBy(col("conv_hour"))
+      .agg(count(lit(1)).as("n_conversions"),
+        (expr("percentile(lat_us, 0.5)") / lit(1000000.0).cast("double"))
+          .as("p50_s"),
+        (expr("percentile(lat_us, 0.9)") / lit(1000000.0).cast("double"))
+          .as("p90_s"))
+      .orderBy(col("conv_hour"))
+  }
+
+  val timeToConvertSql: String =
+    """WITH p AS (
+         SELECT event_id, user_id, epoch_us(ts) AS pt FROM events
+         WHERE event_type = 'purchase'),
+       v AS (
+         SELECT user_id, epoch_us(ts) AS vt FROM events
+         WHERE event_type = 'view'),
+       att AS (
+         SELECT p.event_id, p.pt, MAX(v.vt) AS vt
+         FROM p JOIN v ON v.user_id = p.user_id AND v.vt <= p.pt
+         GROUP BY p.event_id, p.pt)
+       SELECT (pt // 3600000000) % 24 AS conv_hour,
+         COUNT(*) AS n_conversions,
+         quantile_cont(pt - vt, 0.5) / CAST(1000000 AS DOUBLE) AS p50_s,
+         quantile_cont(pt - vt, 0.9) / CAST(1000000 AS DOUBLE) AS p90_s
+       FROM att GROUP BY 1 ORDER BY 1"""
+
+  // --------------------- L39 cross-source calibrated quality bands -------
+
+  /** Source-calibrated quality: each document's score mapped to its
+    * percentile WITHIN its source ((rank−1)/(n−1)), bucketed to deciles
+    * — the cross-source comparison a raw score can't give (every
+    * source's own distribution becomes uniform, so "keep the top 20% of
+    * EACH source" is one predicate; the curation cut that doesn't let
+    * one verbose source flood the quality band). Ranks run through the
+    * E54b two-level range discipline (`Ranks.groupRankByRange`) — no
+    * source ever sorts in one task, which is the point: sources are few
+    * and wide, the exact shape the per-group window chokes on.
+    * Single-doc sources calibrate to 0.0.
+    */
+  def qualityCalibrated(s: SparkSession, dir: String): DataFrame = {
+    val sc = documents(s, dir).select(col("doc_id"), col("source"),
+      TextAnalysis.qualityScore(col("text")).as("score"))
+    val ranked = Ranks.groupRankByRange(sc, group = Seq("source"),
+      order = Seq("score", "doc_id"), out = "rnk")
+    val n = sc.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(n), "source")
+      .select(col("source"),
+        when(col("n") === 1, lit(0L)).otherwise(
+          least(floor(((col("rnk") - 1).cast("double")
+            / (col("n") - 1).cast("double")) * 10), lit(9L)))
+          .as("decile"))
+      .groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("decile"))
+  }
+
+  val qualityCalibratedSql: String =
+    s"""WITH sc AS (
+         SELECT doc_id, source, $qualityScoreExprSql AS score
+         FROM documents),
+       r AS (
+         SELECT source,
+           CAST(ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY score, doc_id) AS BIGINT) AS rnk,
+           CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+         FROM sc),
+       c AS (
+         SELECT source, CASE WHEN n = 1 THEN CAST(0 AS BIGINT)
+           ELSE CAST(LEAST(floor((CAST(rnk - 1 AS DOUBLE)
+             / CAST(n - 1 AS DOUBLE)) * 10), 9) AS BIGINT) END AS decile
+         FROM r)
+       SELECT source, decile, COUNT(*) AS n_docs FROM c
+       GROUP BY 1, 2 ORDER BY 1, 2"""
 }

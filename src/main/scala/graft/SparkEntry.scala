@@ -266,6 +266,11 @@ object SparkEntry {
     // E45b position-based multi-touch attribution, L38 n-gram novelty
     "attribution_position" -> (Queries.attributionPosition _),
     "novelty_ngrams" -> (Queries.noveltyNgrams _),
+    // E24b positional phrase search, E68 time-to-convert percentiles,
+    // L39 cross-source calibrated quality
+    "phrase_search" -> (Queries.phraseSearch _),
+    "time_to_convert" -> (Queries.timeToConvert _),
+    "quality_calibrated" -> (Queries.qualityCalibrated _),
   )
 
   /** Bench class per registered query — `pure` (compute only),
@@ -489,5 +494,8 @@ object SparkEntry {
     "stream_cms" -> Queries.streamCmsSql,
     "attribution_position" -> Queries.attributionPositionSql,
     "novelty_ngrams" -> Queries.noveltyNgramsSql,
+    "phrase_search" -> Queries.phraseSearchSql,
+    "time_to_convert" -> Queries.timeToConvertSql,
+    "quality_calibrated" -> Queries.qualityCalibratedSql,
   )
 }
