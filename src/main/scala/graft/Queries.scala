@@ -6991,4 +6991,646 @@ object Queries {
          FROM r)
        SELECT source, decile, COUNT(*) AS n_docs FROM c
        GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // ------------------------------ E69 sequence-pattern extraction --------
+
+  /** Ordered-pattern instance extraction — MATCH_RECOGNIZE's everyday
+    * case, the view → click → purchase chain with a 24 h step window per
+    * link: each purchase matches iff its LAST click at-or-before it is
+    * within 24 h AND that click's last view at-or-before it is within
+    * 24 h. Distinct from the E30 funnel (per-user prefix census, earliest
+    * completion) and E68 (two-step latency): this EXTRACTS every complete
+    * instance and reports the per-user match census with the widest
+    * chain span.
+    *
+    * Shape: two chained E13 as-of joins, both keyed on user — the second
+    * probes with the first's attached click time, so every stage (and
+    * both census aggs) reuses one user-hash exchange. The step windows
+    * are POST-filters, which equals filtering before the as-of: the
+    * last-at-or-before row is the latest candidate, so if IT falls
+    * outside the window every earlier one does too. All-integer time
+    * math; the floor-div seconds conversion commutes with max (both
+    * monotone), so Spark's div(max) equals the oracle's MAX-then-//.
+    */
+  def seqPattern(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val stepUs = 86400000000L // 24 h per link
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("pt"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("ct"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("vt"))
+    val withClick = AsOfJoin.asOf(purchases, col("user_id"), col("pt"),
+        clicks, col("user_id"), col("ct"), Seq("ct" -> col("ct")))
+      .where(col("right_ct").isNotNull &&
+        col("pt") - col("right_ct") <= stepUs)
+      .select(col("event_id"), col("user_id"), col("pt"),
+        col("right_ct").as("ct"))
+    val chains = AsOfJoin.asOf(withClick, col("user_id"), col("ct"),
+        views, col("user_id"), col("vt"), Seq("vt" -> col("vt")))
+      .where(col("right_vt").isNotNull &&
+        col("ct") - col("right_vt") <= stepUs)
+      .select(col("user_id"), (col("pt") - col("right_vt")).as("span_us"))
+    val perUser = purchases.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"))
+    val matched = chains.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_chains"),
+        call_function("div", max(col("span_us")), lit(1000000L))
+          .as("max_span_s"))
+    perUser.join(matched, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_purchases"),
+        coalesce(col("n_chains"), lit(0L)).as("n_chains"),
+        col("max_span_s"))
+      .orderBy(col("user_id"))
+  }
+
+  val seqPatternSql: String =
+    """WITH p AS (
+         SELECT event_id, user_id, epoch_us(ts) AS pt FROM events
+         WHERE event_type = 'purchase'),
+       c AS (
+         SELECT user_id, epoch_us(ts) AS ct FROM events
+         WHERE event_type = 'click'),
+       v AS (
+         SELECT user_id, epoch_us(ts) AS vt FROM events
+         WHERE event_type = 'view'),
+       pc AS (
+         SELECT p.event_id, p.user_id, p.pt, MAX(c.ct) AS ct
+         FROM p JOIN c ON c.user_id = p.user_id AND c.ct <= p.pt
+         GROUP BY 1, 2, 3
+         HAVING p.pt - MAX(c.ct) <= 86400000000),
+       pcv AS (
+         SELECT pc.event_id, pc.user_id, pc.pt, MAX(v.vt) AS vt
+         FROM pc JOIN v ON v.user_id = pc.user_id AND v.vt <= pc.ct
+         GROUP BY 1, 2, 3, pc.ct
+         HAVING pc.ct - MAX(v.vt) <= 86400000000),
+       np AS (SELECT user_id, COUNT(*) AS n_purchases FROM p GROUP BY 1),
+       nc AS (
+         SELECT user_id, COUNT(*) AS n_chains,
+           CAST(MAX(pt - vt) // 1000000 AS BIGINT) AS max_span_s
+         FROM pcv GROUP BY 1)
+       SELECT np.user_id, np.n_purchases,
+         COALESCE(nc.n_chains, 0) AS n_chains, nc.max_span_s
+       FROM np LEFT JOIN nc ON nc.user_id = np.user_id
+       ORDER BY np.user_id"""
+
+  // ------------------------------ E67b streaming CUSUM maintenance -------
+
+  /** Streaming CUSUM: the E67 drift series kept current by the E38b
+    * partial-commit discipline — each microbatch lands its own per-day
+    * order-count partials under `batch_id=N` (reusing
+    * [[graft.streaming.StreamingIngest.heavyHitterSink]] verbatim with
+    * the day bucket as the item: overwrite-idempotent on replay,
+    * map-side-sized output). The POINT: the sequential max(0, s+y)
+    * recurrence needs NO streaming state, because it closes over prefix
+    * sums of an ADDITIVE aggregate — so the live series is one day-keyed
+    * sum over ≤ |days|·B partial rows followed by the E67 prefix-extrema
+    * windows on the |days| frame, and any drain split lands on EXACTLY
+    * the batch series (gated on the `cusum_daily` oracle).
+    */
+  def streamCusum(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDir("graft_scusum_")
+    val landing = s"$tmp/landing"; val countsDir = s"$tmp/counts"
+    val ckpt = s"$tmp/ckpt"
+    val src = orders(s, dir).select(
+      dayBucket(col("o_orderdate")).as("day_bucket"), col("o_orderkey"))
+    src.where(pmod(col("o_orderkey"), lit(2)) === 0)
+      .write.mode("overwrite").parquet(landing)
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("day_bucket BIGINT, o_orderkey BIGINT")
+    def drain(): Unit =
+      graft.streaming.StreamingIngest.heavyHitterSink(
+        s.readStream.schema(schema).parquet(landing), "day_bucket",
+        countsDir, checkpointDir = Some(ckpt), availableNow = true)
+        .awaitTermination()
+    drain()
+    src.where(pmod(col("o_orderkey"), lit(2)) === 1)
+      .write.mode("append").parquet(landing)
+    drain()
+    val daily = s.read.parquet(countsDir)
+      .groupBy(col("item")).agg(sum(col("cnt")).as("n_orders"))
+      .select(col("item").cast("long").as("day_bucket"), col("n_orders"))
+    TimeSeries.cusum(daily, col("day_bucket"), col("n_orders"))
+      .select(col("bucket").as("day_bucket"), col("x").as("n_orders"),
+        col("cusum_up"), col("cusum_dn"))
+      .orderBy(col("day_bucket"))
+  }
+
+  val streamCusumSql: String = cusumDailySql
+
+  // ------------------------------ L40 tokenizer fertility by language ----
+
+  /** Tokenizer fertility by language: BPE tokens per whitespace word for
+    * each PREDICTED language bucket (L8 n-gram id × L10 real-merges BPE)
+    * — the tokenizer-bias audit a multilingual corpus needs before
+    * token-budgeting: a vocabulary trained on-distribution compresses
+    * its own language best, and off-distribution languages pay a higher
+    * tokens-per-word ratio, skewing both the token bill and effective
+    * epochs per language. ONE text pass: language id, word count and the
+    * min-rank BPE encode are narrow codegen kernels in the same
+    * projection, and the census collapses map-side to |langs| rows.
+    * Fertility is one int/int IEEE division on exact corpus sums; the
+    * oracle replays the full tokenizer with the symbol-aligned merge
+    * CTEs ([[bpeReplaySql]]) and the language CASE expression.
+    */
+  def bpeFertility(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(TextAnalysis.langId(col("text")).as("predicted_lang"),
+        graft.functions.BpeFunctions.bpeTokenCount(col("text"))
+          .cast("long").as("bpe"),
+        TextAnalysis.wordCount(col("text")).cast("long").as("words"))
+      .groupBy(col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("bpe")).as("bpe_tokens"),
+        sum(col("words")).as("words"),
+        (sum(col("bpe")).cast("double") / sum(col("words")).cast("double"))
+          .as("fertility"))
+      .orderBy(col("predicted_lang"))
+
+  val bpeFertilitySql: String =
+    s"""WITH RECURSIVE
+       toks AS (
+         SELECT doc_id, unnest(regexp_extract_all(text,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS w
+         FROM documents),
+       words AS (
+         SELECT DISTINCT w FROM toks
+         WHERE length(w) > 1 AND w SIMILAR TO '[A-Za-z0-9]+'),
+       $bpeReplaySql,
+       perdoc AS (
+         SELECT t.doc_id, SUM(COALESCE(e.ntok, 1)) AS n_bpe
+         FROM toks t LEFT JOIN enc e ON t.w = e.w
+         GROUP BY 1),
+       d AS (
+         SELECT doc_id, $langExprSql AS predicted_lang,
+           CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS words
+         FROM documents)
+       SELECT d.predicted_lang, COUNT(*) AS n_docs,
+         CAST(SUM(COALESCE(p.n_bpe, 0)) AS BIGINT) AS bpe_tokens,
+         CAST(SUM(d.words) AS BIGINT) AS words,
+         CAST(SUM(COALESCE(p.n_bpe, 0)) AS DOUBLE)
+           / CAST(SUM(d.words) AS DOUBLE) AS fertility
+       FROM d LEFT JOIN perdoc p USING (doc_id)
+       GROUP BY 1 ORDER BY 1"""
+
+  // ------------------------------ E70 session path census ----------------
+
+  /** Session path census: the top-20 most frequent event-type PATHS
+    * (ordered '>'-joined sequences, capped at the first 12 events of a
+    * session) across E4's 30-minute-gap sessions — the "what do journeys
+    * actually look like" report behind funnel design: E30/E48 presuppose
+    * the steps; this op DISCOVERS them.
+    *
+    * Shape: one user-hash exchange drives the gap windows AND the
+    * per-session path fold (sort the session's (t, id, type) structs,
+    * slice, join — per-session arrays are bounded by the activity gap,
+    * and the 12-event cap bounds the path domain, so the census groupBy
+    * collapses map-side to the path vocabulary). Top-20 rides
+    * TopKPerKeyExec — never a global sort of the census.
+    */
+  def sessionPaths(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us").asc, col("event_id").asc)
+    val sess = events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"))
+      .withColumn("prev_us", lag(col("t_us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("t_us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_sess"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val paths = sess.groupBy(col("user_id"), col("session_idx"))
+      .agg(array_join(
+        transform(
+          slice(array_sort(collect_list(
+            struct(col("t_us"), col("event_id"), col("event_type")))),
+            1, 12),
+          x => x("event_type")), ">").as("path"))
+    val census = paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+    graft.plans.TopKPerKey.topK(census.withColumn("_k", lit(0)),
+        keys = Seq("_k"),
+        order = Seq("n_sessions" -> "desc", "path" -> "asc"), k = 20)
+      .select(col("path"), col("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+  }
+
+  val sessionPathsSql: String =
+    """WITH e AS (
+         SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             THEN 1 ELSE 0 END AS new_sess
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+       s AS (
+         SELECT user_id, event_id, event_type, t_us,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM e),
+       r AS (
+         SELECT user_id, sid, event_type, t_us, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id, sid
+             ORDER BY t_us, event_id) AS rn
+         FROM s),
+       p AS (
+         SELECT user_id, sid,
+           string_agg(event_type, '>' ORDER BY t_us, event_id) AS path
+         FROM r WHERE rn <= 12 GROUP BY 1, 2),
+       c AS (SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1)
+       SELECT path, n_sessions FROM c
+       ORDER BY n_sessions DESC, path LIMIT 20"""
+
+  // ------------------------------ L41 dedup telemetry --------------------
+
+  /** Near-dup cluster telemetry: the cluster-SIZE histogram of the L2
+    * MinHash ≥0.5 component graph (E11 assignment) plus each size's doc
+    * share — the dedup health report a curation pipeline reads before
+    * deciding thresholds (a fat tail of large clusters means template
+    * spam; all-singleton means the threshold is too tight). Size 1 rows
+    * are the UNDUPLICATED mass, so `n_clusters` at size 1 plus one rep
+    * per larger cluster is exactly the post-dedup corpus size.
+    *
+    * Shape: everything after the (already-bucketed) L2/E11 machinery is
+    * dimension-sized — sizes are one count per root, the histogram one
+    * count per size, and the one-row total broadcasts back for the
+    * int/int share division.
+    */
+  def dedupStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val pairs = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
+      threshold = 0.5)
+    val asg = Dedup.clusters(docs.select(col("doc_id").as("id")), pairs)
+    val sizes = asg.groupBy(col("root"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val tot = asg.agg(count(lit(1)).as("n"))
+    sizes.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(broadcast(tot))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") * col("n_clusters")).cast("double")
+          / col("n").cast("double")).as("frac_docs"))
+      .orderBy(col("cluster_size"))
+  }
+
+  val dedupStatsSql: String =
+    s"""WITH RECURSIVE
+       s AS (SELECT doc_id, lang, $shingleSql AS sh FROM ($shingleSrcSql)),
+       pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE $jaccardSql >= 0.5),
+       edges AS (
+         SELECT id_a AS src, id_b AS dst FROM pairs
+         UNION ALL
+         SELECT id_b AS src, id_a AS dst FROM pairs),
+       reach(id, root) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id),
+       asg AS (SELECT id, MIN(root) AS root FROM reach GROUP BY id),
+       sizes AS (SELECT root, COUNT(*) AS cluster_size FROM asg GROUP BY 1),
+       tot AS (SELECT COUNT(*) AS n FROM asg)
+       SELECT cluster_size, COUNT(*) AS n_clusters,
+         CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+         CAST(cluster_size * COUNT(*) AS DOUBLE) / CAST(n AS DOUBLE)
+           AS frac_docs
+       FROM sizes CROSS JOIN tot
+       GROUP BY cluster_size, n ORDER BY cluster_size"""
+
+  // ------------------------------ E64b exact weighted percentiles --------
+
+  /** Weighted p25/p50/p75 per segment — E64's machinery generalized to
+    * the quartile grid in the SAME single pass: the smallest x with
+    * 4·cum ≥ tot / 2·cum ≥ tot / 4·cum ≥ 3·tot (pure integer
+    * comparisons, no division), read as three conditional MINs over the
+    * one cumulative-weight frame. The cumsum still runs the E54b
+    * two-level range discipline, so no segment ever sorts in one task;
+    * adding quantile points costs one `when`-guarded agg each, not
+    * another shuffle — the argument for the prefix-sum formulation over
+    * per-quantile nth-element passes.
+    */
+  def weightedPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val perCust = orders(s, dir).groupBy(col("o_custkey"))
+      .agg((sum(dec2(col("o_totalprice"))) * lit(100)).cast("long").as("x"),
+        count(lit(1)).as("w"))
+      .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("c_custkey"), col("x"), col("w"))
+    val cum = graft.operators.Ranks.groupCumSumByRange(perCust,
+      Seq("c_mktsegment"), Seq("x", "c_custkey"), "w", "cum")
+    val tots = cum.groupBy(col("c_mktsegment"))
+      .agg(max(col("cum")).as("tot"))
+    cum.join(broadcast(tots), Seq("c_mktsegment"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        min(when(lit(4L) * col("cum") >= col("tot"), col("x")))
+          .as("p25_rev_c"),
+        min(when(lit(2L) * col("cum") >= col("tot"), col("x")))
+          .as("p50_rev_c"),
+        min(when(lit(4L) * col("cum") >= lit(3L) * col("tot"), col("x")))
+          .as("p75_rev_c"),
+        min(col("tot")).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val weightedPercentilesSql: String =
+    """WITH pc AS (
+         SELECT c_mktsegment, c_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+             AS x,
+           COUNT(*) AS w
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment, c_custkey),
+       cw AS (
+         SELECT c_mktsegment, x, w,
+           CAST(SUM(w) OVER (PARTITION BY c_mktsegment
+             ORDER BY x, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum,
+           CAST(SUM(w) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS tot
+         FROM pc)
+       SELECT c_mktsegment,
+         MIN(CASE WHEN 4 * cum >= tot THEN x END) AS p25_rev_c,
+         MIN(CASE WHEN 2 * cum >= tot THEN x END) AS p50_rev_c,
+         MIN(CASE WHEN 4 * cum >= 3 * tot THEN x END) AS p75_rev_c,
+         CAST(MIN(tot) AS BIGINT) AS n_orders
+       FROM cw
+       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  // ------------------------------ L42 cross-split n-gram coverage --------
+
+  /** Cross-split bigram coverage: for each EVAL document (deterministic
+    * doc_id mod-10 cut), the fraction of its adjacent-word bigrams seen
+    * anywhere in the TRAIN split — the log-free language-model proxy for
+    * "how much of this doc is in-distribution": near-1 coverage means
+    * boilerplate the corpus already teaches, near-0 means novel (or
+    * noise) text. Complements L30 (unigram OOV) with order-sensitive
+    * context and L38 (novelty = first-occurrence direction).
+    *
+    * Shape: bigrams via the L26 slice+arrays_zip form (codegen'd, no
+    * higher-order lambda); the train side collapses to a DISTINCT
+    * bigram vocabulary and the membership probe is a hash equi-join
+    * CO-PARTITIONED on the bigram key — the vocabulary is corpus-sized,
+    * so no broadcast premise anywhere (unlike L30's top-k cut). Per-doc
+    * census keys on doc_id. Coverage is one int/int IEEE division;
+    * eval docs with <2 tokens have no bigrams and drop.
+    */
+  def ngramCoverage(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir).select(col("doc_id"),
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+        .as("w"))
+    val pairs = toks.where(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        slice(col("w"), lit(1), size(col("w")) - 1).as("xs"),
+        slice(col("w"), lit(2), size(col("w")) - 1).as("ys"))
+      .select(col("doc_id"), explode(arrays_zip(col("xs"), col("ys"))).as("p"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("p.xs"), col("p.ys")).as("bg"))
+    val train = pairs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+      .select(col("bg")).distinct()
+    pairs.where(pmod(col("doc_id"), lit(10)) === 0)
+      .join(train.withColumn("hit", lit(1L)), Seq("bg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_bigrams").cast("double"))
+          .as("coverage"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ngramCoverageSql: String =
+    """WITH toks AS (
+         SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+         FROM documents),
+       pairs AS (
+         SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+         FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i)),
+       train AS (SELECT DISTINCT bg FROM pairs WHERE doc_id % 10 <> 0),
+       ev AS (SELECT doc_id, bg FROM pairs WHERE doc_id % 10 = 0)
+       SELECT ev.doc_id, COUNT(*) AS n_bigrams,
+         CAST(SUM(CASE WHEN t.bg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hit,
+         CAST(SUM(CASE WHEN t.bg IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS coverage
+       FROM ev LEFT JOIN train t ON ev.bg = t.bg
+       GROUP BY ev.doc_id ORDER BY ev.doc_id"""
+
+  // ------------------------------ E71 mergeable binned quantiles ---------
+
+  /** Mergeable quantile summary — the E6d reaggregatable-distinct
+    * discipline applied to QUANTILES: order-value cents bin into a fixed
+    * 1024-cell integer grid (exact min/max pass → ceil width → floor-div
+    * bin), per-DAY partial grids collapse map-side, and the merged grid's
+    * prefix sums read p50/p90/p99 as bin lower edges with pure integer
+    * threshold compares (2·cum ≥ tot, 10·cum ≥ 9·tot, 100·cum ≥ 99·tot).
+    * Partial grids are ADDITIVE — they sum across days/streams/shards in
+    * any grouping, so the same summary maintains incrementally at 100 TB
+    * where exact E6b percentiles would re-touch every row; estimate error
+    * is bounded by one bin width BY CONSTRUCTION (the true quantile lies
+    * in the selected bin). The prefix/threshold windows run on the
+    * ≤1024-row grid — dimension-sized, the E46 sweep-line frame rule.
+    * Every step is integer arithmetic, so the oracle replays the whole
+    * summary bit-exactly.
+    */
+  def quantileMergeable(s: SparkSession, dir: String): DataFrame = {
+    val nbins = 1024L
+    val vals = orders(s, dir).select(
+      dayBucket(col("o_orderdate")).as("day"),
+      (dec2(col("o_totalprice")) * 100).cast("long").as("x"))
+    val bounds = vals.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val binned = vals.crossJoin(broadcast(bounds))
+      .withColumn("width",
+        call_function("div", col("hi") - col("lo") + nbins, lit(nbins)))
+      .withColumn("bin", call_function("div", col("x") - col("lo"),
+        col("width")))
+    val daily = binned.groupBy(col("day"), col("bin"), col("lo"),
+        col("width"))
+      .agg(count(lit(1)).as("cnt")) // the mergeable per-day partial grids
+    val merged = daily.groupBy(col("bin"), col("lo"), col("width"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val wCum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    merged
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("tot", sum(col("cnt")).over(wAll))
+      .agg(max(col("tot")).as("n_rows"),
+        max(col("width")).as("bin_width"),
+        min(when(lit(2L) * col("cum") >= col("tot"),
+          col("lo") + col("bin") * col("width"))).as("p50_est"),
+        min(when(lit(10L) * col("cum") >= lit(9L) * col("tot"),
+          col("lo") + col("bin") * col("width"))).as("p90_est"),
+        min(when(lit(100L) * col("cum") >= lit(99L) * col("tot"),
+          col("lo") + col("bin") * col("width"))).as("p99_est"))
+  }
+
+  val quantileMergeableSql: String =
+    """WITH v AS (
+         SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS x
+         FROM orders),
+       b AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM v),
+       wd AS (SELECT lo, (hi - lo + 1024) // 1024 AS width FROM b),
+       g AS (
+         SELECT (x - lo) // width AS bin, lo, width, COUNT(*) AS cnt
+         FROM v CROSS JOIN wd GROUP BY 1, 2, 3),
+       c AS (
+         SELECT bin, lo, width, cnt,
+           CAST(SUM(cnt) OVER (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum,
+           CAST(SUM(cnt) OVER () AS BIGINT) AS tot
+         FROM g)
+       SELECT CAST(MAX(tot) AS BIGINT) AS n_rows,
+         CAST(MAX(width) AS BIGINT) AS bin_width,
+         CAST(MIN(CASE WHEN 2 * cum >= tot
+           THEN lo + bin * width END) AS BIGINT) AS p50_est,
+         CAST(MIN(CASE WHEN 10 * cum >= 9 * tot
+           THEN lo + bin * width END) AS BIGINT) AS p90_est,
+         CAST(MIN(CASE WHEN 100 * cum >= 99 * tot
+           THEN lo + bin * width END) AS BIGINT) AS p99_est
+       FROM c"""
+
+  // ------------------------------ E72 user lifecycle accounting ----------
+
+  /** Growth accounting: per day, active users split into NEW (first-ever
+    * activity) vs RETURNING, plus the cumulative known-user count — the
+    * stock-and-flow census behind every growth dashboard, and the E27
+    * cohort matrix's marginal. Shape: one (user, day) distinct shuffle,
+    * a user-keyed first-day agg joined back on the user hash, a day
+    * census that collapses map-side to |days| rows, and a prefix sum on
+    * that dimension-sized frame (E46 rule).
+    */
+  def userLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val ud = events(s, dir)
+      .select(col("user_id"), dayBucket(col("ts")).as("day")).distinct()
+    val first = ud.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+    val daily = ud.join(first, "user_id")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("n_new"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+      .withColumn("n_known", sum(col("n_new")).over(w))
+      .orderBy(col("day"))
+  }
+
+  val userLifecycleSql: String =
+    """WITH ud AS (
+         SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+         FROM events),
+       f AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY 1),
+       d AS (
+         SELECT day, COUNT(*) AS n_active,
+           CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new
+         FROM ud JOIN f USING (user_id) GROUP BY 1)
+       SELECT day, n_active, n_new, n_active - n_new AS n_returning,
+         CAST(SUM(n_new) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_known
+       FROM d ORDER BY day"""
+
+  // ------------------------------ E73 activity streaks -------------------
+
+  /** Gaps-and-islands: each user's maximal runs of CONSECUTIVE active
+    * days (day − row_number is constant exactly within a run), reduced
+    * to the per-user census — active days, streak count, best streak
+    * with its start (longest, then earliest, via one lexicographic
+    * struct-max; no second window pass). The survival/engagement signal
+    * layered over E72's daily flows. Per-user windows ride the one
+    * (user, day) distinct shuffle; per-user day counts are bounded by
+    * the calendar, so no wide-group hazard.
+    */
+  def activityStreaks(s: SparkSession, dir: String): DataFrame = {
+    val ud = events(s, dir)
+      .select(col("user_id"), dayBucket(col("ts")).as("day")).distinct()
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+    val streaks = ud
+      .withColumn("island", col("day") - row_number().over(byUser))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+    streaks.groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(struct(col("len"),
+          (lit(0L) - col("start_day")).as("neg"))).as("b"))
+      .select(col("user_id"), col("n_active_days"), col("n_streaks"),
+        col("b.len").as("best_streak"),
+        (lit(0L) - col("b.neg")).as("best_start"))
+      .orderBy(col("user_id"))
+  }
+
+  val activityStreaksSql: String =
+    """WITH ud AS (
+         SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+         FROM events),
+       i AS (
+         SELECT user_id, day,
+           day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+             AS island
+         FROM ud),
+       st AS (
+         SELECT user_id, island, COUNT(*) AS len, MIN(day) AS start_day
+         FROM i GROUP BY 1, 2),
+       r AS (
+         SELECT user_id, len, start_day,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+             ORDER BY len DESC, start_day ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id) AS n_streaks,
+           SUM(len) OVER (PARTITION BY user_id) AS n_active_days
+         FROM st)
+       SELECT user_id, CAST(n_active_days AS BIGINT) AS n_active_days,
+         CAST(n_streaks AS BIGINT) AS n_streaks,
+         CAST(len AS BIGINT) AS best_streak, start_day AS best_start
+       FROM r WHERE rn = 1 ORDER BY user_id"""
+
+  // ------------------------------ L43 prefix boilerplate census ----------
+
+  /** Boilerplate-prefix detector: groups of documents sharing their
+    * normalized first-16-word prefix (md5 fingerprint; docs under 8
+    * tokens excluded — a shorter prefix stops discriminating) — the
+    * template-spam signal BETWEEN L1's whole-doc hash and L24's
+    * every-8-word spans: mirrored headers/navigation chrome produce
+    * identical openings on otherwise-different pages. 16-byte
+    * fingerprints are all that shuffles (pixels... text never moves);
+    * census rows are one per DUPLICATED prefix group (rep doc = min id),
+    * heaviest first.
+    */
+  def prefixDup(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir).select(col("doc_id"),
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+        .as("w"))
+    toks.where(size(col("w")) >= 8)
+      .select(col("doc_id"),
+        md5(array_join(slice(col("w"), 1, 16), " ")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc"))
+      .where(col("n_docs") >= 2)
+      .select(col("rep_doc"), col("n_docs"))
+      .orderBy(col("n_docs").desc, col("rep_doc"))
+  }
+
+  val prefixDupSql: String =
+    """WITH t AS (
+         SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+         FROM documents),
+       p AS (
+         SELECT doc_id, md5(array_to_string(w[1:16], ' ')) AS fp
+         FROM t WHERE len(w) >= 8),
+       g AS (
+         SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS rep_doc
+         FROM p GROUP BY 1)
+       SELECT rep_doc, n_docs FROM g WHERE n_docs >= 2
+       ORDER BY n_docs DESC, rep_doc"""
 }

@@ -271,6 +271,23 @@ object SparkEntry {
     "phrase_search" -> (Queries.phraseSearch _),
     "time_to_convert" -> (Queries.timeToConvert _),
     "quality_calibrated" -> (Queries.qualityCalibrated _),
+    // E69 sequence-pattern extraction, E67b streaming CUSUM,
+    // L40 tokenizer fertility by language
+    "seq_pattern" -> (Queries.seqPattern _),
+    "stream_cusum" -> (Queries.streamCusum _),
+    "bpe_fertility" -> (Queries.bpeFertility _),
+    // E70 session path census, L41 dedup telemetry,
+    // E64b exact weighted percentiles
+    "session_paths" -> (Queries.sessionPaths _),
+    "dedup_stats" -> (Queries.dedupStats _),
+    "weighted_percentiles" -> (Queries.weightedPercentiles _),
+    // L42 cross-split n-gram coverage, E71 mergeable binned quantiles
+    "ngram_coverage" -> (Queries.ngramCoverage _),
+    "quantile_mergeable" -> (Queries.quantileMergeable _),
+    // E72 user lifecycle, E73 activity streaks, L43 prefix boilerplate
+    "user_lifecycle" -> (Queries.userLifecycle _),
+    "activity_streaks" -> (Queries.activityStreaks _),
+    "prefix_dup" -> (Queries.prefixDup _),
   )
 
   /** Bench class per registered query — `pure` (compute only),
@@ -293,7 +310,7 @@ object SparkEntry {
       "dedup_incremental_bucketed", "stream_stream_join",
       "merge_upsert_stream", "stream_static_join", "stream_heavy_hitters",
       "streaming_session_window", "dedup_within_watermark",
-      "stream_asof_enrich", "stream_cms")
+      "stream_asof_enrich", "stream_cms", "stream_cusum")
     queries.keys.map { n =>
       n -> (if (writeDemo(n)) "write_demo"
             else if (streamHarness(n)) "stream_harness"
@@ -497,5 +514,16 @@ object SparkEntry {
     "phrase_search" -> Queries.phraseSearchSql,
     "time_to_convert" -> Queries.timeToConvertSql,
     "quality_calibrated" -> Queries.qualityCalibratedSql,
+    "seq_pattern" -> Queries.seqPatternSql,
+    "stream_cusum" -> Queries.streamCusumSql,
+    "bpe_fertility" -> Queries.bpeFertilitySql,
+    "session_paths" -> Queries.sessionPathsSql,
+    "dedup_stats" -> Queries.dedupStatsSql,
+    "weighted_percentiles" -> Queries.weightedPercentilesSql,
+    "ngram_coverage" -> Queries.ngramCoverageSql,
+    "quantile_mergeable" -> Queries.quantileMergeableSql,
+    "user_lifecycle" -> Queries.userLifecycleSql,
+    "activity_streaks" -> Queries.activityStreaksSql,
+    "prefix_dup" -> Queries.prefixDupSql,
   )
 }

@@ -67,4 +67,185 @@ class SearchOpsSpec extends AnyFunSuite with SparkFixture {
         s"$src top-quintile=$top n=${docs(src)}")
     }
   }
+
+  private def stageEvents(rows: Seq[(Long, String, Long, Long)]): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_seq_")
+    rows.toDF("event_id", "event_type", "t_s", "user_id")
+      .select(col("event_id"), col("event_type"),
+        timestamp_micros(col("t_s") * 1000000L).as("ts"), col("user_id"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    tmp.toString
+  }
+
+  test("seq_pattern extracts view→click→purchase chains with per-link windows") {
+    val day = 86400L
+    val dir = stageEvents(Seq(
+      // user 5: two complete chains sharing the same view/click
+      (1L, "view", 10L, 5L), (2L, "click", 20L, 5L),
+      (3L, "purchase", 30L, 5L), (4L, "purchase", 40L, 5L),
+      // user 6: click but never a view → no chain
+      (5L, "click", 100L, 6L), (6L, "purchase", 110L, 6L),
+      // user 7: view→click gap beyond 24 h → middle link breaks
+      (7L, "view", 0L, 7L), (8L, "click", day + 3600L, 7L),
+      (9L, "purchase", day + 3610L, 7L),
+      // user 8: purchase with no click at all
+      (10L, "purchase", 50L, 8L)))
+    val out = Queries.seqPattern(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toMap
+    assert(out(5L) == ((2L, 2L, 30L))) // widest chain: purchase t=40, view t=10
+    assert(out(6L) == ((1L, 0L, -1L)))
+    assert(out(7L) == ((1L, 0L, -1L)))
+    assert(out(8L) == ((1L, 0L, -1L)))
+  }
+
+  test("stream_cusum partial-commit drains land on the batch series") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scus_")
+    // three days of orders with a level shift on the third
+    (1L to 40L).map { k =>
+      val day = if (k <= 10) 0L else if (k <= 20) 1L else 2L
+      (k, day * 86400L + k)
+    }.toDF("o_orderkey", "t_s")
+      .select(col("o_orderkey"),
+        timestamp_micros(col("t_s") * 1000000L).as("o_orderdate"))
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val streamed = Queries.streamCusum(spark, tmp.toString).collect()
+    val batch = Queries.cusumDaily(spark, tmp.toString).collect()
+    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+    assert(streamed.length == 3)
+  }
+
+  test("bpe_fertility groups by predicted language with conserved sums") {
+    val dir = stageDocs(Seq(
+      (1L, "the cat of and is here", "en", "a"),
+      (2L, "the dog of and is there", "en", "a"),
+      (3L, "der hund und die katze ist", "de", "b")))
+    val out = Queries.bpeFertility(spark, dir).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("de", "en"))
+    val byLang = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(byLang("en")._1 == 2L && byLang("de")._1 == 1L)
+    assert(byLang("en")._3 == 12L && byLang("de")._3 == 6L) // whitespace words
+    out.foreach { r =>
+      // fertility is exactly the int/int division of the reported sums,
+      // and BPE never emits fewer tokens than whitespace words here
+      assert(r.getDouble(4) == r.getLong(2).toDouble / r.getLong(3).toDouble)
+      assert(r.getLong(2) >= r.getLong(3))
+    }
+  }
+
+  test("session_paths orders within session, splits at gaps, caps at 12") {
+    val gap = 1800L
+    val longRun = (0 until 15).map(i =>
+      (100L + i, "click", 50000L + i, 7L)) // one 15-event session
+    val dir = stageEvents(Seq(
+      (1L, "view", 10L, 5L), (2L, "click", 20L, 5L),
+      (3L, "purchase", 20L + gap + 1L, 5L), // > gap after t=20: own session
+      (4L, "view", 10L, 6L), (5L, "click", 20L, 6L)) ++ longRun)
+    val out = Queries.sessionPaths(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("view>click") == 2L)
+    assert(out("purchase") == 1L)
+    val capped = out.keys.find(_.startsWith("click>click")).get
+    assert(capped.split(">").length == 12) // 15-event session truncates
+  }
+
+  test("dedup_stats histogram conserves docs and shares") {
+    val out = Queries.dedupStats(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.map(_.getLong(2)).sum == nDocs)
+    out.foreach { r =>
+      assert(r.getLong(2) == r.getLong(0) * r.getLong(1))
+      assert(r.getDouble(3) == r.getLong(2).toDouble / nDocs.toDouble)
+    }
+    assert(math.abs(out.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+  }
+
+  test("weighted_percentiles p50 equals the weighted median") {
+    val med = Queries.weightedMedian(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val out = Queries.weightedPercentiles(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (m, n) = med(r.getString(0))
+      assert(r.getLong(2) == m && r.getLong(4) == n)
+      // quartiles are monotone
+      assert(r.getLong(1) <= r.getLong(2) && r.getLong(2) <= r.getLong(3))
+    }
+  }
+
+  test("ngram_coverage scores eval docs against the train bigram set") {
+    val dir = stageDocs(Seq(
+      // doc 10 and 20 are eval (mod 10 == 0); 1..3 are train
+      (1L, "alpha beta gamma", "en", "a"),
+      (2L, "beta gamma delta", "en", "a"),
+      (3L, "epsilon zeta", "en", "a"),
+      // bigrams: alpha>beta (train), beta>gamma (train), gamma>zeta (no)
+      (10L, "alpha beta gamma zeta", "en", "a"),
+      // single token: no bigrams, drops
+      (20L, "alpha", "en", "a")))
+    val out = Queries.ngramCoverage(spark, dir).collect()
+    assert(out.length == 1 && out(0).getLong(0) == 10L)
+    assert(out(0).getLong(1) == 3L && out(0).getLong(2) == 2L)
+    assert(out(0).getDouble(3) == 2.0 / 3.0)
+  }
+
+  test("quantile_mergeable estimates sit within one bin of the exact truth") {
+    val out = Queries.quantileMergeable(spark, sf).collect()(0)
+    val width = out.getLong(1)
+    val exact = Tables.orders(spark, sf)
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("x"))
+      .agg(expr("percentile(x, 0.5)").as("p50"),
+        expr("percentile(x, 0.9)").as("p90"),
+        expr("percentile(x, 0.99)").as("p99")).collect()(0)
+    // the true quantile lies inside the selected bin: |est - exact| ≤ width
+    Seq(2 -> exact.getDouble(0), 3 -> exact.getDouble(1),
+        4 -> exact.getDouble(2)).foreach { case (i, ex) =>
+      assert(math.abs(out.getLong(i) - ex) <= width.toDouble,
+        s"col $i est=${out.getLong(i)} exact=$ex width=$width")
+    }
+  }
+
+  test("user_lifecycle splits active users into new vs returning") {
+    val day = 86400L
+    val dir = stageEvents(Seq(
+      (1L, "view", 10L, 5L), (2L, "view", 20L, 6L),       // day 0: both new
+      (3L, "view", day + 10L, 5L), (4L, "view", day + 20L, 7L), // day 1
+      (5L, "view", day + 30L, 5L)))                       // same user+day dedups
+    val out = Queries.userLifecycle(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(0L) == ((2L, 2L, 0L, 2L)))
+    assert(out(1L) == ((2L, 1L, 1L, 3L))) // user 7 new, user 5 returning
+  }
+
+  test("activity_streaks finds the longest consecutive-day run per user") {
+    val day = 86400L
+    val dir = stageEvents(Seq(
+      // user 5: days 0,1,2 then 5,6 → best streak 3 starting day 0
+      (1L, "view", 0L, 5L), (2L, "view", day, 5L), (3L, "view", 2 * day, 5L),
+      (4L, "view", 5 * day, 5L), (5L, "view", 6 * day, 5L),
+      // user 6: two singleton days → best 1, earliest start wins the tie
+      (6L, "view", 3 * day, 6L), (7L, "view", 7 * day, 6L)))
+    val out = Queries.activityStreaks(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(5L) == ((5L, 2L, 3L, 0L)))
+    assert(out(6L) == ((2L, 2L, 1L, 3L)))
+  }
+
+  test("prefix_dup groups docs sharing the 16-word opening") {
+    val opening = (1 to 16).map(i => s"tok$i").mkString(" ")
+    val dir = stageDocs(Seq(
+      (1L, s"$opening unique tail one", "en", "a"),
+      (2L, s"$opening different ending", "en", "a"),
+      (3L, "another document entirely with plenty of its own words here", "en", "a"),
+      (4L, "short doc", "en", "a"))) // < 8 tokens: excluded
+    val out = Queries.prefixDup(spark, dir).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 2L)
+  }
 }
