@@ -106,7 +106,14 @@ object PlanDump {
       "attribution_position" -> "multi-touch: one user-keyed equi-join; per-purchase rank/count windows and the largest-remainder pass all share the purchase partitioning",
       "novelty_ngrams" -> "novelty: narrow window explode -> one hash groupBy (min doc) -> co-partitioned join back; the text never rides a shuffle",
       "phrase_search" -> "phrase: postings term-filtered AT THE SCAN; (doc,pos) equi-joins co-partitioned on doc — the corpus never shuffles",
-      "quality_calibrated" -> "calibrated quality: two-level range rank (no one-task-per-source sort) + broadcast per-source counts; one decile agg")
+      "quality_calibrated" -> "calibrated quality: two-level range rank (no one-task-per-source sort) + broadcast per-source counts; one decile agg",
+      "seq_pattern" -> "pattern chains: two as-of joins + both census aggs reuse ONE user-hash exchange; step windows are post-filters on the attached link times",
+      "session_paths" -> "path census: gap windows + per-session struct-sort fold share one user exchange; census collapses map-side to the path vocabulary; top-20 via TopKPerKeyExec",
+      "quantile_mergeable" -> "mergeable quantiles: integer binning collapses map-side to per-day partial grids; the merged ≤1024-row grid carries the prefix/threshold windows (dimension-sized)",
+      "ks_drift" -> "KS drift: length census collapses map-side; arm selection + prefix sums on dimension frames; the D statistic is ONE BIGINT max — no per-point division",
+      "ngram_coverage" -> "bigram coverage: slice+zip codegen bigrams; train DISTINCT vocabulary and eval probe co-partitioned on the bigram hash — corpus-sized, no broadcast premise",
+      "rfm_segments" -> "RFM: three two-level range ranks over the one |customers| layout; integer quintile math; census on the ≤125-cell frame",
+      "embedding_health" -> "embedding census: posexplode + ONE map-side-collapsing agg to d rows; vectors never shuffle")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of flagship queries\n\n")
     sb.append(s"Generated by `graft.PlanDump` on `$sf`. Audit notes per plan;\n")

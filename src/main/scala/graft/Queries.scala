@@ -7633,4 +7633,300 @@ object Queries {
          FROM p GROUP BY 1)
        SELECT rep_doc, n_docs FROM g WHERE n_docs >= 2
        ORDER BY n_docs DESC, rep_doc"""
+
+  // ------------------------------ L44 containment / overlap pairs --------
+
+  /** Asymmetric near-dup pairs by OVERLAP COEFFICIENT
+    * (|A∩B| / min(|A|,|B|), lang-blocked, θ=0.8) — the nesting detector
+    * Jaccard structurally misses: a short doc quoted wholesale inside a
+    * long one keeps Jaccard ≈ |A|/|B| (arbitrarily small) while its
+    * containment is ≈ 1. The quotation/expansion case is endemic in web
+    * corpora (press releases inside articles, READMEs inside docs) and
+    * leaks training text past symmetric dedup. Same blocked candidates +
+    * verbatim-collapse machinery as L4; no size prefilter CAN apply —
+    * containment admits any size ratio, which is the point.
+    */
+  def containmentPairsQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(documents(s, dir), col("doc_id"), col("text"),
+      block = col("lang"), threshold = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val containmentPairsSql: String = {
+    val containSql =
+      """CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / CAST(LEAST(len(a.sh), len(b.sh)) AS DOUBLE)"""
+    s"""WITH s AS (SELECT doc_id, lang, $shingleSql AS sh
+         FROM ($shingleSrcSql))
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b, $containSql AS containment
+       FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       WHERE $containSql >= 0.8
+       ORDER BY id_a, id_b"""
+  }
+
+  // ------------------------------ E74 two-sample KS drift ----------------
+
+  /** Two-sample Kolmogorov–Smirnov drift between the two LARGEST
+    * sources' document-length distributions — the DISTRIBUTIONAL
+    * companion to E43 (categorical χ²) and L29 (vocabulary drift): KS
+    * asks "do these sources even draw lengths from the same
+    * distribution", the first question before pooling them. The D
+    * statistic is computed EXACTLY in integers: with counts c_a/c_b on
+    * the merged length support, D·n_a·n_b = max |cum_a·n_b − cum_b·n_a|
+    * — no per-point division, one BIGINT max; only the final D is one
+    * IEEE division. Arm selection (top-2 by count, name tiebreak) and
+    * the prefix sums run on dimension-sized frames (|sources|,
+    * |distinct lengths|) per the E46 rule; the length census itself
+    * collapses map-side.
+    */
+  def ksDrift(s: SparkSession, dir: String): DataFrame = {
+    val lens = documents(s, dir).select(col("source"),
+      TextAnalysis.wordCount(col("text")).cast("long").as("len"))
+    val counts = lens.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val arms = counts
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n").desc, col("source").asc)))
+      .where(col("rk") <= 2)
+    val grid = lens.join(broadcast(arms), "source")
+      .groupBy(col("len"))
+      .agg(sum(when(col("rk") === 1, 1L).otherwise(0L)).as("c_a"),
+        sum(when(col("rk") === 2, 1L).otherwise(0L)).as("c_b"))
+    val labels = arms.groupBy()
+      .agg(max(when(col("rk") === 1, col("source"))).as("source_a"),
+        max(when(col("rk") === 2, col("source"))).as("source_b"),
+        max(when(col("rk") === 1, col("n"))).as("n_a"),
+        max(when(col("rk") === 2, col("n"))).as("n_b"))
+    val w = Window.orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("cum_a", sum(col("c_a")).over(w))
+      .withColumn("cum_b", sum(col("c_b")).over(w))
+      .crossJoin(broadcast(labels))
+      .groupBy(col("source_a"), col("source_b"), col("n_a"), col("n_b"))
+      .agg(max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+        .as("d_num"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("d_num"),
+        (col("d_num").cast("double")
+          / (col("n_a") * col("n_b")).cast("double")).as("d"))
+  }
+
+  val ksDriftSql: String =
+    """WITH lens AS (
+         SELECT source,
+           CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS len
+         FROM documents),
+       cn AS (SELECT source, COUNT(*) AS n FROM lens GROUP BY 1),
+       t2 AS (
+         SELECT source, n, rk FROM (
+           SELECT source, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, source) AS rk
+           FROM cn)
+         WHERE rk <= 2),
+       g AS (
+         SELECT len,
+           CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+           CAST(SUM(CASE WHEN rk = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+         FROM lens JOIN t2 USING (source) GROUP BY 1),
+       lab AS (
+         SELECT MAX(CASE WHEN rk = 1 THEN source END) AS source_a,
+           MAX(CASE WHEN rk = 2 THEN source END) AS source_b,
+           CAST(MAX(CASE WHEN rk = 1 THEN n END) AS BIGINT) AS n_a,
+           CAST(MAX(CASE WHEN rk = 2 THEN n END) AS BIGINT) AS n_b
+         FROM t2),
+       c AS (
+         SELECT
+           CAST(SUM(c_a) OVER w AS BIGINT) AS cum_a,
+           CAST(SUM(c_b) OVER w AS BIGINT) AS cum_b
+         FROM g
+         WINDOW w AS (ORDER BY len
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       SELECT source_a, source_b, n_a, n_b,
+         CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num,
+         CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
+           / CAST(n_a * n_b AS DOUBLE) AS d
+       FROM c CROSS JOIN lab
+       GROUP BY 1, 2, 3, 4"""
+
+  // ------------------------------ E75 A/B experiment census --------------
+
+  /** Deterministic A/B experiment report: users split into two arms by
+    * id parity, conversion = any purchase event, one-row report with
+    * per-arm counts, int/int rates, and the 2×2 χ² statistic — E43's
+    * independence machinery applied as the experimentation readout
+    * (is the arm-conversion association beyond chance). All counts are
+    * exact integers off ONE user-keyed agg; χ² is a single fixed-shape
+    * IEEE expression over those integers (each factor cast to double
+    * BEFORE multiplying — the all-integer product overflows 64 bits at
+    * corpus scale), so both engines compute the identical double.
+    */
+  def abTestReport(s: SparkSession, dir: String): DataFrame = {
+    val conv = events(s, dir).groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .withColumn("arm", pmod(col("user_id"), lit(2)))
+    val g = conv.groupBy().agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_0"),
+      sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("conv_0"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_1"),
+      sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("conv_1"))
+    g.select(col("n_0"), col("conv_0"), col("n_1"), col("conv_1"),
+      (col("conv_0").cast("double") / col("n_0").cast("double"))
+        .as("rate_0"),
+      (col("conv_1").cast("double") / col("n_1").cast("double"))
+        .as("rate_1"),
+      ((col("n_0") + col("n_1")).cast("double")
+        * (col("conv_0") * (col("n_1") - col("conv_1"))
+          - col("conv_1") * (col("n_0") - col("conv_0"))).cast("double")
+        * (col("conv_0") * (col("n_1") - col("conv_1"))
+          - col("conv_1") * (col("n_0") - col("conv_0"))).cast("double")
+        / (col("n_0").cast("double") * col("n_1").cast("double")
+          * (col("conv_0") + col("conv_1")).cast("double")
+          * ((col("n_0") - col("conv_0")) + (col("n_1") - col("conv_1")))
+            .cast("double"))).as("chi2"))
+  }
+
+  val abTestReportSql: String =
+    """WITH conv AS (
+         SELECT user_id,
+           CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS conv
+         FROM events GROUP BY 1),
+       g AS (
+         SELECT
+           CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_0,
+           CAST(SUM(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END)
+             AS BIGINT) AS conv_0,
+           CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_1,
+           CAST(SUM(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END)
+             AS BIGINT) AS conv_1
+         FROM conv)
+       SELECT n_0, conv_0, n_1, conv_1,
+         CAST(conv_0 AS DOUBLE) / CAST(n_0 AS DOUBLE) AS rate_0,
+         CAST(conv_1 AS DOUBLE) / CAST(n_1 AS DOUBLE) AS rate_1,
+         CAST(n_0 + n_1 AS DOUBLE)
+           * CAST(conv_0 * (n_1 - conv_1) - conv_1 * (n_0 - conv_0)
+               AS DOUBLE)
+           * CAST(conv_0 * (n_1 - conv_1) - conv_1 * (n_0 - conv_0)
+               AS DOUBLE)
+           / (CAST(n_0 AS DOUBLE) * CAST(n_1 AS DOUBLE)
+             * CAST(conv_0 + conv_1 AS DOUBLE)
+             * CAST((n_0 - conv_0) + (n_1 - conv_1) AS DOUBLE)) AS chi2
+       FROM g"""
+
+  // ------------------------------ L45 embedding health census ------------
+
+  /** Per-dimension embedding health: n, exact quantized sum and
+    * sum-of-squares (q = ⌊v·2²⁰⌋ — scaling by a power of two is EXACT in
+    * doubles, so both engines floor the identical value; the E63
+    * integer-linear-algebra discipline), plus mean and variance as
+    * fixed-shape IEEE expressions over those integers. The collapsed-
+    * embedding / dead-dimension detector every vector pipeline needs
+    * before ANN (a near-zero-variance dimension means the encoder
+    * collapsed; a shifted mean breaks cosine assumptions). q² stays in
+    * 64-bit (≤2⁴⁰) but its SUM rides DECIMAL(38,0) — overflow-proof at
+    * any corpus size, not just this one. One posexplode + one map-side-
+    * collapsing agg to d rows; vectors never shuffle.
+    */
+  def embeddingHealth(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        floor(col("v").cast("double") * lit(1048576.0)).cast("long").as("q"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("q")).as("sum_q"),
+        sum((col("q") * col("q")).cast("decimal(20,0)"))
+          .cast("decimal(38,0)").as("sum_q2"))
+      .select(col("dim"), col("n_vecs"), col("sum_q"), col("sum_q2"),
+        (col("sum_q").cast("double") / col("n_vecs").cast("double")
+          / lit(1048576.0)).as("mean"),
+        ((col("sum_q2").cast("double") / col("n_vecs").cast("double")
+          - (col("sum_q").cast("double") / col("n_vecs").cast("double"))
+            * (col("sum_q").cast("double") / col("n_vecs").cast("double")))
+          / (lit(1048576.0) * lit(1048576.0))).as("variance"))
+      .orderBy(col("dim"))
+
+  val embeddingHealthSql: String =
+    """WITH q AS (
+         SELECT i - 1 AS dim,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT)
+             AS q
+         FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)),
+       g AS (
+         SELECT dim, COUNT(*) AS n_vecs, CAST(SUM(q) AS BIGINT) AS sum_q,
+           CAST(SUM(CAST(q * q AS DECIMAL(20,0))) AS DECIMAL(38,0))
+             AS sum_q2
+         FROM q GROUP BY 1)
+       SELECT dim, n_vecs, sum_q, sum_q2,
+         CAST(sum_q AS DOUBLE) / CAST(n_vecs AS DOUBLE) / 1048576.0
+           AS mean,
+         (CAST(sum_q2 AS DOUBLE) / CAST(n_vecs AS DOUBLE)
+           - (CAST(sum_q AS DOUBLE) / CAST(n_vecs AS DOUBLE))
+             * (CAST(sum_q AS DOUBLE) / CAST(n_vecs AS DOUBLE)))
+           / (1048576.0 * 1048576.0) AS variance
+       FROM g ORDER BY dim"""
+
+  // ------------------------------ E76 RFM segmentation -------------------
+
+  /** RFM segmentation: each customer scored 1–5 on Recency (last order
+    * day), Frequency (order count) and Monetary (exact decimal cents),
+    * reduced to the ≤125-cell segment census — the classic CRM cut, and
+    * a three-fold exercise of the E54b two-level rank (customers are ONE
+    * wide group; a plain ntile window would sort them all in a single
+    * task). Quintile index is pure integer math (⌊(rank−1)·5/n⌋ + 1, a
+    * broadcast one-row n); ties break on custkey so every engine ranks
+    * identically.
+    */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val perCust = orders(s, dir).groupBy(col("o_custkey"))
+      .agg(max(dayBucket(col("o_orderdate"))).as("recency_day"),
+        count(lit(1)).as("freq"),
+        (sum(dec2(col("o_totalprice"))) * lit(100)).cast("long")
+          .as("monetary_c"))
+      .localCheckpoint() // three rank layouts + the census read it
+    val nFrame = perCust.agg(count(lit(1)).as("n"))
+    val ranked = Seq(
+      (Seq("recency_day", "o_custkey"), "rk_r"),
+      (Seq("freq", "o_custkey"), "rk_f"),
+      (Seq("monetary_c", "o_custkey"), "rk_m"))
+      .foldLeft(perCust) { case (df, (ord, out)) =>
+        Ranks.groupRankByRange(df, Seq(), ord, out)
+      }
+    def quint(rk: String) =
+      (call_function("div", (col(rk) - 1) * 5, col("n")) + 1)
+    ranked.crossJoin(broadcast(nFrame))
+      .select(quint("rk_r").as("r_score"), quint("rk_f").as("f_score"),
+        quint("rk_m").as("m_score"), col("monetary_c"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("monetary_c")).as("sum_monetary_c"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH pc AS (
+         SELECT o_custkey,
+           MAX(epoch_us(o_orderdate) // 86400000000) AS recency_day,
+           COUNT(*) AS freq,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+             AS monetary_c
+         FROM orders GROUP BY 1),
+       n AS (SELECT COUNT(*) AS n FROM pc),
+       r AS (
+         SELECT o_custkey, monetary_c,
+           ROW_NUMBER() OVER (ORDER BY recency_day, o_custkey) AS rk_r,
+           ROW_NUMBER() OVER (ORDER BY freq, o_custkey) AS rk_f,
+           ROW_NUMBER() OVER (ORDER BY monetary_c, o_custkey) AS rk_m
+         FROM pc),
+       sc AS (
+         SELECT ((rk_r - 1) * 5) // n + 1 AS r_score,
+           ((rk_f - 1) * 5) // n + 1 AS f_score,
+           ((rk_m - 1) * 5) // n + 1 AS m_score, monetary_c
+         FROM r CROSS JOIN n)
+       SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+         CAST(SUM(monetary_c) AS BIGINT) AS sum_monetary_c
+       FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
 }

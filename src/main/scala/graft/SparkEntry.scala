@@ -288,6 +288,13 @@ object SparkEntry {
     "user_lifecycle" -> (Queries.userLifecycle _),
     "activity_streaks" -> (Queries.activityStreaks _),
     "prefix_dup" -> (Queries.prefixDup _),
+    // L44 containment pairs, E74 KS drift, E75 A/B report
+    "containment_pairs" -> (Queries.containmentPairsQ _),
+    "ks_drift" -> (Queries.ksDrift _),
+    "ab_test_report" -> (Queries.abTestReport _),
+    // L45 embedding health census, E76 RFM segmentation
+    "embedding_health" -> (Queries.embeddingHealth _),
+    "rfm_segments" -> (Queries.rfmSegments _),
   )
 
   /** Bench class per registered query — `pure` (compute only),
@@ -525,5 +532,10 @@ object SparkEntry {
     "user_lifecycle" -> Queries.userLifecycleSql,
     "activity_streaks" -> Queries.activityStreaksSql,
     "prefix_dup" -> Queries.prefixDupSql,
+    "containment_pairs" -> Queries.containmentPairsSql,
+    "ks_drift" -> Queries.ksDriftSql,
+    "ab_test_report" -> Queries.abTestReportSql,
+    "embedding_health" -> Queries.embeddingHealthSql,
+    "rfm_segments" -> Queries.rfmSegmentsSql,
   )
 }

@@ -92,6 +92,35 @@ object Dedup {
     }
   }
 
+  /** Overlap-coefficient near-dup pairs (Szymkiewicz–Simpson:
+    * |A∩B| / min(|A|, |B|)) within a block — catches NESTING that Jaccard
+    * misses: a short document quoted wholesale inside a long one scores
+    * containment ≈ 1 while its Jaccard stays near |A|/|B|. Same blocked
+    * candidate discipline and verbatim-dup collapse as [[jaccardPairs]]
+    * (intra-group pairs score exactly 1.0); the score is an int/int
+    * IEEE division, bit-identical across engines. No size prefilter
+    * applies — containment admits ANY size ratio, which is the point.
+    */
+  def containmentPairs(docs: DataFrame, id: Column, text: Column,
+      block: Column, threshold: Double, n: Int = 3): DataFrame =
+    overTextGroups(docs, id, text, extras = Seq("blk" -> block),
+        scoreCol = "containment") { reps =>
+      val s = reps.select(col("id"), col("blk"),
+        shingles(col("text"), n).as("sh"))
+      Caching.withCached(s) {
+        val a = s.select(col("blk"), col("id").as("id_a"),
+          col("sh").as("sh_a"))
+        val b = s.select(col("blk"), col("id").as("id_b"),
+          col("sh").as("sh_b"))
+        a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
+              .as("containment"))
+          .where(col("containment") >= threshold)
+      }
+    }
+
   // ------------------------------------------------- text-group collapse --
 
   /** Run an LSH pair generator over distinct normalized contents only,

@@ -248,4 +248,80 @@ class SearchOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out.length == 1)
     assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 2L)
   }
+
+  test("containment catches a nested doc whose Jaccard stays low") {
+    val core = "one two three four five six seven eight nine ten"
+    val tail =
+      (1 to 40).map(i => s"w$i").mkString(" ") // dilutes Jaccard, not overlap
+    val dir = stageDocs(Seq(
+      (1L, core, "en", "a"),
+      (2L, s"$core $tail", "en", "a"),
+      (3L, "unrelated text entirely different words here", "en", "a")))
+    val cont = Queries.containmentPairsQ(spark, dir).collect()
+    assert(cont.length == 1)
+    assert(cont(0).getLong(0) == 1L && cont(0).getLong(1) == 2L)
+    assert(cont(0).getDouble(2) == 1.0) // all of doc 1's shingles nest in 2
+    // the same pair is INVISIBLE to symmetric Jaccard at θ=0.5
+    val jac = operators.Dedup.jaccardPairs(
+      Tables.documents(spark, dir), col("doc_id"), col("text"),
+      block = col("lang"), threshold = 0.5).collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
+  test("ks_drift D statistic is exact on a hand-built two-sample grid") {
+    // source a: lengths {2,2,4}; source b: lengths {4,6} → n_a=3, n_b=2
+    // supports: cum_a over {2,4,6} = 2,3,3; cum_b = 0,1,2
+    // |cum_a*2 - cum_b*3| = |4-0|,|6-3|,|6-6| = 4,3,0 → D = 4/6
+    val dir = stageDocs(Seq(
+      (1L, "a b", "en", "src_a"), (2L, "c d", "en", "src_a"),
+      (3L, "e f g h", "en", "src_a"),
+      (4L, "i j k l", "en", "src_b"), (5L, "m n o p q r", "en", "src_b")))
+    val r = Queries.ksDrift(spark, dir).collect()(0)
+    assert(r.getString(0) == "src_a" && r.getString(1) == "src_b")
+    assert(r.getLong(2) == 3L && r.getLong(3) == 2L)
+    assert(r.getLong(4) == 4L)
+    assert(r.getDouble(5) == 4.0 / 6.0)
+  }
+
+  test("ab_test_report counts arms and conversions exactly") {
+    val dir = stageEvents(Seq(
+      (1L, "view", 10L, 2L), (2L, "purchase", 20L, 2L), // arm 0, converts
+      (3L, "view", 10L, 4L),                            // arm 0, no
+      (4L, "view", 10L, 3L), (5L, "purchase", 20L, 3L), // arm 1, converts
+      (6L, "view", 10L, 5L), (7L, "view", 20L, 5L)))    // arm 1, no
+    val r = Queries.abTestReport(spark, dir).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 2L, 1L)))
+    assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 0.5)
+    assert(r.getDouble(6) == 0.0) // identical rates: zero association
+  }
+
+  test("embedding_health census is exact on a hand-quantized frame") {
+    val out = Queries.embeddingHealth(spark, sf).collect()
+    assert(out.length == 64 && out.map(_.getLong(0)).toSeq == (0L until 64L))
+    val n = Tables.embeddings(spark, sf).count()
+    out.foreach { r =>
+      assert(r.getLong(1) == n)
+      // mean/variance are exactly the declared expressions of the sums
+      val (sq, n2) = (r.getLong(2).toDouble, r.getLong(1).toDouble)
+      assert(r.getDouble(4) == sq / n2 / 1048576.0)
+      assert(r.getDouble(5) >= 0.0)
+    }
+  }
+
+  test("rfm_segments quintiles are balanced and conserve customers") {
+    val out = Queries.rfmSegments(spark, sf).collect()
+    val total = out.map(_.getLong(3)).sum
+    val nCust = Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct().count()
+    assert(total == nCust)
+    // each axis's marginal is a (near-)even quintile split
+    Seq(0, 1, 2).foreach { axis =>
+      val marginal = out.groupBy(_.getLong(axis))
+        .map { case (s, rows) => s -> rows.map(_.getLong(3)).sum }
+      assert(marginal.keys.forall(s => s >= 1L && s <= 5L))
+      marginal.values.foreach(v =>
+        assert(math.abs(v - nCust / 5.0) <= 1.0, s"axis $axis: $marginal"))
+    }
+  }
 }
