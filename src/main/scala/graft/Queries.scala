@@ -1125,9 +1125,12 @@ object Queries {
 
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
-    val pairs = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
+    // minhashEdges, not minhashPairs: components need CONNECTIVITY, not
+    // the full pair list — star edges keep the edge set linear in corpus
+    // size on duplicate-heavy data (identical roots, see Dedup scaladoc)
+    val edges = Dedup.minhashEdges(docs, col("doc_id"), col("text"),
       threshold = 0.5)
-    Dedup.clusters(docs.select(col("doc_id").as("id")), pairs)
+    Dedup.clusters(docs.select(col("doc_id").as("id")), edges)
       .orderBy(col("id"))
   }
 
@@ -6109,7 +6112,7 @@ object Queries {
     */
   def sampleClusterDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
-    val pairs = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
+    val pairs = Dedup.minhashEdges(docs, col("doc_id"), col("text"),
       threshold = 0.5)
     val reps = Dedup.clusters(docs.select(col("doc_id").as("id")), pairs)
       .where(col("id") === col("root")).select(col("id").as("doc_id"))
@@ -7261,7 +7264,7 @@ object Queries {
     */
   def dedupStats(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
-    val pairs = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
+    val pairs = Dedup.minhashEdges(docs, col("doc_id"), col("text"),
       threshold = 0.5)
     val asg = Dedup.clusters(docs.select(col("doc_id").as("id")), pairs)
     val sizes = asg.groupBy(col("root"))
@@ -7825,11 +7828,18 @@ object Queries {
     * embedding / dead-dimension detector every vector pipeline needs
     * before ANN (a near-zero-variance dimension means the encoder
     * collapsed; a shifted mean breaks cosine assumptions). q² stays in
-    * 64-bit (≤2⁴⁰) but its SUM rides DECIMAL(38,0) — overflow-proof at
-    * any corpus size, not just this one. One posexplode + one map-side-
+    * 64-bit (≤2⁴⁰) but its SUM is carried as TWO exact BIGINT halves
+    * split at 2³⁰ (hi = q² div 2³⁰ ≤ 2¹⁰, lo = q² mod 2³⁰ < 2³⁰ — each
+    * half-sum stays below 2⁶³ for > 2³³ vectors per dimension): the
+    * `tableChecksum` split-sum discipline (Reconcile.scala), because a
+    * bare DECIMAL(38,0) sum is value-equal across engines but RENDERS
+    * differently (Decimal object vs integer string), which breaks
+    * byte-level result comparison. One posexplode + one map-side-
     * collapsing agg to d rows; vectors never shuffle.
     */
-  def embeddingHealth(s: SparkSession, dir: String): DataFrame =
+  def embeddingHealth(s: SparkSession, dir: String): DataFrame = {
+    val q2 = col("q") * col("q")
+    val split = lit(1073741824L) // 2³⁰
     embeddings(s, dir)
       .select(posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(col("dim").cast("long").as("dim"),
@@ -7837,16 +7847,19 @@ object Queries {
       .groupBy(col("dim"))
       .agg(count(lit(1)).as("n_vecs"),
         sum(col("q")).as("sum_q"),
-        sum((col("q") * col("q")).cast("decimal(20,0)"))
-          .cast("decimal(38,0)").as("sum_q2"))
-      .select(col("dim"), col("n_vecs"), col("sum_q"), col("sum_q2"),
+        sum(call_function("div", q2, split)).as("sum_q2_hi"),
+        sum(pmod(q2, split)).as("sum_q2_lo"))
+      .select(col("dim"), col("n_vecs"), col("sum_q"),
+        col("sum_q2_hi"), col("sum_q2_lo"),
         (col("sum_q").cast("double") / col("n_vecs").cast("double")
           / lit(1048576.0)).as("mean"),
-        ((col("sum_q2").cast("double") / col("n_vecs").cast("double")
+        (((col("sum_q2_hi").cast("double") * lit(1073741824.0)
+          + col("sum_q2_lo").cast("double")) / col("n_vecs").cast("double")
           - (col("sum_q").cast("double") / col("n_vecs").cast("double"))
             * (col("sum_q").cast("double") / col("n_vecs").cast("double")))
           / (lit(1048576.0) * lit(1048576.0))).as("variance"))
       .orderBy(col("dim"))
+  }
 
   val embeddingHealthSql: String =
     """WITH q AS (
@@ -7857,13 +7870,14 @@ object Queries {
            LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)),
        g AS (
          SELECT dim, COUNT(*) AS n_vecs, CAST(SUM(q) AS BIGINT) AS sum_q,
-           CAST(SUM(CAST(q * q AS DECIMAL(20,0))) AS DECIMAL(38,0))
-             AS sum_q2
+           CAST(SUM((q * q) // 1073741824) AS BIGINT) AS sum_q2_hi,
+           CAST(SUM((q * q) % 1073741824) AS BIGINT) AS sum_q2_lo
          FROM q GROUP BY 1)
-       SELECT dim, n_vecs, sum_q, sum_q2,
+       SELECT dim, n_vecs, sum_q, sum_q2_hi, sum_q2_lo,
          CAST(sum_q AS DOUBLE) / CAST(n_vecs AS DOUBLE) / 1048576.0
            AS mean,
-         (CAST(sum_q2 AS DOUBLE) / CAST(n_vecs AS DOUBLE)
+         ((CAST(sum_q2_hi AS DOUBLE) * 1073741824.0
+           + CAST(sum_q2_lo AS DOUBLE)) / CAST(n_vecs AS DOUBLE)
            - (CAST(sum_q AS DOUBLE) / CAST(n_vecs AS DOUBLE))
              * (CAST(sum_q AS DOUBLE) / CAST(n_vecs AS DOUBLE)))
            / (1048576.0 * 1048576.0) AS variance

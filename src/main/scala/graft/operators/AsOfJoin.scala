@@ -69,15 +69,33 @@ object AsOfJoin {
     * temporal dimensions (versions-per-entity, not events). Written
     * `bucketBy(_k)` this is the E16 layout: every later probe join on
     * `_k` plans with ZERO dim-side exchange.
+    *
+    * PREMISE, enforced: the packed array is one ROW — a key whose
+    * version count defies the versions-per-entity premise (an entity
+    * updated every second for a year) would become a single giant row
+    * that one task must hold. Rather than degrade silently,
+    * `maxVersions` (default 2²⁰) fails the job LOUDLY naming the hot
+    * key, the same contract as `Hierarchy.flatten`'s depth overrun; for
+    * genuinely hotter dims, raise the bound deliberately or pre-compact
+    * versions (e.g. last-per-hour) before packing.
     */
   def packDim(right: DataFrame, rightKey: Column, rightTime: Column,
-      payload: Seq[(String, Column)]): DataFrame =
+      payload: Seq[(String, Column)],
+      maxVersions: Int = 1 << 20): DataFrame =
     right.select(rightKey.as("_k"), rightTime.as("_t"),
         struct(payload.map { case (n, c) => c.as(n) }: _*).as("_pay"))
       .groupBy(col("_k"), col("_t")).agg(max(col("_pay")).as("_pay"))
       .groupBy(col("_k"))
       .agg(sort_array(collect_list(struct(col("_t").as("t"),
         col("_pay").as("pay")))).as("_arr"))
+      // assert_true returns NULL when the bound holds, so the predicate
+      // passes every conforming row and THROWS (naming the key) on a hot
+      // one — a filter can't be pruned away, unlike a dropped column
+      .where(assert_true(size(col("_arr")) <= lit(maxVersions),
+        concat(lit("asOfPacked.packDim: key "), col("_k").cast("string"),
+          lit(" holds "), size(col("_arr")).cast("string"),
+          lit(s" versions (> maxVersions=$maxVersions); raise the bound" +
+            " or pre-compact versions before packing"))).isNull)
 
   /** As-of probe against a [[packDim]]-packed dimension: ONE equi-join on
     * the key (left outer — unmatched keys keep null payloads, matching

@@ -28,13 +28,23 @@ import org.apache.spark.sql.functions._
   */
 object CountMin {
 
-  /** Bucket of `item` under hash row `j`: first 2 hex chars of
-    * md5("j:item") parsed as an integer, reduced mod `w`. With w = 256
-    * the mod is the identity; wider grids would take more nibbles.
+  /** Bucket of `item` under hash row `j`: the first hex nibbles of
+    * md5("j:item") parsed as an integer, reduced mod `w` — always enough
+    * nibbles that 16ⁿ ≥ w (minimum 2, so the default w = 256 grid keeps
+    * its historical identity mapping bit-for-bit), so no bucket is ever
+    * structurally unreachable and the e/w error bound holds at any
+    * width. Widths past 2²⁴ are rejected loudly rather than silently
+    * degraded — a grid that wide has stopped being a sketch.
     */
-  def bucket(item: Column, j: Int, w: Int): Column =
-    pmod(conv(substring(md5(concat_ws(":", lit(j.toString), item)), 1, 2),
+  def bucket(item: Column, j: Int, w: Int): Column = {
+    require(w > 0 && w <= (1 << 24),
+      s"CountMin width must be in [1, 2^24], got $w")
+    var nibbles = 2
+    while ((1L << (4 * nibbles)) < w) nibbles += 1
+    pmod(conv(
+      substring(md5(concat_ws(":", lit(j.toString), item)), 1, nibbles),
       16, 10).cast("long"), lit(w.toLong))
+  }
 
   /** Build the sketch: the (j, b, cnt) cell grid, ≤ d·w rows. */
   def sketch(items: DataFrame, itemCol: Column, d: Int = 4,

@@ -39,12 +39,17 @@ object Triangles {
     val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     // orient a→b when (d(a), a) < (d(b), b); ties impossible on the id.
-    // The degree and adjacency frames are VERTEX-sized (and adjacency
-    // rows are √(2m)-bounded by the orientation), so both broadcast —
-    // the edge stream never shuffles after its distinct.
+    // The degree frame has one fixed-width row per VERTEX and the
+    // adjacency frame one entry per oriented EDGE (Σ out-degrees = m;
+    // only its per-ROW width is √(2m)-bounded by the orientation) — both
+    // grow with the graph, so neither carries a broadcast hint: every
+    // probe is a plain key equi-join (co-partitioned hash shuffles on
+    // a/b/u/v), and AQE's runtime size measurement converts a side to a
+    // broadcast exactly when it actually fits the threshold. Nothing here
+    // is quadratic and nothing is pinned to a single executor's memory.
     val o = e
-      .join(broadcast(deg.select(col("v").as("a"), col("d").as("da"))), "a")
-      .join(broadcast(deg.select(col("v").as("b"), col("d").as("db"))), "b")
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
       .select(
         when(col("da") < col("db")
           || (col("da") === col("db") && col("a") < col("b")),
@@ -54,9 +59,9 @@ object Triangles {
           col("b")).otherwise(col("a")).as("v"))
     val adj = o.groupBy(col("u").as("w0"))
       .agg(sort_array(collect_list(col("v"))).as("nbrs"))
-    o.join(broadcast(adj.select(col("w0").as("u"), col("nbrs").as("nu"))),
+    o.join(adj.select(col("w0").as("u"), col("nbrs").as("nu")),
         Seq("u"))
-      .join(broadcast(adj.select(col("w0").as("v"), col("nbrs").as("nv"))),
+      .join(adj.select(col("w0").as("v"), col("nbrs").as("nv")),
         Seq("v"), "left")
       .select(col("u"), col("v"),
         sort_array(array_intersect(col("nu"),

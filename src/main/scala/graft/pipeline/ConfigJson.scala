@@ -182,10 +182,41 @@ object ConfigJson {
       // `config` passthrough (ib:24-30, arbitrary Hadoop conf injection):
       // job_name labels the Spark jobs, `config` sets runtime SQL confs
       jobName = str(root \ "job_name"),
-      sparkConf = (root \ "config") match {
+      // `config_files` (MapReduceExecutorTask.java:24-26, merged at
+      // MapReduceExecutor.java:207-218): a LIST of config files folded
+      // into the job conf in order, with the inline `config` block
+      // applied AFTER (last-wins, MapReduceExecutor.java:229-232). Ours
+      // are JSON objects of string pairs — the engine's config dialect —
+      // rather than Hadoop XML resources; a missing file fails loudly
+      // with the reference's exact message contract, never a silent skip.
+      sparkConf = configFiles(root) ++ ((root \ "config") match {
         case JObject(fields) =>
           fields.collect { case (k, JString(v)) => k -> v }.toMap
         case _ => Map.empty[String, String]
-      })
+      }))
   }
+
+  private def configFiles(root: JValue): Map[String, String] =
+    (root \ "config_files") match {
+      case JNothing | JNull => Map.empty
+      case JArray(paths) =>
+        paths.map {
+          case JString(p) => p
+          case _ => throw new IllegalArgumentException(
+            "config: config_files must be an array of path strings")
+        }.foldLeft(Map.empty[String, String]) { (acc, path) =>
+          val f = new java.io.File(path)
+          if (!f.isFile)
+            throw new IllegalArgumentException(
+              s"Config file '$path' does not exist")
+          JsonMethods.parse(java.nio.file.Files.readString(f.toPath)) match {
+            case JObject(fields) =>
+              acc ++ fields.collect { case (k, JString(v)) => k -> v }
+            case _ => throw new IllegalArgumentException(
+              s"config: config file '$path' must be a JSON object of string values")
+          }
+        }
+      case _ => throw new IllegalArgumentException(
+        "config: config_files must be an array of path strings")
+    }
 }

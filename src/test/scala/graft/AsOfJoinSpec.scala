@@ -39,6 +39,24 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
     assert(viaProbe === viaUnion)
   }
 
+  test("packDim fails loudly on a hot key past maxVersions, naming the key") {
+    // a key updated far beyond the versions-per-entity premise must not
+    // silently become one giant row a single task has to hold
+    val right = ((1 to 10).map(i => (7L, i.toLong, i * 100L)) :+
+        (8L, 1L, 900L)).toDF("k", "t", "rid")
+    val e = intercept[Exception] {
+      AsOfJoin.packDim(right, $"k", $"t", Seq("rid" -> $"rid"),
+        maxVersions = 4).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("asOfPacked.packDim: key 7"), msg)
+    // the same frame packs fine at the default bound, key 8 untouched
+    val ok = AsOfJoin.packDim(right, $"k", $"t", Seq("rid" -> $"rid"))
+      .collect()
+    assert(ok.length === 2)
+  }
+
   test("right-side timestamp ties reduce deterministically (max payload)") {
     val left = Seq((1L, 10L, 100L)).toDF("k", "t", "lid")
     val right = Seq((1L, 5L, 900L), (1L, 5L, 903L), (1L, 5L, 901L))

@@ -60,6 +60,31 @@ class CountMinSpec extends AnyFunSuite with SparkFixture {
       && stream.exceptAll(weighted).isEmpty)
   }
 
+  test("wide grids reach every bucket; w=256 keeps the historical layout") {
+    // pre-fix, bucket() always read exactly 2 nibbles, so any w > 256
+    // left buckets >= 256 permanently empty and silently halved the
+    // effective width. Now the nibble count grows with w.
+    val items = (1 to 4096).map(i => s"item$i").toDF("t")
+    val wide = 1024
+    val buckets = items
+      .select(CountMin.bucket(col("t"), 0, wide).as("b"))
+      .agg(min(col("b")).as("lo"), max(col("b")).as("hi"))
+      .collect()(0)
+    assert(buckets.getLong(0) >= 0L && buckets.getLong(1) >= 256L,
+      s"w=$wide never exceeded bucket 255 — width silently truncated")
+    // the default 256-wide grid is bit-identical to the 2-nibble layout
+    val legacy = items.select(
+      CountMin.bucket(col("t"), 0, 256).as("b"),
+      conv(substring(md5(concat_ws(":", lit("0"), col("t"))), 1, 2),
+        16, 10).cast("long").as("b2"))
+      .where(col("b") =!= col("b2"))
+    assert(legacy.isEmpty)
+    // absurd widths are rejected loudly, not silently degraded
+    intercept[IllegalArgumentException] {
+      CountMin.bucket(col("t"), 0, (1 << 24) + 1)
+    }
+  }
+
   test("absent items estimate as their cells' collision mass (>= 0)") {
     val cells = CountMin.sketch(zipfDf, col("t"))
     val absent = Seq("never-seen-1", "never-seen-2").toDF("t")

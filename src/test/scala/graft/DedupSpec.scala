@@ -97,6 +97,38 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(sim === truth)
   }
 
+  test("minhashEdges components are bit-identical to minhashPairs components") {
+    // dup-heavy corpus: 4 verbatim copies of every doc, re-keyed — the
+    // shape where the full pair list goes quadratic in the copy count but
+    // the star+rep-pair edge set stays linear
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val amplified = (0 until 4).map(r =>
+      docs.withColumn("doc_id", $"doc_id" + lit(r * 1000000L)))
+      .reduce(_ unionByName _)
+    val ids = amplified.select($"doc_id".as("id"))
+    val viaPairs = Dedup.clusters(ids,
+        Dedup.minhashPairs(amplified, $"doc_id", $"text", 0.5))
+      .orderBy($"id").collect().toSeq
+    val edges = Dedup.minhashEdges(amplified, $"doc_id", $"text", 0.5)
+    val viaEdges = Dedup.clusters(ids, edges)
+      .orderBy($"id").collect().toSeq
+    assert(viaEdges === viaPairs)
+    // and the edge set really is sparse: every verbatim copy contributes
+    // ONE star edge, never a clique — so edges grow linearly in copies
+    val nPairs = Dedup.minhashPairs(amplified, $"doc_id", $"text", 0.5)
+      .count()
+    assert(edges.count() < nPairs,
+      s"edge set (${edges.count()}) not sparser than pair list ($nPairs)")
+    // duplicate-free corpus: the adaptive probe passes raw pairs through
+    val viaEdgesBase = Dedup.clusters(docs.select($"doc_id".as("id")),
+        Dedup.minhashEdges(docs, $"doc_id", $"text", 0.5))
+      .orderBy($"id").collect().toSeq
+    val viaPairsBase = Dedup.clusters(docs.select($"doc_id".as("id")),
+        Dedup.minhashPairs(docs, $"doc_id", $"text", 0.5))
+      .orderBy($"id").collect().toSeq
+    assert(viaEdgesBase === viaPairsBase)
+  }
+
   test("spanDedup: planted shared spans found, window counts exact, " +
       "short docs zero") {
     import spark.implicits._

