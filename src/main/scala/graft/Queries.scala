@@ -1218,9 +1218,12 @@ object Queries {
     */
   def dedupEmbeddingClusters(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
-    val pairs = Similarity.lshCosinePairs(e, col("vec_id"), col("embedding"),
-      threshold = 0.46).select(col("id_a"), col("id_b"))
-    Dedup.clusters(e.select(col("vec_id").as("id")), pairs)
+    // lshCosineEdges, not lshCosinePairs: components need CONNECTIVITY
+    // only — star edges keep the edge set linear on duplicate-heavy
+    // corpora (identical roots; see Similarity scaladoc)
+    val edges = Similarity.lshCosineEdges(e, col("vec_id"),
+      col("embedding"), threshold = 0.46)
+    Dedup.clusters(e.select(col("vec_id").as("id")), edges)
       .orderBy(col("id"))
   }
 

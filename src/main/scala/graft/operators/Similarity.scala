@@ -167,6 +167,43 @@ object Similarity {
       lshCosinePairsRaw(v, threshold, nPlanes, tables, dims))
   }
 
+  /** Connectivity-sufficient near-dup EDGE set over the embedding graph —
+    * the [[graft.operators.Dedup.minhashEdges]] twin for component
+    * assignment: identical components (bit-identical min-label roots) to
+    * [[lshCosinePairs]]'s full pair list, but identical-vector groups
+    * contribute STAR edges (min-id rep → member, guarded by the same
+    * cosine(v,v) ≥ threshold check the clique form applies — a zero
+    * vector's NaN self-cosine keeps its copies disconnected there too)
+    * and cross-group candidates ONE edge per REP pair. |edges| stays
+    * linear in corpus size on duplicate-heavy data where the clique
+    * expansion grows as dup_factor².
+    */
+  def lshCosineEdges(vectors: DataFrame, id: Column, vec: Column,
+      threshold: Double, nPlanes: Int = 6, tables: Int = 128,
+      dims: Int = 64): DataFrame = {
+    val v0 = vectors.select(id.as("id"), vec.as("v"))
+    val members = v0.select(col("v").as("gk"), col("id")).cache()
+    try {
+      val counts = members.agg(count(lit(1)).as("n"),
+        countDistinct(col("gk")).as("d")).head()
+      if (counts.getLong(0) == counts.getLong(1))
+        return lshCosinePairsRaw(v0, threshold, nPlanes, tables, dims)
+          .select(col("id_a"), col("id_b"))
+      val groups = members.groupBy(col("gk")).agg(min(col("id")).as("rid"))
+      val reps = v0.join(groups.select(col("rid").as("id")), "id")
+      val repPairs = lshCosinePairsRaw(reps, threshold, nPlanes, tables,
+        dims).select(col("id_a"), col("id_b"))
+      val selfOk = reps
+        .where(cosine(col("v"), col("v")) >= threshold)
+        .select(col("id").as("rid"))
+      val stars = members.join(groups, "gk")
+        .where(col("id") =!= col("rid"))
+        .join(selfOk, "rid")
+        .select(col("rid").as("id_a"), col("id").as("id_b"))
+      repPairs.unionByName(stars).localCheckpoint(true)
+    } finally members.unpersist(false)
+  }
+
   private def lshCosinePairsRaw(v: DataFrame, threshold: Double,
       nPlanes: Int, tables: Int, dims: Int): DataFrame = {
     val banded = v.select(col("id"),

@@ -285,21 +285,31 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
-  test("triangle census: key equi-joins only — no cartesian, no edge self-join blowup") {
+  test("triangle census: size-gated broadcast — hinted below the edge bound, plain equi-joins above, identical results") {
     import spark.implicits._
     val edges = (for { a <- 0L to 30L; b <- 0L to 30L if a < b }
       yield (a, b)).toDF("a", "b")
+    // small path: the measured edge count is under the bound, so the
+    // degree/adjacency probes carry explicit broadcast hints and the edge
+    // stream never shuffles after its distinct
     val te = graft.operators.Triangles.triangleEdges(edges, col("a"), col("b"))
-    te.collect()
-    val plan = physical(te)
-    // the r13 pin (BroadcastHashJoin only) enforced an edge-sized
-    // adjacency broadcast — a broadcast-OOM at real graph scale. The
-    // scale property is weaker and stronger at once: every join is a key
-    // equi-join (shuffle OR AQE-measured broadcast, never a cartesian /
-    // nested-loop pair stream), and the Θ(wedges) blowup never appears
-    // as a plan node (intersection rides the join projection).
-    assert(!plan.contains("CartesianProduct"), plan.take(3000))
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    val small = te.collect()
+    val planSmall = physical(te)
+    assert(planSmall.contains("BroadcastHashJoin"), planSmall.take(3000))
+    assert(!planSmall.contains("CartesianProduct"), planSmall.take(3000))
+    // big-graph path (bound forced to 0): the r13 pin (broadcast only)
+    // enforced an edge-sized adjacency broadcast — an OOM at real graph
+    // scale. Above the bound every probe is a key equi-join; a cartesian
+    // or nested-loop pair stream must never appear on either path, and
+    // results are bit-identical
+    val teBig = graft.operators.Triangles.triangleEdges(edges,
+      col("a"), col("b"), maxBroadcastEdges = 0L)
+    val big = teBig.collect()
+    assert(big.map(_.toString).sorted.toSeq ===
+      small.map(_.toString).sorted.toSeq)
+    val planBig = physical(teBig)
+    assert(!planBig.contains("CartesianProduct"), planBig.take(3000))
+    assert(!planBig.contains("BroadcastNestedLoopJoin"), planBig.take(3000))
   }
 
   test("retrieval_rrf: query vector broadcasts; both arm cuts ride TopKPerKey") {

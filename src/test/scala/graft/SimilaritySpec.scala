@@ -135,6 +135,29 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(lsh === naive)
   }
 
+  test("lshCosineEdges components equal lshCosinePairs components") {
+    // dup-heavy corpus: the full pair list goes quadratic in the copy
+    // count; the star+rep-pair edge set stays linear with identical
+    // connectivity — so min-label components must be bit-identical
+    val e = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val amplified = (0 until 3).map(r =>
+      e.withColumn("vec_id", $"vec_id" + lit(r * 1000000L)))
+      .reduce(_ unionByName _)
+    val ids = amplified.select($"vec_id".as("id"))
+    val viaPairs = graft.operators.Dedup.clusters(ids,
+        Similarity.lshCosinePairs(amplified, $"vec_id", $"embedding", 0.46)
+          .select($"id_a", $"id_b"))
+      .orderBy($"id").collect().toSeq
+    val edges = Similarity.lshCosineEdges(amplified, $"vec_id",
+      $"embedding", 0.46)
+    val viaEdges = graft.operators.Dedup.clusters(ids, edges)
+      .orderBy($"id").collect().toSeq
+    assert(viaEdges === viaPairs)
+    val nPairs = Similarity
+      .lshCosinePairs(amplified, $"vec_id", $"embedding", 0.46).count()
+    assert(edges.count() < nPairs)
+  }
+
   test("lshCosinePairs at registered params equals the exact truth") {
     // the dedup_embedding_lsh contract: with the default 6-plane/128-table
     // parameterization, LSH candidates cover every true pair of this corpus
