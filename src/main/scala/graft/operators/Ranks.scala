@@ -14,8 +14,15 @@ import org.apache.spark.sql.expressions.Window
   * range-partition on (group ++ order) so each task holds a contiguous
   * slice of every group it sees, rank locally per (task, group) slice,
   * and add each slice's offset — the count of same-group rows in earlier
-  * range partitions, a |partitions × groups|-sized frame that joins back
-  * broadcast. Full sort parallelism, O(partitions × groups) coordination.
+  * range partitions. Because ranges are contiguous, a group spans
+  * consecutive partitions and each internal partition boundary splits at
+  * most one group, so the offsets frame is EXACTLY bounded by
+  * |groups| + |partitions| − 1 rows (NOT |partitions × groups|) — it
+  * broadcasts safely precisely in this operator's premise of few wide
+  * groups. A caller with corpus-scale group cardinality should use the
+  * plain per-group window rank instead (many small groups is the case
+  * that form already parallelizes); the broadcast is the only
+  * group-count-proportional site here.
   *
   * `order` must be a TOTAL order within each group (include a unique
   * tie-break key): equal keys split across a range boundary would
