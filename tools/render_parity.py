@@ -35,13 +35,20 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def render(v):
-    """One canonical string per cell value, whatever object the engine
-    materialized. Floats render via repr (bit-faithful shortest form);
-    integral values — python int, numpy int, Decimal with no fraction,
-    float that IS integral — all render as the bare integer string, so a
-    BIGINT 123, a Decimal('123') and a float64 123.0 agree IF AND ONLY IF
-    the underlying value is the same integer. A fractional Decimal vs its
-    float image still differs (it should: their bit-level values differ).
+    """One canonical string per cell value, mimicking the DRIVER's
+    strictness: ints render bare ('123'), floats via repr — keeping the
+    trailing '.0' / scientific form ('123.0', '5.5e+14') — and Decimals
+    as their exact digit string ('123', '12345.67'). Types are NOT
+    folded together: a Decimal column on the Spark side (pyarrow
+    materialization) vs the float64 DuckDB gives for EVERY decimal is a
+    render mismatch at any magnitude — which is exactly how the driver
+    red-flagged embedding_health at sf0.01 even though all values were
+    under 2^53 and bit-equal. Since §6 bans decimal OUTPUT columns
+    (cast to double or split-BIGINT instead; the sf0.01 dump has zero),
+    any hit here is a reintroduction to fix, never a false alarm.
+    int64 columns can't pair with float64 when schema_parity is clean:
+    DuckDB materializes matching SQL types identically, and nullable
+    ints go float64 through BOTH pandas paths.
     """
     if v is None:
         return "NULL"
@@ -58,8 +65,6 @@ def render(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
-        if v.is_integer() and abs(v) < 2 ** 53:
-            return str(int(v))
         return repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(render(x) for x in v) + "]"
@@ -69,9 +74,8 @@ def render(v):
     try:  # Decimal, numpy scalar, int
         import decimal
         if isinstance(v, decimal.Decimal):
-            if v == v.to_integral_value():
-                return str(int(v))
-            return str(v.normalize())
+            # exact digit string, no float round-trip, no E-notation
+            return str(int(v)) if v == v.to_integral_value() else str(v)
     except Exception:
         pass
     if v != v:  # NaT / NaN-like
