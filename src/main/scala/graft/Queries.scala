@@ -3193,20 +3193,27 @@ object Queries {
     * DISTINCT truth the oracle computes. (Whether the second drop dies by
     * dedup state or by the watermark's late filter, the contract is the
     * same distinct set.)
+    *
+    * The drain lands in a parquet DIRECTORY (`drainAppendToDir`, the E12
+    * machinery), not a memory sink: the emitted set here is ~every
+    * distinct event, and a memory sink funnels all of it onto the driver
+    * heap — measured 23 → 106 s across the 30×→100× decade (4.6× for
+    * 3.33× data, pure driver GC) vs the executor-parallel file sink.
+    * The one-file-per-drop landing stays: one deterministic microbatch
+    * per drop is what makes the watermark replay batch-comparable.
     */
   def dedupStreamExact(s: SparkSession, dir: String): DataFrame = {
     val tmp = tempDir("graft_dstream_")
-    val landing = s"$tmp/landing"
+    val landing = s"$tmp/landing"; val ckpt = s"$tmp/ckpt"
+    val outDir = s"$tmp/out"
     val ev = events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
     ev.coalesce(1).write.mode("overwrite").parquet(landing)
     ev.coalesce(1).write.mode("append").parquet(landing)
-    val stream = s.readStream.schema(ev.schema).parquet(landing)
-    val name = s"graft_stream_dedup_${System.nanoTime()}"
-    graft.streaming.StreamingIngest.runAvailableNowAppend(
-      graft.streaming.StreamingIngest.dedupStream(
-        stream, Seq("user_id", "event_type")), name)
-      .awaitTermination()
-    s.table(name)
+    graft.streaming.StreamingIngest.drainAppendToDir(s, landing, ev.schema,
+      st => graft.streaming.StreamingIngest.dedupStream(
+        st, Seq("user_id", "event_type")),
+      ckpt, outDir)
+    s.read.parquet(outDir)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
       .orderBy(col("user_id"), col("event_type"), col("t_us"))
   }
