@@ -2100,30 +2100,36 @@ object Queries {
     * purchase within 6 hours per user, run as a real watermarked
     * stream-stream inner join over an availableNow drain of the staged
     * events — the batch join IS the oracle, so the streaming join's
-    * row-level emission is gated exactly. Append-mode memory sink: each
-    * matched pair is finalized once.
+    * row-level emission is gated exactly. Append-mode FILE sink (each
+    * matched pair is finalized once): the matched-pair set grows
+    * linearly with the corpus, so it drains executor-parallel to
+    * parquet rather than through a driver memory sink (the E8b lesson).
     */
   def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.LongType
     val raw = s.read.parquet(s"$dir/events.parquet")
-    val landing = tempDir("graft_ssj_land_")
+    val tmp = tempDir("graft_ssj_land_")
+    val landing = s"$tmp/landing"; val ckpt = s"$tmp/ckpt"
+    val outDir = s"$tmp/out"
     raw.write.mode("overwrite").parquet(landing)
     val staged = s.read.parquet(landing)
-    val stream0 = s.readStream.schema(staged.schema).parquet(landing)
-    val stream =
-      if (staged.schema("ts").dataType == LongType)
-        stream0.withColumn("ts",
-          timestamp_micros(call_function("div", col("ts"), lit(1000L))))
-      else stream0
-    val joined = graft.streaming.StreamJoin
-      .funnel(stream, "view", "purchase", "6 hours")
-      .select(col("a_id").as("view_id"), col("b_id").as("purchase_id"),
-        col("a_user").as("user_id"),
-        (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("delay_us"))
-    val name = s"graft_ssj_${System.nanoTime()}"
-    graft.streaming.StreamingIngest.runAvailableNowAppend(joined, name)
-      .awaitTermination()
-    s.table(name).orderBy(col("view_id"), col("purchase_id"))
+    graft.streaming.StreamingIngest.drainAppendToDir(s, landing,
+      staged.schema, { stream0 =>
+        val stream =
+          if (staged.schema("ts").dataType == LongType)
+            stream0.withColumn("ts",
+              timestamp_micros(call_function("div", col("ts"), lit(1000L))))
+          else stream0
+        graft.streaming.StreamJoin
+          .funnel(stream, "view", "purchase", "6 hours")
+          .select(col("a_id").as("view_id"), col("b_id").as("purchase_id"),
+            col("a_user").as("user_id"),
+            (unix_micros(col("b_ts")) - unix_micros(col("a_ts")))
+              .as("delay_us"))
+      }, ckpt, outDir)
+    s.read.parquet(outDir).select(col("view_id"), col("purchase_id"),
+        col("user_id"), col("delay_us"))
+      .orderBy(col("view_id"), col("purchase_id"))
   }
 
   val streamStreamJoinSql: String =
@@ -5335,18 +5341,18 @@ object Queries {
     */
   def dedupWithinWatermarkQ(s: SparkSession, dir: String): DataFrame = {
     val tmp = tempDir("graft_wmdedup_")
-    val landing = s"$tmp/landing"
+    val landing = s"$tmp/landing"; val ckpt = s"$tmp/ckpt"
+    val outDir = s"$tmp/out"
     val ev = events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
     ev.unionAll(ev).coalesce(1).write.mode("overwrite").parquet(landing)
-    val stream = s.readStream.schema(ev.schema).parquet(landing)
-    val name = s"graft_wmdedup_${System.nanoTime()}"
-    graft.streaming.StreamingIngest
-      .dedupWithinWatermark(stream, Seq("event_id"), "ts", "2 hours")
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start().awaitTermination()
-    s.table(name)
+    // file-sink drain, not a memory sink: the emitted set is every
+    // distinct event, and a memory sink funnels all of it through the
+    // driver heap (the E8b lesson — see dedupStreamExact)
+    graft.streaming.StreamingIngest.drainAppendToDir(s, landing, ev.schema,
+      st => graft.streaming.StreamingIngest
+        .dedupWithinWatermark(st, Seq("event_id"), "ts", "2 hours"),
+      ckpt, outDir)
+    s.read.parquet(outDir)
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("t_us"))
       .orderBy(col("event_id"))
