@@ -14,7 +14,7 @@ object PlanDump {
       "q5_region_revenue" -> "dims broadcast; fact never shuffles for dim joins",
       "dedup_minhash" -> "LSH band shuffle + bucket-local pairs; no cartesian product",
       "dedup_embedding" -> "exact cosine baseline; identical-vector collapse when dups exist (scale path = lshCosinePairs)",
-      "ann_topk" -> "corpus broadcast, codegen'd CosineSim kernel, window top-k",
+      "ann_topk" -> "corpus streams, query frame broadcast, codegen'd CosineSim kernel, TopKPerKey partial pre-prune below the exchange",
       "sessionize" -> "one shuffle on user_id shared by lag + cumulative-sum windows",
       "asof_join" -> "tagged union + keyed window carry-forward, single shuffle",
       "topk_per_key" -> "custom TopKPerKeyExec: map-side bounded-heap prune (budget-flushed) below the exchange; spill-safe sorted streaming take-k above it",

@@ -112,17 +112,27 @@ object Similarity {
   /** Brute-force exact top-k cosine neighbors for each query row.
     * `queries`/`corpus` both expose (id, vec). Excludes self-matches by id.
     * Rank ties broken by neighbor id (total order ⇒ deterministic).
+    *
+    * Orientation matters: the CORPUS streams and the query set
+    * broadcasts (the q8 form's shape), so the |q|·|corpus| scored pairs
+    * materialize across the corpus partitions — the reverse join pins
+    * every pair onto the query side's near-single partition, serializing
+    * the kernel scan. TopKPerKey prunes to ≤ k rows per query BELOW the
+    * exchange, so the shuffle carries |q|·k rows however large the
+    * corpus; the rank window then runs on that bounded frame.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col("id").as("query_id"), col("vec").as("q_vec"))
     val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("c_vec"))
-    val scored = q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_vec"), col("c_vec")).as("cos"))
+    val top = graft.plans.TopKPerKey.topK(scored, keys = Seq("query_id"),
+      order = Seq("cos" -> "desc", "neighbor_id" -> "asc"), k = k)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= k)
+    top.withColumn("rank", row_number().over(w).cast("long"))
   }
 
   // ------------------------------------------------------------------ LSH --
