@@ -32,7 +32,16 @@ object ScaleSmoke {
           .getOrElse("") != stamp
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    // shuffle/sort spill on tmpfs, same policy as Bench: at the 300×
+    // decade the external sorts spill tens of GB, and this sandbox's
+    // backing disk absorbs that at pathological throughput (measured:
+    // triangle_parts 297→112 s at 300× from the spill destination
+    // alone) — a cluster's local SSDs are the production analogue
+    val local = java.nio.file.Files
+      .createTempDirectory(Queries.tempBase, "graft_scale_local_")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus)
+      .config("spark.local.dir", local.toString)
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def amplify(name: String, keyCols: Map[String, Long]): Unit = {
       val src = Tables.table(spark, base, name)
