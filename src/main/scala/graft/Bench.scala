@@ -8,9 +8,57 @@ import org.apache.spark.sql.SparkSession
   * a metadata scan and time nothing).
   */
 object Bench {
+
+  /** Where the sweep's JSON line persists — the structural guard on the
+    * committed artifact (pure; unit-tested by BenchGuardSpec):
+    *   - an explicit SPARK_GRAFT_BENCH_FULL path is always honored (the
+    *     dev-loop contract: subset probes MUST redirect, or they clobber
+    *     the full-sweep line every round-over-round diff reads);
+    *   - a restricted (SPARK_GRAFT_BENCH_ONLY) sweep without an explicit
+    *     path lands in BENCH_full.partial.json, never the committed file;
+    *   - a full sweep whose contention sentinel tripped lands in
+    *     BENCH_full.contended.json — the r14 failure mode (a final sweep
+    *     on a hot machine committed cold totals ~1.3× the same tree's
+    *     quiet numbers) can no longer overwrite the trusted artifact.
+    */
+  private[graft] def fullOutputTarget(explicitPath: Option[String],
+      isPartial: Boolean, contended: Boolean): String =
+    explicitPath.getOrElse {
+      if (isPartial) "BENCH_full.partial.json"
+      else if (contended) "BENCH_full.contended.json"
+      else "BENCH_full.json"
+    }
+
+  /** Sentinel verdict (pure; unit-tested): ratios are end-of-run cold
+    * re-timings of the first sentinel queries divided by their in-run
+    * cold MEDIANS. A steady machine reproduces the medians (ratio ≈ 1);
+    * a run whose load decayed mid-sweep re-times FASTER than its own
+    * medians (ratio ≪ 1 — the medians were inflated), and one that got
+    * busier re-times slower — either direction means the sweep's
+    * absolute numbers aren't trustworthy for round-over-round diffs.
+    * The median of the per-query ratios is compared, so one noisy
+    * sentinel can't trip the guard alone.
+    */
+  private[graft] def sentinelContended(ratios: Seq[Double],
+      lo: Double = 0.75, hi: Double = 1.35): Boolean = {
+    if (ratios.isEmpty) return false
+    val s = ratios.sorted
+    val mid = s.length / 2
+    val med = if (s.length % 2 == 1) s(mid) else (s(mid - 1) + s(mid)) / 2
+    med < lo || med > hi
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // 1-min load BEFORE the session spins up: recorded in the JSON line as
+    // contention telemetry, and egregious pre-existing load (another
+    // process actively churning half the machine) trips the guard even if
+    // it stays uniform enough to fool the sentinel re-run
+    val loadavgPre = scala.util.Try(java.nio.file.Files
+      .readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble).getOrElse(0.0)
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "16").toDouble
     // warehouse + shuffle-local dirs on the same tmpfs base the query
     // harness temp dirs use: join_bucketed's table writes and shuffle
     // spill then never touch the data disk, so a write-demo neighbour
@@ -152,6 +200,20 @@ object Bench {
       }
     }
     val fork = if (forkEnabled) names.map(n => n -> forkOne(n)) else Nil
+    // contention sentinel: re-time the first 3 pure queries cold at the
+    // END of the sweep and compare each to its own cold MEDIAN from the
+    // pass above (only meaningful when the cold pass ran) — see
+    // sentinelContended for the verdict semantics
+    val coldByName = cold.toMap
+    val sentinelNames =
+      if (cold.isEmpty) Nil
+      else names.filter(n => qClass(n) == "pure")
+        .filter(n => coldByName.getOrElse(n, 0.0) > 0.0).take(3)
+    val sentinelRatios = sentinelNames.map { n =>
+      n -> timeOne(n, reset = true) / coldByName(n)
+    }
+    val contended = sentinelContended(sentinelRatios.map(_._2)) ||
+      loadavgPre > maxLoad
     val total = inRun.map(_._2).sum
     // per-class subtotals: the `pure` number is the engine-regression
     // signal to diff round over round; write_demo / stream_harness pay
@@ -175,17 +237,26 @@ object Bench {
       if (fork.nonEmpty)
         s""","total_fork":${fork.map(_._2).filter(_ >= 0).sum},"queries_fork":${json(fork)}"""
       else ""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(inRun)}$coldPart$forkPart$classPart,"sf":"$sfDir"}"""
+    val sentinelPart =
+      s""","sentinel":{"loadavg_pre":$loadavgPre,"ratios":${json(sentinelRatios)},"contended":$contended}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(inRun)}$coldPart$forkPart$classPart$sentinelPart,"sf":"$sfDir"}"""
     println(line)
     // the driver's BENCH_rN.json keeps only the tail of stdout, which
     // truncates the per-query map past ~70 queries — persist the FULL
     // line to a repo file so every round-over-round diff covers every
-    // query (the file rides the driver's end-of-round commit)
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_full.json")),
-      line + "\n")
+    // query (the file rides the driver's end-of-round commit). The
+    // target routes through fullOutputTarget: partial or contended
+    // sweeps can never overwrite the committed BENCH_full.json.
+    val target = fullOutputTarget(sys.env.get("SPARK_GRAFT_BENCH_FULL"),
+      isPartial = only.isDefined, contended = contended)
+    if (contended) System.err.println(
+      s"[bench] contention guard tripped (loadavg_pre=$loadavgPre, " +
+        s"sentinel=${sentinelRatios.map(_._2).map(r => f"$r%.2f").mkString(",")}) — " +
+        s"writing $target, NOT BENCH_full.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(target), line + "\n")
     catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_full.json write failed: ${e.getMessage}")
+      System.err.println(s"[bench] $target write failed: ${e.getMessage}")
     }
     spark.stop()
     // the wh tree (warehouse + spark.local.dir + fork subtrees) lives on

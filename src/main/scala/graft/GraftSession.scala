@@ -18,6 +18,18 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // spill-aware partition sizing: shuffles START at 8× the core count
+      // and AQE coalesces back down from runtime statistics, so reducer
+      // counts SCALE WITH INPUT instead of pinning at `cores`. At the
+      // 300× decade the fixed-32 layout gave single sorts 10M+ rows per
+      // task — past the per-task execution-memory share, so external
+      // sorts spilled super-linearly (q5/triangle/span_dedup class);
+      // with an 8× ceiling the same sorts stay in-memory while small
+      // inputs still coalesce to a handful of partitions. On a cluster
+      // this is exactly the executors×cores headroom a static
+      // shuffle.partitions would have to guess per-query.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cores * 8).toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // graft uses wrap-around 64-bit affine hashes (MinHash permutations);

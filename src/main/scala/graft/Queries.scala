@@ -940,6 +940,43 @@ object Queries {
        WHERE levenshtein(a.text, b.text) <= 60
        ORDER BY id_a, id_b"""
 
+  /** Component assignment over the edit-distance near-dup graph — the
+    * LINEAR consumer of the L4b family (the `dedup_clusters` move): the
+    * pair-LIST contract of `dedup_levenshtein` is owed-quadratic in the
+    * duplication factor, but cluster assignment needs CONNECTIVITY only,
+    * so it consumes `Dedup.levenshteinEdges` (star edges per verbatim
+    * group + one edge per rep pair — |edges| linear in corpus size) and
+    * no cluster-level consumer ever has to eat the clique expansion.
+    * Identical roots to clustering the full pair list (equivalence in
+    * the Dedup scaladoc); oracle = recursive-CTE components over the
+    * exact all-pairs edit-distance truth.
+    */
+  def dedupLevenshteinClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val edges = Dedup.levenshteinEdges(docs, col("doc_id"), col("text"),
+      block = col("lang"), maxDist = 60)
+    Dedup.clusters(docs.select(col("doc_id").as("id")), edges)
+      .orderBy(col("id"))
+  }
+
+  val dedupLevenshteinClustersSql: String =
+    """WITH RECURSIVE
+       pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM documents a JOIN documents b
+           ON a.lang = b.lang AND a.doc_id < b.doc_id
+           AND abs(strlen(a.text) - strlen(b.text)) <= 60
+         WHERE levenshtein(a.text, b.text) <= 60),
+       edges AS (
+         SELECT id_a AS src, id_b AS dst FROM pairs
+         UNION ALL
+         SELECT id_b AS src, id_a AS dst FROM pairs),
+       reach(id, root) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id)
+       SELECT id, MIN(root) AS root FROM reach GROUP BY id ORDER BY id"""
+
   // --------------------------------------- pivot / cube / semi-anti ------
 
   /** Day × event_type pivot of decimal-exact value sums. */
@@ -7697,6 +7734,62 @@ object Queries {
        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
        WHERE $containSql >= 0.8
        ORDER BY id_a, id_b"""
+  }
+
+  /** Containment-cluster telemetry — the L41 histogram over the OVERLAP
+    * graph, and the LINEAR consumer of the L44 family: cluster sizes +
+    * doc shares of the containment ≥ 0.8 components, consumed through
+    * `Dedup.containmentEdges` (star edges + rep pairs, |edges| linear in
+    * the corpus) so the telemetry never pays the owed-quadratic pair
+    * list `containment_pairs` contracts. The report reads as "how much
+    * of the corpus is nested inside something else" — the quotation/
+    * expansion mass symmetric dedup leaves behind.
+    */
+  def containmentStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val edges = Dedup.containmentEdges(docs, col("doc_id"), col("text"),
+      block = col("lang"), threshold = 0.8)
+    val asg = Dedup.clusters(docs.select(col("doc_id").as("id")), edges)
+    val sizes = asg.groupBy(col("root"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val tot = asg.agg(count(lit(1)).as("n"))
+    sizes.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(broadcast(tot))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") * col("n_clusters")).cast("double")
+          / col("n").cast("double")).as("frac_docs"))
+      .orderBy(col("cluster_size"))
+  }
+
+  val containmentStatsSql: String = {
+    val containSql =
+      """CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / CAST(LEAST(len(a.sh), len(b.sh)) AS DOUBLE)"""
+    s"""WITH RECURSIVE
+       s AS (SELECT doc_id, lang, $shingleSql AS sh FROM ($shingleSrcSql)),
+       pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         WHERE $containSql >= 0.8),
+       edges AS (
+         SELECT id_a AS src, id_b AS dst FROM pairs
+         UNION ALL
+         SELECT id_b AS src, id_a AS dst FROM pairs),
+       reach(id, root) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id),
+       asg AS (SELECT id, MIN(root) AS root FROM reach GROUP BY id),
+       sizes AS (SELECT root, COUNT(*) AS cluster_size FROM asg GROUP BY 1),
+       tot AS (SELECT COUNT(*) AS n FROM asg)
+       SELECT cluster_size, COUNT(*) AS n_clusters,
+         CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+         CAST(cluster_size * COUNT(*) AS DOUBLE) / CAST(n AS DOUBLE)
+           AS frac_docs
+       FROM sizes CROSS JOIN tot
+       GROUP BY cluster_size, n ORDER BY cluster_size"""
   }
 
   // ------------------------------ E74 two-sample KS drift ----------------

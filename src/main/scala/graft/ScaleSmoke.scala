@@ -11,6 +11,21 @@ import org.apache.spark.sql.functions._
   * keyed operators see distinct entities, not 10 copies of one.
   */
 object ScaleSmoke {
+
+  /** The STANDING decade-probe set (BASELINE.md's maintained 30×/100×/
+    * 300× table): the linear scan/sort controls, every query the
+    * r12–r15 scale reworks touched, the sort-spill class, and the
+    * linear star-edge dedup consumers. `SPARK_GRAFT_SCALE_ONLY=flagship`
+    * expands to this list so the third-decade sweep is one env var per
+    * round, not a hand-maintained query string.
+    */
+  val flagshipSet: Set[String] = Set(
+    "q1_pricing", "etl_cast_rename", "ann_topk", "oov_rate",
+    "asof_packed", "stream_asof_enrich", "weighted_median",
+    "rfm_segments", "novelty_ngrams", "sliding_percentile", "span_dedup",
+    "triangle_parts", "q5_region_revenue", "dedup_stats",
+    "dedup_clusters", "dedup_levenshtein_clusters", "containment_stats")
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     // SPARK_GRAFT_SCALE_DIR pins the amplified-table location and reuses
@@ -32,13 +47,37 @@ object ScaleSmoke {
           .getOrElse("") != stamp
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // shuffle/sort spill on tmpfs, same policy as Bench: at the 300×
-    // decade the external sorts spill tens of GB, and this sandbox's
-    // backing disk absorbs that at pathological throughput (measured:
-    // triangle_parts 297→112 s at 300× from the spill destination
-    // alone) — a cluster's local SSDs are the production analogue
+    // shuffle/sort spill on tmpfs when it can actually hold the spill:
+    // at the 300× decade the external sorts spill tens of GB, and this
+    // sandbox's backing disk absorbs that at pathological throughput
+    // (measured: triangle_parts 297→112 s at 300× from the spill
+    // destination alone) — a cluster's local SSDs are the production
+    // analogue. SPARK_GRAFT_SPILL_DIR overrides; otherwise /dev/shm is
+    // used only with headroom PROPORTIONAL to the decade (Queries
+    // .tempBase's 4 GiB floor is sized for harness landing residue, not
+    // shuffle spill — a modest shm would ENOSPC mid-run or eat the RAM
+    // the spill was meant to relieve), else the system tmpdir.
+    val spillBase = sys.env.get("SPARK_GRAFT_SPILL_DIR")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse {
+        val needBytes = math.max(8L, factor.toLong / 4) << 30
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        val usable = try {
+          if (java.nio.file.Files.isWritable(shm))
+            java.nio.file.Files.getFileStore(shm).getUsableSpace
+          else 0L
+        } catch { case _: java.io.IOException => 0L }
+        if (usable >= needBytes) shm
+        else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+      }
+    java.nio.file.Files.createDirectories(spillBase)
     val local = java.nio.file.Files
-      .createTempDirectory(Queries.tempBase, "graft_scale_local_")
+      .createTempDirectory(spillBase, "graft_scale_local_")
+    // Spark removes its inner spark-* trees on stop but not this parent:
+    // reclaim it on exit (shutdown hook covers the killed-run case that
+    // leaked a dozen empty dirs into /dev/shm across r13-r14)
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => Queries.rmTree(local.toFile)))
     val spark = GraftSession.builder(s"local[$cpus]", cpus)
       .config("spark.local.dir", local.toString)
       .getOrCreate()
@@ -73,7 +112,8 @@ object ScaleSmoke {
     // SPARK_GRAFT_SCALE_ONLY restricts for iteration)
     val skip = Set("task_report", "task_report_retry")
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(v => if (v.trim == "flagship") flagshipSet
+                else v.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.filterNot(skip).sorted
       .filter(n => only.forall(_.contains(n)))
     spark.range(1000000L).selectExpr("sum(id)").collect() // warm

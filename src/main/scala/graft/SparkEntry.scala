@@ -97,6 +97,7 @@ object SparkEntry {
     "dedup_simhash" -> (Queries.dedupSimhash _),
     "dedup_jaccard_exact" -> (Queries.dedupJaccardExact _),
     "dedup_levenshtein" -> (Queries.dedupLevenshtein _),
+    "dedup_levenshtein_clusters" -> (Queries.dedupLevenshteinClusters _),
     "dedup_embedding" -> (Queries.dedupEmbedding _),
     "dedup_embedding_lsh" -> (Queries.dedupEmbeddingLsh _),
     "dedup_embedding_clusters" -> (Queries.dedupEmbeddingClusters _),
@@ -290,6 +291,7 @@ object SparkEntry {
     "prefix_dup" -> (Queries.prefixDup _),
     // L44 containment pairs, E74 KS drift, E75 A/B report
     "containment_pairs" -> (Queries.containmentPairsQ _),
+    "containment_stats" -> (Queries.containmentStats _),
     "ks_drift" -> (Queries.ksDrift _),
     "ab_test_report" -> (Queries.abTestReport _),
     // L45 embedding health census, E76 RFM segmentation
@@ -396,6 +398,7 @@ object SparkEntry {
     "dedup_clusters" -> Queries.dedupClustersSql,
     "dedup_jaccard_exact" -> Queries.dedupJaccardExactSql,
     "dedup_levenshtein" -> Queries.dedupLevenshteinSql,
+    "dedup_levenshtein_clusters" -> Queries.dedupLevenshteinClustersSql,
     "dedup_embedding" -> Queries.dedupEmbeddingSql,
     "dedup_embedding_lsh" -> Queries.dedupEmbeddingLshSql,
     "dedup_embedding_clusters" -> Queries.dedupEmbeddingClustersSql,
@@ -533,6 +536,7 @@ object SparkEntry {
     "activity_streaks" -> Queries.activityStreaksSql,
     "prefix_dup" -> Queries.prefixDupSql,
     "containment_pairs" -> Queries.containmentPairsSql,
+    "containment_stats" -> Queries.containmentStatsSql,
     "ks_drift" -> Queries.ksDriftSql,
     "ab_test_report" -> Queries.abTestReportSql,
     "embedding_health" -> Queries.embeddingHealthSql,

@@ -33,7 +33,12 @@ object CountMin {
     * nibbles that 16ⁿ ≥ w (minimum 2, so the default w = 256 grid keeps
     * its historical identity mapping bit-for-bit), so no bucket is ever
     * structurally unreachable and the e/w error bound holds at any
-    * width. Widths past 2²⁴ are rejected loudly rather than silently
+    * width. When w does not divide 16ⁿ the modulo is biased — the low
+    * buckets receive ⌈16ⁿ/w⌉ vs ⌊16ⁿ/w⌋ shares, ~2.4% skew at the
+    * minimum nibble count for w = 1000 — so three EXTRA nibbles are
+    * taken in that case, driving the skew below w/16ⁿ ≤ 6e-5 (widths
+    * dividing a 16-power, 256 included, keep the exact unbiased minimum
+    * mapping). Widths past 2²⁴ are rejected loudly rather than silently
     * degraded — a grid that wide has stopped being a sketch.
     */
   def bucket(item: Column, j: Int, w: Int): Column = {
@@ -41,6 +46,7 @@ object CountMin {
       s"CountMin width must be in [1, 2^24], got $w")
     var nibbles = 2
     while ((1L << (4 * nibbles)) < w) nibbles += 1
+    if ((1L << (4 * nibbles)) % w != 0) nibbles += 3 // max 9, fits a long
     pmod(conv(
       substring(md5(concat_ws(":", lit(j.toString), item)), 1, nibbles),
       16, 10).cast("long"), lit(w.toLong))

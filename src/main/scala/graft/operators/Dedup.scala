@@ -104,22 +104,26 @@ object Dedup {
   def containmentPairs(docs: DataFrame, id: Column, text: Column,
       block: Column, threshold: Double, n: Int = 3): DataFrame =
     overTextGroups(docs, id, text, extras = Seq("blk" -> block),
-        scoreCol = "containment") { reps =>
-      val s = reps.select(col("id"), col("blk"),
-        shingles(col("text"), n).as("sh"))
-      Caching.withCached(s) {
-        val a = s.select(col("blk"), col("id").as("id_a"),
-          col("sh").as("sh_a"))
-        val b = s.select(col("blk"), col("id").as("id_b"),
-          col("sh").as("sh_b"))
-        a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"),
-            (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-              least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
-              .as("containment"))
-          .where(col("containment") >= threshold)
-      }
+      scoreCol = "containment")(reps =>
+      containmentPairsRaw(reps, threshold, n))
+
+  private def containmentPairsRaw(docs: DataFrame, threshold: Double,
+      n: Int): DataFrame = {
+    val s = docs.select(col("id"), col("blk"),
+      shingles(col("text"), n).as("sh"))
+    Caching.withCached(s) {
+      val a = s.select(col("blk"), col("id").as("id_a"),
+        col("sh").as("sh_a"))
+      val b = s.select(col("blk"), col("id").as("id_b"),
+        col("sh").as("sh_b"))
+      a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
+            .as("containment"))
+        .where(col("containment") >= threshold)
     }
+  }
 
   // ------------------------------------------------- text-group collapse --
 
@@ -243,24 +247,68 @@ object Dedup {
     */
   def minhashEdges(docs: DataFrame, id: Column, text: Column,
       threshold: Double, n: Int = 3, k: Int = 64,
-      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val members = docs
-      .select(TextAnalysis.fingerprint(text).as("gk"), id.as("id")).cache()
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    edgesOverTextGroups(docs, id, text)(reps =>
+      minhashPairsRaw(reps, col("id"), col("text"),
+        threshold, n, k, bands, rowsPerBand)
+        .select(col("id_a"), col("id_b")))
+
+  /** The star-edge counterpart of [[levenshteinPairs]] — the SAME
+    * reachability as the full edit-distance pair list (identical
+    * components under [[clusters]]) with |edges| linear in the corpus
+    * however duplicated it is: verbatim-duplicate groups contribute
+    * star edges and cross-group candidates one edge per REP pair. The
+    * [[minhashEdges]] equivalence argument carries over verbatim —
+    * distance is a function of the (collapsed) text and the block
+    * columns ride the group key, so a rep pair survives the ≤ maxDist
+    * verification exactly when every member pair would.
+    */
+  def levenshteinEdges(docs: DataFrame, id: Column, text: Column,
+      block: Column, maxDist: Int): DataFrame =
+    edgesOverTextGroups(docs, id, text, extras = Seq("blk" -> block))(reps =>
+      levenshteinPairsRaw(reps, maxDist).select(col("id_a"), col("id_b")))
+
+  /** Star-edge counterpart of [[containmentPairs]] (overlap coefficient
+    * ≥ threshold) — same connectivity-sufficient contract as
+    * [[levenshteinEdges]]: containment is a function of the shingle
+    * sets, which depend only on the normalized text shared by a
+    * verbatim group, so rep-pair survival is group-uniform.
+    */
+  def containmentEdges(docs: DataFrame, id: Column, text: Column,
+      block: Column, threshold: Double, n: Int = 3): DataFrame =
+    edgesOverTextGroups(docs, id, text, extras = Seq("blk" -> block))(reps =>
+      containmentPairsRaw(reps, threshold, n)
+        .select(col("id_a"), col("id_b")))
+
+  /** The edge-set analogue of [[overTextGroups]] (see [[minhashEdges]]
+    * for the equivalence argument): run a pair generator over one
+    * representative per verbatim-content group, then append STAR edges
+    * (group rep → each other member) instead of expanding the member ×
+    * member cliques — connectivity-sufficient for component assignment,
+    * |edges| = n_duplicates + |rep pairs| instead of Σ g²/2. Extras ride
+    * the group key exactly as in [[overTextGroups]], so identical texts
+    * in different blocks never collapse together.
+    */
+  private def edgesOverTextGroups(docs: DataFrame, id: Column, text: Column,
+      extras: Seq[(String, Column)] = Nil)(
+      edgesOfReps: DataFrame => DataFrame): DataFrame = {
+    val fpCol = TextAnalysis.fingerprint(text)
+    val gk =
+      if (extras.isEmpty) fpCol
+      else struct(fpCol.as("fp") +: extras.map { case (n, c) => c.as(n) }: _*)
+    val members = docs.select(gk.as("gk"), id.as("id")).cache()
     try {
       val groups = members.groupBy(col("gk")).agg(min(col("id")).as("rid"))
       // same adaptive probe as overTextGroups: a duplicate-free corpus
       // needs no collapse and no star edges
       val counts = members.agg(count(lit(1)).as("n"),
         countDistinct(col("gk")).as("d")).head()
-      val passThrough = docs.select(id.as("id"), text.as("text"))
+      val passThrough = docs.select(
+        id.as("id") +: text.as("text") +: extras.map { case (n, c) => c.as(n) }: _*)
       if (counts.getLong(0) == counts.getLong(1))
-        return minhashPairsRaw(passThrough, col("id"), col("text"),
-          threshold, n, k, bands, rowsPerBand)
-          .select(col("id_a"), col("id_b"))
+        return edgesOfReps(passThrough)
       val reps = passThrough.join(groups.select(col("rid").as("id")), "id")
-      val repPairs = minhashPairsRaw(reps, col("id"), col("text"),
-        threshold, n, k, bands, rowsPerBand)
-        .select(col("id_a"), col("id_b"))
+      val repPairs = edgesOfReps(reps)
       val stars = members.join(groups, "gk")
         .where(col("id") =!= col("rid"))
         .select(col("rid").as("id_a"), col("id").as("id_b"))

@@ -129,6 +129,50 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(viaEdgesBase === viaPairsBase)
   }
 
+  test("levenshteinEdges and containmentEdges: components bit-identical " +
+      "to their pair lists, edge sets linear on a dup-heavy corpus") {
+    // same dup-heavy shape as the minhashEdges test: 4 verbatim copies
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"lang")
+    val amplified = (0 until 4).map(r =>
+      docs.withColumn("doc_id", $"doc_id" + lit(r * 1000000L)))
+      .reduce(_ unionByName _)
+    val ids = amplified.select($"doc_id".as("id"))
+
+    val levPairs = Dedup.levenshteinPairs(amplified, $"doc_id", $"text",
+      block = $"lang", maxDist = 60)
+    val levEdges = Dedup.levenshteinEdges(amplified, $"doc_id", $"text",
+      block = $"lang", maxDist = 60)
+    val viaLevPairs = Dedup.clusters(ids, levPairs)
+      .orderBy($"id").collect().toSeq
+    val viaLevEdges = Dedup.clusters(ids, levEdges)
+      .orderBy($"id").collect().toSeq
+    assert(viaLevEdges === viaLevPairs)
+    assert(levEdges.count() < levPairs.count(),
+      "levenshtein edge set not sparser than the pair list")
+
+    val conPairs = Dedup.containmentPairs(amplified, $"doc_id", $"text",
+      block = $"lang", threshold = 0.8)
+    val conEdges = Dedup.containmentEdges(amplified, $"doc_id", $"text",
+      block = $"lang", threshold = 0.8)
+    val viaConPairs = Dedup.clusters(ids, conPairs)
+      .orderBy($"id").collect().toSeq
+    val viaConEdges = Dedup.clusters(ids, conEdges)
+      .orderBy($"id").collect().toSeq
+    assert(viaConEdges === viaConPairs)
+    assert(conEdges.count() < conPairs.count(),
+      "containment edge set not sparser than the pair list")
+
+    // duplicate-free corpus: the adaptive probe passes raw pairs through
+    val baseIds = docs.select($"doc_id".as("id"))
+    assert(Dedup.clusters(baseIds,
+        Dedup.levenshteinEdges(docs, $"doc_id", $"text", $"lang", 60))
+        .orderBy($"id").collect().toSeq ===
+      Dedup.clusters(baseIds,
+        Dedup.levenshteinPairs(docs, $"doc_id", $"text", $"lang", 60))
+        .orderBy($"id").collect().toSeq)
+  }
+
   test("spanDedup: planted shared spans found, window counts exact, " +
       "short docs zero") {
     import spark.implicits._

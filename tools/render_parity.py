@@ -66,6 +66,18 @@ def render(v):
         if math.isnan(v):
             return "NULL"
         return repr(v)
+    # pyarrow's to_pandas leaves array cells as np.ndarray, which is
+    # neither list nor tuple and whose `v != v` is ambiguous — recurse
+    # through the list branch before the NaN check can ever see one
+    if hasattr(v, "tolist") and not hasattr(v, "isoformat"):
+        try:
+            lv = v.tolist()
+        except Exception:
+            lv = None
+        if isinstance(lv, list):
+            return "[" + ",".join(render(x) for x in lv) + "]"
+        if lv is not None and lv is not v:
+            return render(lv)  # numpy scalar -> python int/float
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(render(x) for x in v) + "]"
     if isinstance(v, dict):
