@@ -27,7 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // ad-hoc instrumentation passthrough (e.g. event logging for stage-level
+  // probe forensics): space-separated -D/-X flags for the forked JVM
+  sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq
+    .flatMap(_.split("\\s+").filter(_.nonEmpty))
 // one shared SparkSession across suites; Spark local mode dislikes
 // concurrent contexts in one JVM
 Test / parallelExecution := false

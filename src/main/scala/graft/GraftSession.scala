@@ -18,18 +18,21 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // spill-aware partition sizing: shuffles START at 8× the core count
+      // spill-aware partition sizing: shuffles START above the core count
       // and AQE coalesces back down from runtime statistics, so reducer
-      // counts SCALE WITH INPUT instead of pinning at `cores`. At the
-      // 300× decade the fixed-32 layout gave single sorts 10M+ rows per
-      // task — past the per-task execution-memory share, so external
-      // sorts spilled super-linearly (q5/triangle/span_dedup class);
-      // with an 8× ceiling the same sorts stay in-memory while small
-      // inputs still coalesce to a handful of partitions. On a cluster
-      // this is exactly the executors×cores headroom a static
-      // shuffle.partitions would have to guess per-query.
+      // counts scale with input instead of pinning at `cores`. The
+      // ceiling is 2× cores, not the folklore 8×: a measured 300×-decade
+      // A/B (BASELINE.md r15) showed 8× REGRESSING the CPU-bound object
+      // aggregates 1.4-2× (extra task waves pay per-task constants; the
+      // big sorts there weren't spilling in the first place) while 2×
+      // halved q5-class SMJ sorts and stabilized the basket-assembly
+      // aggregate. On a real cluster, scale the ceiling with
+      // total-executor-cores via SPARK_GRAFT_INIT_PARTITIONS — the
+      // trade is per-task constant overhead vs per-task sort footprint,
+      // and the right ceiling grows with the data-to-memory ratio.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cores * 8).toString)
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS",
+          (cores * 2).toString))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // graft uses wrap-around 64-bit affine hashes (MinHash permutations);

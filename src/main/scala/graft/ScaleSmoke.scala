@@ -117,21 +117,30 @@ object ScaleSmoke {
     val names = SparkEntry.queries.keys.toSeq.filterNot(skip).sorted
       .filter(n => only.forall(_.contains(n)))
     spark.range(1000000L).selectExpr("sum(id)").collect() // warm
-    val results = names.map { name =>
-      // cold per query (same reset as Bench's cold pass): accumulated
-      // checkpoint/cache state from earlier queries otherwise evicts the
-      // current query's own caches at 30× and inflates it up to 4× —
-      // the run-order artifact class every round has had to re-measure
-      // isolated; clearing makes scale rows diffable directly
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, out)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[scale] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+    // SPARK_GRAFT_SCALE_REPS=N times each query N times in THIS JVM and
+    // reports every rep: single fresh-JVM probes at the 300× decade swing
+    // ±30-50% (page-cache / JIT / first-run state), so arm comparisons
+    // need in-JVM repeats where those confounds are shared
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "1").toInt
+    val results = names.flatMap { name =>
+      (1 to reps).map { r =>
+        // cold per rep (same reset as Bench's cold pass): accumulated
+        // checkpoint/cache state from earlier queries otherwise evicts the
+        // current query's own caches at 30× and inflates it up to 4× —
+        // the run-order artifact class every round has had to re-measure
+        // isolated; clearing makes scale rows diffable directly
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, out)
+          .write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[scale] $name failed: ${e.getMessage}") }
+        Queries.purgeTempDirs()
+        (if (reps == 1) name else s"$name#$r") ->
+          (System.nanoTime() - t0) / 1e9
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
