@@ -77,11 +77,82 @@ case class SortedJaccard(left: Expression, right: Expression)
   override def prettyName: String = "sorted_jaccard"
 }
 
+/** Overlap coefficient (Szymkiewicz–Simpson: |A∩B| / min(|A|,|B|)) of two
+  * SORTED long arrays — the same two-pointer merge walk as
+  * [[SortedJaccard]] with the containment denominator; reproduces the
+  * `array_intersect`/`least` formulation exactly for distinct-element
+  * inputs (int/int IEEE division, SURVEY §6).
+  */
+case class SortedOverlap(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_overlap requires array<bigint> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val av = a.asInstanceOf[ArrayData]
+    val bv = b.asInstanceOf[ArrayData]
+    val na = av.numElements()
+    val nb = bv.numElements()
+    var i = 0; var j = 0; var ni = 0
+    while (i < na && j < nb) {
+      val x = av.getLong(i)
+      val y = bv.getLong(j)
+      if (x == y) { ni += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    ni.toDouble / math.min(na, nb).toDouble
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (aV, bV) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val ni = ctx.freshName("ni")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+        int $na = $aV.numElements();
+        int $nb = $bV.numElements();
+        int $i = 0, $j = 0, $ni = 0;
+        while ($i < $na && $j < $nb) {
+          long $x = $aV.getLong($i);
+          long $y = $bV.getLong($j);
+          if ($x == $y) { $ni++; $i++; $j++; }
+          else if ($x < $y) $i++;
+          else $j++;
+        }
+        ${ev.value} = (double) $ni / (double) ($na < $nb ? $na : $nb);
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sorted_overlap"
+}
+
 object JaccardFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
   /** Jaccard of two sorted long-array columns. */
   def sortedJaccard(a: Column, b: Column): Column =
     ColumnBridge.column(SortedJaccard(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Overlap coefficient of two sorted long-array columns. */
+  def sortedOverlap(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedOverlap(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -107,20 +107,39 @@ object Dedup {
       scoreCol = "containment")(reps =>
       containmentPairsRaw(reps, threshold, n))
 
+  /** Candidates are SLIM (blk, id) rows — the shingle arrays never ride
+    * the blocked self-join (r15: the array-payload formulation was
+    * join-strategy roulette — identical rep-side data measured 6 s under
+    * a broadcast plan, 20-26 s under shuffled-hash, 31-42 s under SMJ
+    * depending on which strategy the statistics happened to pick, with
+    * the sorter dragging the arrays in the SMJ case). Verification
+    * re-joins xxhash64'd sorted arrays BY ID (plain hash equi-joins, the
+    * arrays move exactly once per side) and scores with the codegen'd
+    * merge-walk overlap kernel — the verifyJaccard discipline; identical
+    * int/int score, collision contract P ≈ 5e-15/pair as there. The
+    * shuffle_hash hint keeps the slim candidate join off SMJ: blk is a
+    * handful of corpus-hot language keys.
+    */
   private def containmentPairsRaw(docs: DataFrame, threshold: Double,
       n: Int): DataFrame = {
     val s = docs.select(col("id"), col("blk"),
       shingles(col("text"), n).as("sh"))
     Caching.withCached(s) {
-      val a = s.select(col("blk"), col("id").as("id_a"),
-        col("sh").as("sh_a"))
-      val b = s.select(col("blk"), col("id").as("id_b"),
-        col("sh").as("sh_b"))
-      a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
+      val a = s.select(col("blk"), col("id").as("id_a"))
+      val b = s.select(col("blk"), col("id").as("id_b"))
+      val candidates = a.hint("shuffle_hash").join(b, Seq("blk"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      val hashed = s.select(col("id"),
+        array_sort(transform(col("sh"), x => xxhash64(x))).as("shh"))
+      candidates
+        .join(hashed.select(col("id").as("id_a"), col("shh").as("sh_a")),
+          "id_a")
+        .join(hashed.select(col("id").as("id_b"), col("shh").as("sh_b")),
+          "id_b")
         .select(col("id_a"), col("id_b"),
-          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
-            .as("containment"))
+          graft.functions.JaccardFunctions
+            .sortedOverlap(col("sh_a"), col("sh_b")).as("containment"))
         .where(col("containment") >= threshold)
     }
   }

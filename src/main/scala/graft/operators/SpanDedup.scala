@@ -19,7 +19,13 @@ import org.apache.spark.sql.functions._
   * groupBy on the hash finds cross-doc windows; the join back is
   * co-partitioned on the same hash key (exchange reuse); one final
   * groupBy(doc) — every stage linear in corpus size, nothing quadratic,
-  * no driver state.
+  * no driver state. The window key is TWO xxhash64 halves (128 bits as
+  * a 16-byte long pair, collision P ≈ 5e-21 at 450M windows — the md5
+  * contract) rather than the md5 HEX STRING an earlier form shuffled:
+  * the string key was 40+ B/row through both hash exchanges and their
+  * sorts, ~2.5× the bytes of the integer pair, and key hashing and
+  * equality were byte-loops instead of long compares (r15; the output
+  * columns carry no hash, so the DuckDB md5 oracle replays unchanged).
   */
 object SpanDedup {
 
@@ -34,11 +40,16 @@ object SpanDedup {
     val base = docs
       .select(id.as("doc_id"), split(TextAnalysis.normalize(text), " ").as("w"))
       .withColumn("nw", size(col("w")).cast("long"))
+    // the window string materializes ONCE per instance (map-side only,
+    // dropped before the shuffle) and both hash halves read it — hashing
+    // inside the transform lambda would re-evaluate the array_join per
+    // half (measured 1.3x on the whole query)
     val wins = base.where(col("nw") >= n)
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), (col("nw") - n).cast("int")),
-          i => md5(array_join(slice(col("w"), i + 1, lit(n)), " ")))))
-      .toDF("doc_id", "pos", "h")
+        explode(transform(sequence(lit(0), (col("nw") - n).cast("int")),
+          i => array_join(slice(col("w"), i + 1, lit(n)), " "))).as("ws"))
+      .select(col("doc_id"), struct(xxhash64(col("ws")).as("h1"),
+        xxhash64(col("ws"), lit(1L)).as("h2")).as("h"))
     val shared = wins.groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("nd"))
       .where(col("nd") >= 2).select(col("h"))
@@ -77,8 +88,9 @@ object SpanDedup {
     val wins = base.where(col("nw") >= n)
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), (col("nw") - n).cast("int")),
-          i => md5(array_join(slice(col("w"), i + 1, lit(n)), " "))))
-          .as("h"))
+          i => array_join(slice(col("w"), i + 1, lit(n)), " "))).as("ws"))
+      .select(col("doc_id"), struct(xxhash64(col("ws")).as("h1"),
+        xxhash64(col("ws"), lit(1L)).as("h2")).as("h"))
     val first = wins.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
     val novel = wins.join(first, "h")
       .groupBy(col("doc_id"))
