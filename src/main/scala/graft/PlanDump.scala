@@ -48,7 +48,8 @@ object PlanDump {
       "mixture_sample" -> "temperature mixture: windows touch only the dimension-sized quota frame; the corpus cut heap-prunes through TopKPerKeyExec at the max quota",
       "doc_blocks" -> "GPT block packing: two-level prefix sum (range exchange + local window + broadcast offsets) -> narrow per-doc block explode; BPE billing inside the same codegen map",
       "text_bpe_encode" -> "tokenizer output: the id-array BpeEncode kernel and its posexplode stay one narrow codegen span — zero exchanges before the output sort",
-      "span_dedup" -> "rolling-window span dedup: narrow window explode (16-byte hashes, text never shuffles) -> one hash groupBy -> co-partitioned join back -> one doc groupBy; all linear",
+      "span_dedup" -> "rolling-window span dedup: narrow window explode (16-byte xxhash64-pair keys, text never shuffles) -> one hash groupBy -> co-partitioned join back -> one doc groupBy; all linear",
+      "containment_pairs" -> "overlap-coefficient pairs: SLIM (blk,id) candidate self-join (shuffled-hash; arrays never ride it) -> hashed sorted arrays re-joined BY ID -> codegen'd merge-walk overlap kernel; strategy-roulette-proof",
       "ann_topk_q8" -> "quantized ANN: int8 codes in a narrow map, broadcast query side, integer-dot scoring, bounded-heap TopKPerKey argmax — corpus never shuffles",
       "profile_table" -> "one-pass profile: single scan -> Expand (multi-distinct) -> one aggregation -> stack unpivot; no per-column re-scan",
       "zorder_key" -> "z-order key: pure bit-arithmetic projection inside one WholeStageCodegen span; only the output ORDER BY exchanges",

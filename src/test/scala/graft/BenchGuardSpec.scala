@@ -35,17 +35,26 @@ class BenchGuardSpec extends AnyFunSuite {
         == "/tmp/x.json")
   }
 
-  test("sentinel: steady ratios pass, inflated or deflated medians trip") {
-    assert(!Bench.sentinelContended(Nil)) // cold pass disabled: no signal
+  test("sentinel: uniform inflation vs the committed artifact trips, " +
+      "targeted regressions and first runs don't") {
+    assert(!Bench.sentinelContended(Nil)) // first run / cold disabled
     assert(!Bench.sentinelContended(Seq(1.0, 1.05, 0.95)))
-    // one outlier alone can't trip the median
-    assert(!Bench.sentinelContended(Seq(1.0, 3.0, 0.98)))
-    // run got busier: end-of-run re-times slower than its own medians
-    assert(Bench.sentinelContended(Seq(1.5, 1.4, 1.6)))
-    // run started hot and decayed: medians were inflated, re-times faster
-    assert(Bench.sentinelContended(Seq(0.6, 0.65, 0.7)))
-    // boundary: exactly the r14 observed 1.22x median inflation passes
-    // (within run noise); the guard aims at the >1.35x class
-    assert(!Bench.sentinelContended(Seq(1.22, 1.22, 1.22)))
+    // a code regression moves SPECIFIC queries: the wide median holds
+    assert(!Bench.sentinelContended(Seq.fill(50)(1.0) ++ Seq(3.0, 4.0)))
+    // the r14 failure shape: ~uniform 1.22x median inflation across the
+    // surface — a machine artifact, must trip
+    assert(Bench.sentinelContended(Seq.fill(50)(1.22) ++ Seq(0.9, 1.0)))
+    // a faster round never trips
+    assert(!Bench.sentinelContended(Seq.fill(50)(0.7)))
+  }
+
+  test("parseColdMap extracts the committed cold medians") {
+    val line = """{"metric":"total","value":1.5,"queries":{"a_b":1.0},""" +
+      ""","total_cold":2.0,"queries_cold":{"a_b":0.544,"c_d9":4.158},""" +
+      """"by_class":{"pure":1.0}}"""
+    val m = Bench.parseColdMap(line)
+    assert(m == Map("a_b" -> 0.544, "c_d9" -> 4.158))
+    assert(Bench.parseColdMap("{}").isEmpty)
+    assert(Bench.parseColdMap("""{"queries_cold":{}}""").isEmpty)
   }
 }
