@@ -29,7 +29,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 ) ++
   // ad-hoc instrumentation passthrough (e.g. event logging for stage-level
-  // probe forensics): space-separated -D/-X flags for the forked JVM
+  // probe forensics): space-separated -D/-X flags for the forked JVM.
+  // LIMITATION: split is on whitespace, so option VALUES must not contain
+  // spaces (-Dfoo="a b" would become two bogus flags) — fine for the
+  // -Dspark.*/-X flags this hook exists for; quote-aware parsing is not
+  // worth the complexity here
   sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq
     .flatMap(_.split("\\s+").filter(_.nonEmpty))
 // one shared SparkSession across suites; Spark local mode dislikes

@@ -16,10 +16,13 @@ object Bench {
     *     the full-sweep line every round-over-round diff reads);
     *   - a restricted (SPARK_GRAFT_BENCH_ONLY) sweep without an explicit
     *     path lands in BENCH_full.partial.json, never the committed file;
-    *   - a full sweep whose contention sentinel tripped lands in
-    *     BENCH_full.contended.json — the r14 failure mode (a final sweep
-    *     on a hot machine committed cold totals ~1.3× the same tree's
-    *     quiet numbers) can no longer overwrite the trusted artifact.
+    *   - a full sweep classified contended (sentinel tripped AND loadavg
+    *     corroborates external load — see the sentinel block in main)
+    *     lands in BENCH_full.contended.json — the r14 failure mode (a
+    *     final sweep on a hot machine committed cold totals ~1.3× the
+    *     same tree's quiet numbers) can no longer overwrite the trusted
+    *     artifact, while a quiet-machine uniform regression still
+    *     overwrites it (flagged regression_suspect, r16).
     */
   private[graft] def fullOutputTarget(explicitPath: Option[String],
       isPartial: Boolean, contended: Boolean): String =
@@ -54,6 +57,19 @@ object Bench {
     med > hi
   }
 
+  /** (contended, regressionSuspect) for a full sweep — pure, unit-tested.
+    * Egregious pre-existing load alone is contended; a tripped sentinel
+    * needs loadavg corroboration (pre-sweep load above half the egregious
+    * threshold) to classify as contended, else it is a regression
+    * suspect and the honest slow numbers still commit.
+    */
+  private[graft] def classifySweep(sentinelTripped: Boolean,
+      loadavgPre: Double, maxLoad: Double): (Boolean, Boolean) = {
+    val contended = loadavgPre > maxLoad ||
+      (sentinelTripped && loadavgPre > maxLoad / 2)
+    (contended, sentinelTripped && !contended)
+  }
+
   /** queries_cold map of a committed BENCH_full.json line (flat
     * "name":seconds pairs) — tolerant regex extraction, no JSON dep.
     */
@@ -84,7 +100,7 @@ object Bench {
     // can't inflate an unrelated pure query's timing (the r8 regression)
     val wh = java.nio.file.Files
       .createTempDirectory(Queries.tempBase, "graft_wh_")
-    val spark = GraftSession.builder(s"local[$cpus]", cpus)
+    val spark = GraftSession.builderFor(s"local[$cpus]", cpus, sfDir)
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.warehouse.dir", wh.toUri.toString)
       .config("spark.local.dir", wh.resolve("local").toString)
@@ -237,8 +253,20 @@ object Bench {
           case _ => None
         }
       }
-    val contended = sentinelContended(sentinelRatios.map(_._2)) ||
-      loadavgPre > maxLoad
+    // The sentinel alone cannot distinguish machine contention from a
+    // GENUINE uniform code regression (e.g. a session-wide config change
+    // slowing most pure queries >1.2×) — diverting the latter would leave
+    // the committed baseline silently stale. So a tripped sentinel only
+    // classifies as contended when loadavg corroborates external load
+    // (pre-sweep 1-min load above half the egregious threshold — our own
+    // process hasn't spun up yet, so loadavgPre is external by
+    // construction). A tripped sentinel on a QUIET machine is treated as
+    // a real regression: the line overwrites BENCH_full.json with the
+    // honest slow numbers and carries "regression_suspect":true so the
+    // round diff surfaces it (not just stderr).
+    val sentinelTripped = sentinelContended(sentinelRatios.map(_._2))
+    val (contended, regressionSuspect) =
+      classifySweep(sentinelTripped, loadavgPre, maxLoad)
     val total = inRun.map(_._2).sum
     // per-class subtotals: the `pure` number is the engine-regression
     // signal to diff round over round; write_demo / stream_harness pay
@@ -268,7 +296,7 @@ object Bench {
         if (rs.isEmpty) 1.0
         else if (rs.length % 2 == 1) rs(rs.length / 2)
         else (rs(rs.length / 2 - 1) + rs(rs.length / 2)) / 2
-      f""","sentinel":{"loadavg_pre":$loadavgPre,"vs_committed_median":$med%.3f,"compared":${rs.length},"contended":$contended}"""
+      f""","sentinel":{"loadavg_pre":$loadavgPre,"vs_committed_median":$med%.3f,"compared":${rs.length},"contended":$contended,"regression_suspect":$regressionSuspect}"""
     }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(inRun)}$coldPart$forkPart$classPart$sentinelPart,"sf":"$sfDir"}"""
     println(line)
@@ -284,6 +312,11 @@ object Bench {
       s"[bench] contention guard tripped (loadavg_pre=$loadavgPre, " +
         s"pure-class cold medians vs committed artifact inflated) — " +
         s"writing $target, NOT BENCH_full.json")
+    if (regressionSuspect) System.err.println(
+      s"[bench] REGRESSION SUSPECT: pure-class cold medians >1.2x the " +
+        s"committed artifact on a quiet machine (loadavg_pre=$loadavgPre)" +
+        s" — committing the slow numbers; see sentinel.regression_suspect" +
+        s" in $target")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(target), line + "\n")
     catch { case e: Throwable =>
@@ -312,7 +345,7 @@ object BenchFork {
     // I/O isolation as the parent's in-run/cold columns
     val wh = java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(whBase))
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
+    val spark = GraftSession.builderFor(s"local[$cpus]", cpus.toInt, sfDir)
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.warehouse.dir", wh.toUri.toString)
       .config("spark.local.dir", wh.resolve("local").toString)

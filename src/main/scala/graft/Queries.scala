@@ -6529,11 +6529,21 @@ object Queries {
   }
 
   val cmsCountsSql: String = {
-    def bSql(j: String, t: String): String =
-      s"""((strpos('0123456789abcdef',
-            substr(md5(CAST($j AS VARCHAR) || ':' || $t), 1, 1)) - 1) * 16
-          + (strpos('0123456789abcdef',
-            substr(md5(CAST($j AS VARCHAR) || ':' || $t), 2, 1)) - 1))"""
+    // the oracle's bucket mapping derives its nibble count from the SAME
+    // rule the engine uses (CountMin.nibblesFor) and applies the same
+    // mod-w reduction, so changing the sketch width can never silently
+    // break render parity: both sides move together by construction
+    val cmsW = 256
+    def bSql(j: String, t: String): String = {
+      val n = CountMin.nibblesFor(cmsW)
+      val digits = (1 to n).map { i =>
+        val place = math.pow(16, n - i).toLong
+        s"""(strpos('0123456789abcdef',
+            substr(md5(CAST($j AS VARCHAR) || ':' || $t), $i, 1)) - 1)""" +
+          (if (place == 1L) "" else s" * $place")
+      }.mkString(" + ")
+      s"(($digits) % $cmsW)"
+    }
     s"""WITH toks AS (
          SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
          FROM documents),
@@ -6673,8 +6683,10 @@ object Queries {
            transform(slice(ps, i + 2, size(ps)),
              y -> struct(x AS pa, y AS pb))))""")).as("e"))
       .select(col("e.pa"), col("e.pb"))
+    // vertexTriangles returns an eagerly-checkpointed vertex-sized frame
+    // (and has already released its edge-sized cache) — it feeds the
+    // top-10 cut and the global total without recompute
     val pv = Triangles.vertexTriangles(edges, col("pa"), col("pb"))
-      .localCheckpoint() // feeds the top-10 cut and the global total
     val tot = pv.agg(call_function("div", sum(col("n_tri")), lit(3L))
       .as("n_triangles"))
     graft.plans.TopKPerKey.topK(pv.withColumn("_k", lit(0)),

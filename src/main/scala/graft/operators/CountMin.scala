@@ -41,12 +41,23 @@ object CountMin {
     * mapping). Widths past 2²⁴ are rejected loudly rather than silently
     * degraded — a grid that wide has stopped being a sketch.
     */
-  def bucket(item: Column, j: Int, w: Int): Column = {
+  /** Hex-nibble count the [[bucket]] mapping reads for width `w` — the
+    * SINGLE source of the rule, shared with every SQL oracle that
+    * replays the mapping (Queries.cmsCountsSql derives its nibble count
+    * from here, so a future non-256 width cannot silently diverge the
+    * two engines' bucket assignment).
+    */
+  def nibblesFor(w: Int): Int = {
     require(w > 0 && w <= (1 << 24),
       s"CountMin width must be in [1, 2^24], got $w")
     var nibbles = 2
     while ((1L << (4 * nibbles)) < w) nibbles += 1
     if ((1L << (4 * nibbles)) % w != 0) nibbles += 3 // max 9, fits a long
+    nibbles
+  }
+
+  def bucket(item: Column, j: Int, w: Int): Column = {
+    val nibbles = nibblesFor(w)
     pmod(conv(
       substring(md5(concat_ws(":", lit(j.toString), item)), 1, nibbles),
       16, 10).cast("long"), lit(w.toLong))

@@ -19,37 +19,151 @@ import org.apache.spark.sql.functions._
   * groupBy on the hash finds cross-doc windows; the join back is
   * co-partitioned on the same hash key (exchange reuse); one final
   * groupBy(doc) — every stage linear in corpus size, nothing quadratic,
-  * no driver state. The window key is TWO xxhash64 halves (128 bits as
-  * a 16-byte long pair, collision P ≈ 5e-21 at 450M windows — the md5
-  * contract) rather than the md5 HEX STRING an earlier form shuffled:
-  * the string key was 40+ B/row through both hash exchanges and their
-  * sorts, ~2.5× the bytes of the integer pair, and key hashing and
-  * equality were byte-loops instead of long compares (r15; the output
-  * columns carry no hash, so the DuckDB md5 oracle replays unchanged).
+  * no driver state.
+  *
+  * Verbatim-dup collapse (r16): web-scale corpora are dominated by
+  * verbatim copies, and stride-1 windows multiply that redundancy by
+  * words-per-doc — a corpus with duplication factor g explodes g× the
+  * windows it has distinct text for (the 300× decade dir: 450M window
+  * instances over 1.5M distinct-text windows). Both entry points
+  * therefore group documents by a 128-bit content key first (the
+  * [[graft.operators.Dedup]] `overTextGroups` discipline, adapted from
+  * pair expansion to per-doc stats) and run the window machinery over
+  * DISTINCT texts only; per-doc results are recovered exactly from
+  * group size / group min-id (see the equivalence arguments on each
+  * method). A duplication-free corpus skips the collapse entirely — two
+  * scalar counts on a slim (doc_id, 128-bit key) frame decide, the
+  * AQE-style runtime-statistic dispatch used across the dedup family.
+  *
+  * The window key is TWO xxhash64 halves — h1 = xxhash64(ws) and h2 =
+  * xxhash64(1L, ws), where the constant FIRST child perturbs the fold
+  * seed BEFORE the string is hashed, so the halves are effectively
+  * independent 64-bit hashes of ws (the reverse order xxhash64(ws, 1L)
+  * would make h2 a deterministic function of h1 — Spark folds children
+  * sequentially with the running hash as the next seed — collapsing the
+  * pair to 64-bit resistance, expected collisions ~5e-3 at 450M
+  * windows). The independent pair gives genuine 128-bit behavior
+  * (collision P ≈ 5e-21 at 450M windows — the md5 contract) rather than
+  * the md5 HEX STRING an earlier form shuffled: the string key was
+  * 40+ B/row through both hash exchanges and their sorts, ~2.5× the
+  * bytes of the integer pair, and key hashing and equality were
+  * byte-loops instead of long compares (r15; the output columns carry
+  * no hash, so the DuckDB md5 oracle replays unchanged).
   */
 object SpanDedup {
+
+  /** 128-bit window key from the materialized window string (two
+    * effectively independent xxhash64 halves — see the object doc).
+    */
+  private def winKey(ws: Column): Column =
+    struct(xxhash64(ws).as("h1"), xxhash64(lit(1L), ws).as("h2"))
+
+  /** (key, h) window-instance frame: one row per rolling `n`-word window
+    * of `words`, keyed by whatever identity column the caller groups on
+    * (doc_id on the raw path, the content-group key on the collapsed
+    * path). The window string materializes ONCE per instance (map-side
+    * only, dropped before any shuffle) and both hash halves read it —
+    * hashing inside the transform lambda would re-evaluate the
+    * array_join per half (measured 1.3× on the whole query).
+    */
+  private def windows(df: DataFrame, key: Seq[String], words: Column,
+      nWords: Column, n: Int): DataFrame =
+    df.where(nWords >= n)
+      .select(key.map(col) :+
+        explode(transform(sequence(lit(0), (nWords - n).cast("int")),
+          i => array_join(slice(words, i + 1, lit(n)), " "))).as("ws"): _*)
+      .select(key.map(col) :+ winKey(col("ws")).as("h"): _*)
+
+  /** (doc_id, gk, nt) with a 128-bit integer content key over the
+    * NORMALIZED text (windows are a function of the normalized text, so
+    * normalization-equal docs are interchangeable for span purposes —
+    * a strictly coarser, therefore strictly more collapsing, key than
+    * the raw-text fingerprint). Constant-first second half, as winKey.
+    */
+  private def keyed(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), TextAnalysis.normalize(text).as("nt"))
+      .select(col("doc_id"), col("nt"),
+        struct(xxhash64(col("nt")).as("g1"),
+          xxhash64(lit(2L), col("nt")).as("g2")).as("gk"))
+
+  /** One row per distinct text: (gk, gsize, min_doc, w, nwl). The full
+    * text rides exactly one shuffle (min-combined map-side; members of a
+    * group carry identical nt by the 128-bit key contract, so min picks
+    * THE text), after which everything downstream is distinct-text-sized.
+    */
+  private def repGroups(k: DataFrame): DataFrame =
+    k.groupBy(col("gk"))
+      .agg(count(lit(1)).as("gsize"), min(col("doc_id")).as("min_doc"),
+        min(col("nt")).as("nt"))
+      .select(col("gk"), col("gsize"), col("min_doc"),
+        split(col("nt"), " ").as("w"))
+      .withColumn("nwl", size(col("w")).cast("long"))
 
   /** Per-document duplicated-span statistics: `n_windows` (rolling
     * `n`-word windows in the normalized text), `n_dup` (how many of them
     * also occur in another document), `dup_frac` (int/int double; 0.0
     * for docs shorter than `n` words).
+    *
+    * Collapsed-path equivalence (exact, not approximate): for a doc d in
+    * content group g,
+    *   - n_windows(d) depends only on g's text;
+    *   - gsize(g) ≥ 2 ⟹ every window instance of d also occurs in the
+    *     other verbatim copy — a distinct doc — so n_dup = n_windows;
+    *   - gsize(g) = 1 ⟹ an instance with hash h is duplicated iff h
+    *     occurs in some OTHER document ⟺ h occurs in some other
+    *     DISTINCT TEXT (another group: a different text is necessarily a
+    *     different doc, and h occurring only within d's own text leaves
+    *     the distinct-doc count at 1 however many times it repeats
+    *     in-text). So the shared set for singleton groups is exactly
+    *     {h : #distinct groups containing h ≥ 2}, computed over
+    *     distinct-text windows only.
     */
   def spanStats(docs: DataFrame, id: Column, text: Column,
       n: Int): DataFrame = {
     require(n >= 2, s"window must be >= 2 words, got $n")
-    val base = docs
-      .select(id.as("doc_id"), split(TextAnalysis.normalize(text), " ").as("w"))
+    val k = keyed(docs, id, text)
+    val members = k.select(col("doc_id"), col("gk")).cache()
+    try {
+      // adaptive: a corpus with no verbatim dups needs no collapse — two
+      // scalar counts on the slim cached key frame decide (the runtime-
+      // statistic dispatch of Dedup.overTextGroups), and the dup-free
+      // path skips the group machinery entirely
+      val counts = members.agg(count(lit(1)).as("n"),
+        countDistinct(col("gk")).as("d")).head()
+      if (counts.getLong(0) == counts.getLong(1)) return rawSpanStats(k, n)
+      val reps = repGroups(k)
+      val winsG = windows(reps, Seq("gk"), col("w"), col("nwl"), n)
+      val sharedG = winsG.groupBy(col("h"))
+        .agg(count_distinct(col("gk")).as("ngr"))
+        .where(col("ngr") >= 2).select(col("h"))
+      val dupG = winsG.join(sharedG, "h")
+        .groupBy(col("gk")).agg(count(lit(1)).as("n_dup_g"))
+      val gstats = reps
+        .select(col("gk"), col("gsize"),
+          greatest(col("nwl") - (n - 1), lit(0L)).as("n_windows"))
+        .join(dupG, Seq("gk"), "left")
+      val out = members.join(gstats, "gk")
+        .select(col("doc_id"), col("n_windows"),
+          when(col("gsize") >= 2, col("n_windows"))
+            .otherwise(coalesce(col("n_dup_g"), lit(0L))).as("n_dup"))
+        .select(col("doc_id"), col("n_windows"), col("n_dup"),
+          when(col("n_windows") > 0L,
+            col("n_dup").cast("double") / col("n_windows").cast("double"))
+            .otherwise(lit(0.0)).as("dup_frac"))
+      // eager: the cached members frame must survive until every consumer
+      // above has actually run (the overTextGroups checkpoint discipline)
+      out.localCheckpoint(true)
+    } finally members.unpersist(false)
+  }
+
+  /** The pre-collapse shape, retained verbatim as the duplication-free
+    * fast path (one window explode over the corpus, one hash groupBy,
+    * one co-partitioned join back — linear, no group machinery).
+    */
+  private def rawSpanStats(k: DataFrame, n: Int): DataFrame = {
+    val base = k.select(col("doc_id"), split(col("nt"), " ").as("w"))
       .withColumn("nw", size(col("w")).cast("long"))
-    // the window string materializes ONCE per instance (map-side only,
-    // dropped before the shuffle) and both hash halves read it — hashing
-    // inside the transform lambda would re-evaluate the array_join per
-    // half (measured 1.3x on the whole query)
-    val wins = base.where(col("nw") >= n)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), (col("nw") - n).cast("int")),
-          i => array_join(slice(col("w"), i + 1, lit(n)), " "))).as("ws"))
-      .select(col("doc_id"), struct(xxhash64(col("ws")).as("h1"),
-        xxhash64(col("ws"), lit(1L)).as("h2")).as("h"))
+    val wins = windows(base, Seq("doc_id"), col("w"), col("nw"), n)
     val shared = wins.groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("nd"))
       .where(col("nd") >= 2).select(col("h"))
@@ -78,19 +192,59 @@ object SpanDedup {
     * spans instead of tokens). Docs shorter than `n` words report
     * novelty 1.0 (nothing restated). Same linear shape as spanStats:
     * one hash groupBy (min doc), one co-partitioned join back.
+    *
+    * Collapsed-path equivalence (exact): first_doc(h) = min doc_id over
+    * docs containing h = min over groups containing h of that group's
+    * min member (every member of a group contains exactly the same
+    * window multiset). For doc d in group g:
+    *   - d ≠ min_doc(g): some other doc in g holds the same text with a
+    *     smaller id, so first_doc(h) < d for every window of d — zero
+    *     novel instances;
+    *   - d = min_doc(g): an instance with hash h is novel iff
+    *     first_doc(h) = min_doc(g), a per-group count over distinct-text
+    *     windows.
     */
   def noveltyStats(docs: DataFrame, id: Column, text: Column,
       n: Int): DataFrame = {
     require(n >= 2, s"window must be >= 2 words, got $n")
-    val base = docs
-      .select(id.as("doc_id"), split(TextAnalysis.normalize(text), " ").as("w"))
+    val k = keyed(docs, id, text)
+    val members = k.select(col("doc_id"), col("gk")).cache()
+    try {
+      val counts = members.agg(count(lit(1)).as("n"),
+        countDistinct(col("gk")).as("d")).head()
+      if (counts.getLong(0) == counts.getLong(1)) return rawNoveltyStats(k, n)
+      val reps = repGroups(k)
+      val winsG = windows(reps, Seq("gk", "min_doc"), col("w"), col("nwl"), n)
+      val firstH = winsG.groupBy(col("h"))
+        .agg(min(col("min_doc")).as("first_doc"))
+      val novelG = winsG.join(firstH, "h")
+        .groupBy(col("gk"))
+        .agg(sum(when(col("min_doc") === col("first_doc"), 1L)
+          .otherwise(0L)).as("n_novel_g"))
+      val gstats = reps
+        .select(col("gk"), col("min_doc"),
+          greatest(col("nwl") - (n - 1), lit(0L)).as("n_windows"))
+        .join(novelG, Seq("gk"), "left")
+      val out = members.join(gstats, "gk")
+        .select(col("doc_id"), col("n_windows"),
+          when(col("doc_id") === col("min_doc"),
+            coalesce(col("n_novel_g"), lit(0L))).otherwise(lit(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_windows"), col("n_novel"),
+          when(col("n_windows") > 0L,
+            col("n_novel").cast("double") / col("n_windows").cast("double"))
+            .otherwise(lit(1.0)).as("novelty"))
+      out.localCheckpoint(true)
+    } finally members.unpersist(false)
+  }
+
+  /** Duplication-free fast path of [[noveltyStats]] (pre-collapse shape,
+    * retained verbatim).
+    */
+  private def rawNoveltyStats(k: DataFrame, n: Int): DataFrame = {
+    val base = k.select(col("doc_id"), split(col("nt"), " ").as("w"))
       .withColumn("nw", size(col("w")).cast("long"))
-    val wins = base.where(col("nw") >= n)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), (col("nw") - n).cast("int")),
-          i => array_join(slice(col("w"), i + 1, lit(n)), " "))).as("ws"))
-      .select(col("doc_id"), struct(xxhash64(col("ws")).as("h1"),
-        xxhash64(col("ws"), lit(1L)).as("h2")).as("h"))
+    val wins = windows(base, Seq("doc_id"), col("w"), col("nw"), n)
     val first = wins.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
     val novel = wins.join(first, "h")
       .groupBy(col("doc_id"))

@@ -48,6 +48,49 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!Bench.sentinelContended(Seq.fill(50)(0.7)))
   }
 
+  test("classifySweep: sentinel needs loadavg corroboration to divert; " +
+      "quiet-machine uniform slowdowns commit as regression suspects") {
+    // quiet machine, sentinel clean: plain commit
+    assert(Bench.classifySweep(sentinelTripped = false, 1.0, 8.0)
+      == ((false, false)))
+    // the r14 failure: sentinel trips WITH elevated external load
+    assert(Bench.classifySweep(sentinelTripped = true, 6.5, 8.0)
+      == ((true, false)))
+    // ADVICE r15: a genuine uniform code regression on a QUIET machine
+    // must NOT divert (else the committed baseline goes silently stale) —
+    // it commits, flagged regression_suspect
+    assert(Bench.classifySweep(sentinelTripped = true, 1.2, 8.0)
+      == ((false, true)))
+    // egregious pre-existing load alone is contended regardless
+    assert(Bench.classifySweep(sentinelTripped = false, 9.0, 8.0)
+      == ((true, false)))
+  }
+
+  test("initPartitionsFor: small inputs keep the plain-cores layout, " +
+      "large inputs get the measured 2x ceiling") {
+    val mib = 1L << 20
+    // sf0.1 (~17 MB) stays at cores — the r15 floor regression's fix
+    assert(GraftSession.initPartitionsFor(32, 18 * mib) == 32)
+    assert(GraftSession.initPartitionsFor(32, 0L) == 32)
+    // decade dirs (477 MB+) clear the threshold: ceiling engages
+    assert(GraftSession.initPartitionsFor(32, 477 * mib) == 64)
+    assert(GraftSession.initPartitionsFor(8, 5L << 30) == 16)
+    // threshold boundary is inclusive
+    assert(GraftSession.initPartitionsFor(4, 256 * mib) == 8)
+    assert(GraftSession.initPartitionsFor(4, 256 * mib - 1) == 4)
+  }
+
+  test("inputBytes sums regular files recursively, 0 for missing dirs") {
+    val d = java.nio.file.Files.createTempDirectory("graft_ib_")
+    try {
+      java.nio.file.Files.writeString(d.resolve("a"), "12345")
+      val sub = java.nio.file.Files.createDirectories(d.resolve("s"))
+      java.nio.file.Files.writeString(sub.resolve("b"), "123")
+      assert(GraftSession.inputBytes(d.toString) == 8L)
+      assert(GraftSession.inputBytes(d.resolve("nope").toString) == 0L)
+    } finally Queries.rmTree(d.toFile)
+  }
+
   test("parseColdMap extracts the committed cold medians") {
     val line = """{"metric":"total","value":1.5,"queries":{"a_b":1.0},""" +
       ""","total_cold":2.0,"queries_cold":{"a_b":0.544,"c_d9":4.158},""" +

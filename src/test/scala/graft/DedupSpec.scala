@@ -200,6 +200,93 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(byId(1L)._3 === 3.0 / 8.0)
   }
 
+  // naive single-machine truth for the span family: normalized rolling
+  // n-word windows per doc, exact distinct-doc counting — the reference
+  // both SpanDedup paths (raw and verbatim-collapsed) must reproduce
+  private def naiveWindows(text: String, n: Int): Seq[String] = {
+    val w = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+      .split(" ").filter(_.nonEmpty).toSeq
+    if (w.length < n) Nil else w.sliding(n).map(_.mkString(" ")).toSeq
+  }
+
+  private def naiveSpan(corpus: Seq[(Long, String)], n: Int)
+      : Map[Long, (Long, Long, Double)] = {
+    val wins = corpus.map { case (d, t) => d -> naiveWindows(t, n) }.toMap
+    val docsOf = wins.toSeq.flatMap { case (d, ws) => ws.distinct.map(_ -> d) }
+      .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).distinct.size }
+    corpus.map { case (d, _) =>
+      val ws = wins(d)
+      val dup = ws.count(w => docsOf(w) >= 2)
+      d -> ((ws.size.toLong, dup.toLong,
+        if (ws.nonEmpty) dup.toDouble / ws.size else 0.0))
+    }.toMap
+  }
+
+  private def naiveNovelty(corpus: Seq[(Long, String)], n: Int)
+      : Map[Long, (Long, Long, Double)] = {
+    val wins = corpus.map { case (d, t) => d -> naiveWindows(t, n) }.toMap
+    val firstOf = wins.toSeq.flatMap { case (d, ws) => ws.distinct.map(_ -> d) }
+      .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).min }
+    corpus.map { case (d, _) =>
+      val ws = wins(d)
+      val nov = ws.count(w => firstOf(w) == d)
+      d -> ((ws.size.toLong, nov.toLong,
+        if (ws.nonEmpty) nov.toDouble / ws.size else 1.0))
+    }.toMap
+  }
+
+  // the corpus that exercises every collapsed-path case at once:
+  // verbatim groups (1,2) and (5,6), a singleton sharing a span with a
+  // group (3), an isolated singleton (4), an in-doc-repeated window that
+  // must NOT count as duplicated (7: nd = 1), and a short doc inside a
+  // verbatim group (8,9: n_windows = 0, novelty 1.0 for both)
+  private val spanCorpus = Seq(
+    1L -> "a b c d e f g h i j",
+    2L -> "a b c d e f g h i j",
+    3L -> "x y z a b c d e w v",
+    4L -> "p q r s t u v w unique text here",
+    5L -> "m n o a b c d q r s",
+    6L -> "m n o a b c d q r s",
+    7L -> "k1 k2 k3 k4 pad k1 k2 k3 k4",
+    8L -> "tiny one",
+    9L -> "tiny one")
+
+  test("spanStats collapsed path (verbatim groups) equals the naive " +
+      "truth; raw path agrees on the dup-free projection") {
+    import spark.implicits._
+    val n = 4
+    val got = graft.operators.SpanDedup
+      .spanStats(spanCorpus.toDF("doc_id", "text"), $"doc_id", $"text", n)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === naiveSpan(spanCorpus, n))
+    // dup-free sub-corpus (one member per verbatim group): the adaptive
+    // probe dispatches the RAW path, which must match the same truth
+    val free = spanCorpus.filterNot(p => Set(2L, 6L, 9L)(p._1))
+    val gotFree = graft.operators.SpanDedup
+      .spanStats(free.toDF("doc_id", "text"), $"doc_id", $"text", n)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(gotFree === naiveSpan(free, n))
+  }
+
+  test("noveltyStats collapsed path equals the naive first-occurrence " +
+      "truth on both corpora") {
+    import spark.implicits._
+    val n = 4
+    val got = graft.operators.SpanDedup
+      .noveltyStats(spanCorpus.toDF("doc_id", "text"), $"doc_id", $"text", n)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === naiveNovelty(spanCorpus, n))
+    val free = spanCorpus.filterNot(p => Set(2L, 6L, 9L)(p._1))
+    val gotFree = graft.operators.SpanDedup
+      .noveltyStats(free.toDF("doc_id", "text"), $"doc_id", $"text", n)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(gotFree === naiveNovelty(free, n))
+  }
+
   test("operator caches are released: cache manager empty after dedup queries") {
     // the r3 verdict's headline leak: operator-internal .cache() pinned
     // shingle/band/affinity tables for the session lifetime. Every cache
