@@ -78,9 +78,38 @@ object ScaleSmoke {
     // leaked a dozen empty dirs into /dev/shm across r13-r14)
     Runtime.getRuntime.addShutdownHook(
       new Thread(() => Queries.rmTree(local.toFile)))
-    val spark = GraftSession.builder(s"local[$cpus]", cpus)
+    // SPARK_GRAFT_MASTER overrides the single-JVM local[k] master — the
+    // r15 verdict's open question is whether the 300×-decade tail rows
+    // (q5 steady-basis drift, triangle_parts aged-heap 104-127 s) are
+    // plan behavior or artifacts of ONE 48 GB JVM aging across reps. A
+    // real cluster resets per-executor heaps by construction; master
+    // local-cluster[4,8,12288] measures that basis on this box: 4
+    // separate executor JVMs × 8 cores × 12 GiB, driver heap isolated
+    // from executor heaps. Executors are real child processes that fetch
+    // the app jar from the driver, so this path needs `sbt package`
+    // first and SPARK_GRAFT_APP_JAR (or the default target/scala-2.13
+    // jar) on disk.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val b0 = GraftSession.builder(master, cpus)
       .config("spark.local.dir", local.toString)
-      .getOrCreate()
+    val spark = (if (master.startsWith("local-cluster")) {
+      val jar = sys.env.getOrElse("SPARK_GRAFT_APP_JAR", {
+        val dir = java.nio.file.Paths.get("target/scala-2.13")
+        val s = java.nio.file.Files.list(dir)
+        try s.filter(_.toString.endsWith(".jar")).findFirst()
+          .orElseThrow(() => new IllegalStateException(
+            s"local-cluster master needs the app jar — run `sbt package` " +
+              s"(looked in $dir)")).toString
+        finally s.close()
+      })
+      // worker memory is the [n,cores,MB] third field; leave the executor
+      // 1 GiB under it for non-heap overhead so the worker can place it
+      val workerMb = master.replaceAll("[^0-9,]", "").split(",")(2).toLong
+      b0.config("spark.jars", jar)
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM",
+            s"${math.max(1024L, workerMb - 1024L)}m"))
+    } else b0).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def amplify(name: String, keyCols: Map[String, Long]): Unit = {
       val src = Tables.table(spark, base, name)
@@ -106,6 +135,16 @@ object ScaleSmoke {
       java.nio.file.Files.writeString(marker.toPath, stamp + "\n")
       ()
     }
+    // input-conditional AQE ceiling (r16): the amplified dir now exists,
+    // so size it and apply the same rule Bench uses at session build —
+    // a runtime SQL conf, settable post-build. Decade dirs (477 MB+)
+    // always clear the small-input threshold, keeping the measured
+    // 2×-cores ceiling the r15 A/B chose there.
+    spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS",
+        GraftSession.initPartitionsFor(
+          cpus, GraftSession.inputBytes(out)).toString))
 
     // the full registered surface (the report queries drain the listener
     // bus / run their own fault-injected actions, not timeable queries;
@@ -144,7 +183,7 @@ object ScaleSmoke {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"scale${factor}x","queries":$qs,"base":"$base"}""")
+    println(s"""{"metric":"scale${factor}x","queries":$qs,"base":"$base","master":"$master"}""")
     spark.stop()
   }
 }

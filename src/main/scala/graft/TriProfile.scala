@@ -30,8 +30,12 @@ object TriProfile {
     time("ckpt") { e.localCheckpoint().count(); () }
     val te = operators.Triangles.triangleEdges(edges, col("pa"), col("pb"))
     time("triedges") { te.write.format("noop").mode("overwrite").save() }
-    val pv = operators.Triangles.vertexTriangles(edges, col("pa"), col("pb"))
-    time("vertex") { pv.write.format("noop").mode("overwrite").save() }
+    // vertexTriangles is eager (checkpointed vertex agg + edge-cache
+    // release), so the construction call is the census — time it whole
+    time("vertex") {
+      operators.Triangles.vertexTriangles(edges, col("pa"), col("pb"))
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

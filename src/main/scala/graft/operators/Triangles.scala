@@ -44,11 +44,27 @@ object Triangles {
     * `overTextGroups` (dup-collapse on/off).
     */
   def triangleEdges(edges: DataFrame, aCol: Column, bCol: Column,
-      maxBroadcastEdges: Long = 4000000L): DataFrame = {
+      maxBroadcastEdges: Long = 4000000L): DataFrame =
+    // lazy per-edge contract (tests/profiling entry): the edge cache is
+    // released by the ContextCleaner once the frame goes out of scope —
+    // production consumers go through vertexTriangles, which releases it
+    // deterministically after materializing its vertex-sized agg
+    orientedTriangles(edges, aCol, bCol, maxBroadcastEdges)._1
+
+  /** The [[triangleEdges]] body plus a release thunk for the one heavy
+    * intermediate: the distinct-edge frame feeds the degree agg, both
+    * orientation joins, and the measured-size broadcast gate, so it is
+    * persisted for the call — as a CACHE-MANAGER entry (not a
+    * localCheckpoint, which `Dataset.unpersist` cannot free — the
+    * Banding r6 leak) so the caller can drop it the moment every
+    * consumer has run.
+    */
+  private def orientedTriangles(edges: DataFrame, aCol: Column,
+      bCol: Column, maxBroadcastEdges: Long): (DataFrame, () => Unit) = {
     val e = edges.select(least(aCol, bCol).as("a"), greatest(aCol, bCol).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint() // feeds the degree agg and both orientation joins
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val small = e.count() <= maxBroadcastEdges
     def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
@@ -70,30 +86,42 @@ object Triangles {
           col("b")).otherwise(col("a")).as("v"))
     val adj = o.groupBy(col("u").as("w0"))
       .agg(sort_array(collect_list(col("v"))).as("nbrs"))
-    o.join(hint(adj.select(col("w0").as("u"), col("nbrs").as("nu"))),
+    val out = o
+      .join(hint(adj.select(col("w0").as("u"), col("nbrs").as("nu"))),
         Seq("u"))
       .join(hint(adj.select(col("w0").as("v"), col("nbrs").as("nv"))),
         Seq("v"), "left")
       .select(col("u"), col("v"),
         sort_array(array_intersect(col("nu"),
           coalesce(col("nv"), array().cast("array<long>")))).as("ws"))
+    (out, () => { e.unpersist(false); () })
   }
 
   /** Per-vertex triangle membership counts: for edge (u, v) closing k
     * triangles, u and v each participate in k and every third vertex w
     * in one — a SINGLE narrow role explode per edge (u and v carry k,
     * each w carries 1), one vertex agg; only actual triangles explode.
+    *
+    * Eager: the vertex-sized agg is materialized (one localCheckpoint,
+    * freed by the ContextCleaner when the result drops out of scope) so
+    * the edge-sized cache behind it can be unpersisted HERE instead of
+    * renting storage memory for the session lifetime — the census is a
+    * one-shot scan, and the r15 300× probes measured in-JVM rep drift
+    * consistent with exactly this kind of retained intermediate.
     */
   def vertexTriangles(edges: DataFrame, aCol: Column, bCol: Column,
       maxBroadcastEdges: Long = 4000000L): DataFrame = {
-    val k = size(col("ws")).cast("long")
-    triangleEdges(edges, aCol, bCol, maxBroadcastEdges)
-      .where(size(col("ws")) > 0)
-      .select(explode(concat(
-        array(struct(col("u").as("part"), k.as("n")),
-          struct(col("v").as("part"), k.as("n"))),
-        transform(col("ws"),
-          w => struct(w.as("part"), lit(1L).as("n"))))).as("r"))
-      .groupBy(col("r.part").as("part")).agg(sum(col("r.n")).as("n_tri"))
+    val (te, release) = orientedTriangles(edges, aCol, bCol, maxBroadcastEdges)
+    try {
+      val k = size(col("ws")).cast("long")
+      te.where(size(col("ws")) > 0)
+        .select(explode(concat(
+          array(struct(col("u").as("part"), k.as("n")),
+            struct(col("v").as("part"), k.as("n"))),
+          transform(col("ws"),
+            w => struct(w.as("part"), lit(1L).as("n"))))).as("r"))
+        .groupBy(col("r.part").as("part")).agg(sum(col("r.n")).as("n_tri"))
+        .localCheckpoint(true)
+    } finally release()
   }
 }
