@@ -58,6 +58,18 @@ object SpanDedup {
   private def winKey(ws: Column): Column =
     struct(xxhash64(ws).as("h1"), xxhash64(lit(1L), ws).as("h2"))
 
+  /** A/B escape hatch for scale probes: the pinned decade dirs are
+    * amplified by verbatim replication, so the collapsed path measures
+    * the (tiny) distinct-text corpus there — setting
+    * SPARK_GRAFT_SPAN_NO_COLLAPSE=1 forces the raw full-window-shuffle
+    * path so BASELINE keeps an honest number for the unique-window
+    * worst case. Results are identical either way (the equivalence
+    * arguments below); production always dispatches on the measured
+    * counts.
+    */
+  private def collapseDisabled: Boolean =
+    sys.env.get("SPARK_GRAFT_SPAN_NO_COLLAPSE").exists(_.trim == "1")
+
   /** (key, h) window-instance frame: one row per rolling `n`-word window
     * of `words`, keyed by whatever identity column the caller groups on
     * (doc_id on the raw path, the content-group key on the collapsed
@@ -122,6 +134,7 @@ object SpanDedup {
       n: Int): DataFrame = {
     require(n >= 2, s"window must be >= 2 words, got $n")
     val k = keyed(docs, id, text)
+    if (collapseDisabled) return rawSpanStats(k, n)
     val members = k.select(col("doc_id"), col("gk")).cache()
     try {
       // adaptive: a corpus with no verbatim dups needs no collapse — two
@@ -208,6 +221,7 @@ object SpanDedup {
       n: Int): DataFrame = {
     require(n >= 2, s"window must be >= 2 words, got $n")
     val k = keyed(docs, id, text)
+    if (collapseDisabled) return rawNoveltyStats(k, n)
     val members = k.select(col("doc_id"), col("gk")).cache()
     try {
       val counts = members.agg(count(lit(1)).as("n"),

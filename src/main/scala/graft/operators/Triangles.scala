@@ -54,17 +54,29 @@ object Triangles {
   /** The [[triangleEdges]] body plus a release thunk for the one heavy
     * intermediate: the distinct-edge frame feeds the degree agg, both
     * orientation joins, and the measured-size broadcast gate, so it is
-    * persisted for the call — as a CACHE-MANAGER entry (not a
-    * localCheckpoint, which `Dataset.unpersist` cannot free — the
-    * Banding r6 leak) so the caller can drop it the moment every
-    * consumer has run.
+    * materialized once via localCheckpoint — NOT a Dataset.persist: the
+    * cache manager stores columnar CachedBatches whose encode/decode
+    * measured 1.9× on the whole sf0.1 census (r16 A/B, BENCH diff
+    * 3.7 → 7.1 s) against the checkpoint's raw block store. Since
+    * `Dataset.unpersist` cannot free a checkpoint (the Banding r6
+    * lesson), the release thunk captures the RDD ids the checkpoint
+    * call registered and unpersists those directly — deterministic
+    * release with checkpoint-priced storage. The id diff assumes no
+    * concurrent persist call races this one (graft queries build plans
+    * driver-sequentially; harnesses run queries one at a time).
     */
   private def orientedTriangles(edges: DataFrame, aCol: Column,
       bCol: Column, maxBroadcastEdges: Long): (DataFrame, () => Unit) = {
+    val sc = edges.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
     val e = edges.select(least(aCol, bCol).as("a"), greatest(aCol, bCol).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint() // feeds the degree agg and both orientation joins
+    val ckptIds = sc.getPersistentRDDs.keySet.diff(before)
+    val release = () => ckptIds.foreach { id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
+    }
     val small = e.count() <= maxBroadcastEdges
     def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
@@ -94,7 +106,7 @@ object Triangles {
       .select(col("u"), col("v"),
         sort_array(array_intersect(col("nu"),
           coalesce(col("nv"), array().cast("array<long>")))).as("ws"))
-    (out, () => { e.unpersist(false); () })
+    (out, release)
   }
 
   /** Per-vertex triangle membership counts: for edge (u, v) closing k
