@@ -708,10 +708,21 @@ object Queries {
     * surface's largest shuffle and its wall went memory-bound).
     */
   def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    // exact integer 1e-4-unit aggregation (r16): 300× stage forensics
+    // put ~60% of q5's wall in the 45M-group partial agg (307 s CPU,
+    // zero spill) summing DECIMAL(28,2) through the non-long-backed
+    // object path — not in the SMJs the earlier reading suspected. The
+    // revenue term DECIMAL(18,2) × DECIMAL(3,2) is exactly a multiple
+    // of 1e-4, so every aggregation level sums a LONG (≤ 1.1e9 per
+    // line, ≤ ~2e17 total at the 300× decade — no overflow) and ONE
+    // decimal rescale at the end (DECIMAL(38,0)/10000 → DECIMAL(38,6),
+    // exact, then a single cast to double) reproduces the oracle's
+    // decimal→double rounding bit-exactly.
+    val revE4 = (dec2(col("l_extendedprice")) * lit(100)).cast("long") *
+      (lit(100L) - (dec2(col("l_discount")) * lit(100)).cast("long"))
     val perOrder = lineitem(s, dir)
       .groupBy(col("l_orderkey"))
-      .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
-        .as("_rev"), count(lit(1)).as("_n"))
+      .agg(sum(revE4).as("_rev"), count(lit(1)).as("_n"))
     val perCust = perOrder
       .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"))
@@ -721,7 +732,8 @@ object Queries {
       .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(sum(col("_rev")).cast("double").as("revenue"),
+      .agg((sum(col("_rev")).cast("decimal(38,0)") / lit(10000))
+        .cast("double").as("revenue"),
         sum(col("_n")).as("n_items"))
       .orderBy(col("r_name"), col("n_name"))
   }
