@@ -134,6 +134,17 @@ object Queries {
     d.toString
   }
 
+  /** Bracket a streaming-drain query body with the input-conditional
+    * state-store count for `dir` (per-batch store-commit overhead is
+    * linear in the count and data-independent — see
+    * `StreamingIngest.statePartitionsFor` for the measured rationale).
+    */
+  private def withSizedState[T](s: SparkSession, dir: String)(body: => T): T =
+    graft.streaming.StreamingIngest.withStatePartitions(s,
+      graft.streaming.StreamingIngest.statePartitionsFor(
+        s.sparkContext.defaultParallelism,
+        GraftSession.inputBytes(dir)))(body)
+
   // ------------------------------------------- R2/R3 timestamp buckets ----
 
   private def hourBucket(ts: Column) =
@@ -2131,7 +2142,7 @@ object Queries {
     * Decimal partial sums keep the result independent of microbatch and
     * partition merge order.
     */
-  def streamingHourlyCounts(s: SparkSession, dir: String): DataFrame = {
+  def streamingHourlyCounts(s: SparkSession, dir: String): DataFrame = withSizedState(s, dir) {
     import org.apache.spark.sql.types.LongType
     // file-stream sources need a directory: stage the table into a temp
     // landing dir (the continuous-ingest layout this operator serves)
@@ -2171,7 +2182,7 @@ object Queries {
     * linearly with the corpus, so it drains executor-parallel to
     * parquet rather than through a driver memory sink (the E8b lesson).
     */
-  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = withSizedState(s, dir) {
     import org.apache.spark.sql.types.LongType
     val raw = s.read.parquet(s"$dir/events.parquet")
     val tmp = tempDir("graft_ssj_land_")
@@ -2374,7 +2385,7 @@ object Queries {
     * which puts the streaming twin under the same hash gate as the batch
     * operators instead of test-only coverage.
     */
-  def dedupIncrementalStream(s: SparkSession, dir: String): DataFrame = {
+  def dedupIncrementalStream(s: SparkSession, dir: String): DataFrame = withSizedState(s, dir) {
     val tmp = tempDir("graft_stream_")
     val landing = s"$tmp/landing"; val fpDir = s"$tmp/fps"
     val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
@@ -2415,7 +2426,7 @@ object Queries {
     * (bucketed on fp), so only the microbatch moves as the corpus grows.
     * Same oracle gates both forms.
     */
-  def dedupIncrementalBucketed(s: SparkSession, dir: String): DataFrame = {
+  def dedupIncrementalBucketed(s: SparkSession, dir: String): DataFrame = withSizedState(s, dir) {
     val tmp = tempDir("graft_bstream_")
     val landing = s"$tmp/landing"
     val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
@@ -3235,7 +3246,7 @@ object Queries {
     * never emitted, so the union of batch outputs is exactly the batch
     * `sessionize` truth — same oracle SQL gates both.
     */
-  def streamingSessionize(s: SparkSession, dir: String): DataFrame = {
+  def streamingSessionize(s: SparkSession, dir: String): DataFrame = withSizedState(s, dir) {
     import graft.streaming.StatefulSessionize
     val tmp = tempDir("graft_sess_stream_")
     val landing = s"$tmp/landing"; val ckpt = s"$tmp/ckpt"
@@ -3274,7 +3285,7 @@ object Queries {
     * The one-file-per-drop landing stays: one deterministic microbatch
     * per drop is what makes the watermark replay batch-comparable.
     */
-  def dedupStreamExact(s: SparkSession, dir: String): DataFrame = {
+  def dedupStreamExact(s: SparkSession, dir: String): DataFrame = withSizedState(s, dir) {
     val tmp = tempDir("graft_dstream_")
     val landing = s"$tmp/landing"; val ckpt = s"$tmp/ckpt"
     val outDir = s"$tmp/out"
@@ -3307,7 +3318,7 @@ object Queries {
     * semantics end-to-end. Advancer rows carry a sentinel event_type and
     * are filtered on readback; their own windows never close.
     */
-  def streamingLateDrop(s: SparkSession, dir: String): DataFrame = {
+  def streamingLateDrop(s: SparkSession, dir: String): DataFrame = withSizedState(s, dir) {
     import graft.streaming.StreamingIngest
     val tmp = tempDir("graft_late_")
     val landing = s"$tmp/landing"; val ckpt = s"$tmp/ckpt"
@@ -3918,7 +3929,7 @@ object Queries {
     * replay-idempotent). The final version must equal the BATCH
     * merge_upsert truth, so that query's oracle gates this one verbatim.
     */
-  def mergeUpsertStream(s: SparkSession, dir: String): DataFrame = {
+  def mergeUpsertStream(s: SparkSession, dir: String): DataFrame = withSizedState(s, dir) {
     import org.apache.spark.sql.types.LongType
     val tmp = tempDir("graft_cdc_")
     val landing = s"$tmp/landing"; val snapDir = s"$tmp/snap"
@@ -3969,7 +3980,7 @@ object Queries {
     * microbatch and broadcasts (it's dimension-sized); no watermark is
     * needed — static rows never expire. Oracle = the batch join truth.
     */
-  def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+  def streamStaticJoin(s: SparkSession, dir: String): DataFrame = withSizedState(s, dir) {
     val landing = tempDir("graft_ssj2_")
     val ev = events(s, dir).select(col("event_id"), col("user_id"),
       col("event_type"))
@@ -4865,7 +4876,7 @@ object Queries {
     * incremental-state shape next to E8c (anti-join state) and E35
     * (COW snapshots).
     */
-  def streamHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+  def streamHeavyHitters(s: SparkSession, dir: String): DataFrame = withSizedState(s, dir) {
     val tmp = tempDir("graft_shh_")
     val landing = s"$tmp/landing"; val countsDir = s"$tmp/counts"
     val ckpt = s"$tmp/ckpt"
@@ -5344,7 +5355,7 @@ object Queries {
     * the all-data demo/unit-test shape only: per-trigger output here is
     * O(sessions closed this trigger), not O(all sessions ever).
     */
-  def streamingSessionWindow(s: SparkSession, dir: String): DataFrame = {
+  def streamingSessionWindow(s: SparkSession, dir: String): DataFrame = withSizedState(s, dir) {
     import graft.streaming.StreamingIngest
     val tmp = tempDir("graft_sesswin_")
     val landing = s"$tmp/landing"; val ckpt = s"$tmp/ckpt"
@@ -5405,7 +5416,7 @@ object Queries {
     * would otherwise grow with distinct keys forever). Output must be
     * exactly the distinct truth (the oracle).
     */
-  def dedupWithinWatermarkQ(s: SparkSession, dir: String): DataFrame = {
+  def dedupWithinWatermarkQ(s: SparkSession, dir: String): DataFrame = withSizedState(s, dir) {
     val tmp = tempDir("graft_wmdedup_")
     val landing = s"$tmp/landing"; val ckpt = s"$tmp/ckpt"
     val outDir = s"$tmp/out"
@@ -5893,7 +5904,7 @@ object Queries {
     * (the oracle reads it straight off the batch sessionize), so the
     * gate is row-exact.
     */
-  def streamAsofEnrich(s: SparkSession, dir: String): DataFrame = {
+  def streamAsofEnrich(s: SparkSession, dir: String): DataFrame = withSizedState(s, dir) {
     val tmp = tempDir("graft_sae_")
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("t_us").asc, col("event_id").asc)
@@ -6782,7 +6793,7 @@ object Queries {
     * EXACTLY the batch sketch (integer cell sums in any grouping), so
     * this gates on the same oracle as `cms_counts`.
     */
-  def streamCms(s: SparkSession, dir: String): DataFrame = {
+  def streamCms(s: SparkSession, dir: String): DataFrame = withSizedState(s, dir) {
     val tmp = tempDir("graft_scms_")
     val landing = s"$tmp/landing"; val cellsDir = s"$tmp/cells"
     val ckpt = s"$tmp/ckpt"
@@ -7187,7 +7198,7 @@ object Queries {
     * windows on the |days| frame, and any drain split lands on EXACTLY
     * the batch series (gated on the `cusum_daily` oracle).
     */
-  def streamCusum(s: SparkSession, dir: String): DataFrame = {
+  def streamCusum(s: SparkSession, dir: String): DataFrame = withSizedState(s, dir) {
     val tmp = tempDir("graft_scusum_")
     val landing = s"$tmp/landing"; val countsDir = s"$tmp/counts"
     val ckpt = s"$tmp/ckpt"

@@ -386,6 +386,41 @@ object StreamingIngest {
       .start()
   }
 
+  /** Input-conditional state-store partition count (the streaming twin of
+    * `GraftSession.initPartitionsFor`): every stateful operator keeps one
+    * state store PER shuffle partition, and each micro-batch pays a
+    * commit (delta write + maintenance) per store — a cost linear in the
+    * partition count and independent of data size, so a drain over a
+    * small fixture is dominated by it (measured r16: stream_stream_join
+    * at sf0.1 is 8.6 s with 32 stores and 4.8 s with 8 — and ~3 s of the
+    * former is the watermark-flush batch that carries NO data). Inputs
+    * under 256 MiB cap the store count at 8; at scale the session
+    * default (cores) stands — state stores are the parallelism unit of
+    * stateful recovery, and a 100 TB stream wants MORE of them, not
+    * fewer (raise via SPARK_GRAFT_STATE_PARTITIONS, which wins outright).
+    */
+  def statePartitionsFor(cores: Int, bytes: Long,
+      smallBytes: Long = 256L << 20): Int =
+    sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.toInt).getOrElse(
+      if (bytes < smallBytes) math.min(cores, 8) else cores)
+
+  /** Run `body` — which must START and AWAIT its streaming query — with
+    * `spark.sql.shuffle.partitions` set to `n`, restoring the session
+    * value afterward. Stateful streaming latches its store count from
+    * the conf at the FIRST batch into the checkpoint metadata, so the
+    * override must bracket the whole drain (later re-drains against the
+    * same checkpoint reuse the latched count regardless of the session
+    * conf — which is why this is safe to restore after termination).
+    * Results are partitioning-independent by the engine's determinism
+    * contract (decimal/integer partial aggregates, SURVEY §6).
+    */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
   /** Drain all currently-available input and stop (`Trigger.AvailableNow`) —
     * batch-equivalent processing of a static directory; complete-mode memory
     * sink for assertion in tests.
