@@ -80,6 +80,20 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(GraftSession.initPartitionsFor(4, 256 * mib - 1) == 4)
   }
 
+  test("statePartitionsFor: small inputs cap stateful stores at 8, " +
+      "large inputs keep the cores default") {
+    val mib = 1L << 20
+    val f = graft.streaming.StreamingIngest.statePartitionsFor _
+    // sf0.1-sized fixtures: store-commit overhead dominates — cap at 8
+    assert(f(32, 18 * mib, 256L << 20) == 8)
+    // fewer cores than the cap: never exceed cores
+    assert(f(4, 18 * mib, 256L << 20) == 4)
+    // at-scale inputs keep the session parallelism (stores are the
+    // recovery/parallelism unit — a big stream wants more, not fewer)
+    assert(f(32, 1L << 30, 256L << 20) == 32)
+    assert(f(32, 256L << 20, 256L << 20) == 32) // boundary inclusive-large
+  }
+
   test("inputBytes sums regular files recursively, 0 for missing dirs") {
     val d = java.nio.file.Files.createTempDirectory("graft_ib_")
     try {
