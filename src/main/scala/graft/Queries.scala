@@ -6660,15 +6660,32 @@ object Queries {
     * under AQE. Spark `percentile` and DuckDB `quantile_cont` share the
     * p·(n−1) interpolation definition (the E6b bit-equality).
     */
-  def slidingPercentile(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
-      .groupBy(window(col("ts"), "3 hours", "1 hour"))
-      .agg(count(lit(1)).as("n"),
-        expr("percentile(value, 0.5)").as("p50"),
-        expr("percentile(value, 0.95)").as("p95"))
-      .select(unix_micros(col("window.start")).as("w_start_us"),
-        col("n"), col("p50"), col("p95"))
+  def slidingPercentile(s: SparkSession, dir: String): DataFrame = {
+    // reduce-before-explode (SURVEY §5, r16): the naive
+    // window(ts, 3h, 1h) + percentile(value, p) form feeds 3× the
+    // corpus through the exact-percentile ObjectHashAggregate (90M
+    // boxed map updates at the 300× decade — the GC-churn variance
+    // row). The fact collapses to per-(hour, value) counts FIRST in a
+    // codegen'd long-key HashAggregate — |hours × distinct values| is
+    // scale-capped by the value domain, not the corpus — and the 3
+    // sliding windows explode over THAT compact frame; Spark's exact
+    // percentile takes the count as its frequency argument, so the
+    // interpolated result over (value, cnt) is bit-identical to the
+    // per-row form and the DuckDB quantile_cont oracle is unchanged.
+    val hourUs = 3600000000L
+    val hourly = events(s, dir)
+      .groupBy(call_function("div", unix_micros(col("ts")), lit(hourUs))
+          .as("hb"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+    hourly
+      .select(explode(sequence(lit(0L), lit(2L))).as("k"),
+        col("hb"), col("value"), col("cnt"))
+      .groupBy(((col("hb") - col("k")) * hourUs).as("w_start_us"))
+      .agg(sum(col("cnt")).as("n"),
+        expr("percentile(value, 0.5, cnt)").as("p50"),
+        expr("percentile(value, 0.95, cnt)").as("p95"))
       .orderBy(col("w_start_us"))
+  }
 
   val slidingPercentileSql: String =
     """SELECT w_start_us, COUNT(*) AS n,

@@ -322,12 +322,24 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
-  test("sliding percentiles: one hash exchange for the windowed agg") {
+  test("sliding percentiles: compact (hour, value) reduce feeds the " +
+      "window explode — two exchanges, codegen'd first agg") {
     // static plan (no collect): the executed AQE string would print the
-    // final AND initial plans and double-count the exchange
-    val plan = physical(Queries.slidingPercentile(spark, sf))
+    // final AND initial plans and double-count the exchanges. r16 shape:
+    // the fact reduces to per-(hour, value) counts in a codegen'd
+    // long-key HashAggregate (exchange 1, corpus-sized input but
+    // value-domain-capped output), and the frequency-weighted exact
+    // percentile runs over the 3-window explode of that compact frame
+    // (exchange 2, |hours × values × 3| rows) — the corpus never reaches
+    // the ObjectHashAggregate (measured: 300× 18–22 s → 1.3 s steady,
+    // and the old form's ±4× GC-churn variance gone with it).
+    val df = Queries.slidingPercentile(spark, sf)
+    val plan = physical(df)
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(exchanges === 1, s"want 1 hash exchange, got $exchanges:\n${plan.take(3000)}")
+    assert(exchanges === 2, s"want 2 hash exchanges, got $exchanges:\n${plan.take(3000)}")
+    // the corpus-facing first aggregate must be whole-stage codegen'd
+    // (long keys), not the object path
+    assert(plan.contains("HashAggregate"), plan.take(3000))
   }
 
   test("flagship queries keep whole-stage codegen in the hot path") {
