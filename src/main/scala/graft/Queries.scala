@@ -661,17 +661,32 @@ object Queries {
 
   // --------------------------------------------------- E1/E2 core SQL ----
 
-  def q1Pricing(s: SparkSession, dir: String): DataFrame =
+  def q1Pricing(s: SparkSession, dir: String): DataFrame = {
+    // exact fixed-point sums (the q5 r16 lever, same overflow budgets
+    // written out): every term is a fixed-scale decimal — qty and price
+    // exactly ×1e2 integers, the revenue term exactly ×1e4 — so the
+    // per-row decimal math and the DECIMAL(28,2)/(32,4) object-path
+    // accumulators reduce to LONG adds in the codegen'd agg; one exact
+    // decimal rescale per output reproduces the oracle's
+    // decimal→double rounding. Budgets at the 300× decade (180M rows):
+    // qty ≤ 5e3/row → ≤ 9e11; price ≤ 1.1e7 → ≤ 2e15; rev ≤ 1.1e9 →
+    // ≤ 2e17 — all ≪ 2^63.
+    val qtyE2 = (dec2(col("l_quantity")) * lit(100)).cast("long")
+    val priceE2 = (dec2(col("l_extendedprice")) * lit(100)).cast("long")
+    val revE4 = priceE2 *
+      (lit(100L) - (dec2(col("l_discount")) * lit(100)).cast("long"))
+    def rescale(c: Column, div: Int) =
+      (c.cast("decimal(38,0)") / lit(div)).cast("double")
     lineitem(s, dir)
       .where(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
-        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
-          .cast("double").as("sum_disc_price"),
+        rescale(sum(qtyE2), 100).as("sum_qty"),
+        rescale(sum(priceE2), 100).as("sum_base_price"),
+        rescale(sum(revE4), 10000).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
 
   val q1PricingSql: String =
     s"""SELECT l_returnflag, l_linestatus,
