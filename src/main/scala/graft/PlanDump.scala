@@ -102,7 +102,7 @@ object PlanDump {
       "retrieval_rrf" -> "RRF: lexical arm = the BM25 plan; semantic arm broadcasts ONE query vector over the corpus scan (codegen cosine + TopKPerKey); fusion joins two ≤20-row frames",
       "vocab_growth" -> "vocab growth: one tokenization pass -> per-(doc,token) frame; two vocab-sized aggs; cumulative windows only on the |docs|/100 checkpoint frame",
       "sliding_percentile" -> "sliding percentiles: narrow ≤3× window explode, per-window sort-agg bounded by the window span; no self-join",
-      "triangle_parts" -> "triangles: basket groupBy + narrow pair explode (no fact self-join); degree/adjacency broadcast SIZE-GATED on the measured distinct-edge count (edge-sized payload would OOM at graph scale; above the bound every probe is a plain co-partitioned equi-join); per-edge array intersection — the wedge stream never materializes",
+      "triangle_parts" -> "triangles: basket groupBy + narrow pair explode (no fact self-join); degree/adjacency broadcast SIZE-GATED on the measured distinct-edge count (edge-sized payload would OOM at graph scale; above the bound every probe is a plain co-partitioned equi-join); per-edge codegen merge-walk intersection (SortedIntersect — no boxed per-edge HashSet) — the wedge stream never materializes",
       "cusum_daily" -> "CUSUM: one fact agg to the |days| frame; prefix sum + two running extrema share ONE sorted window",
       "attribution_position" -> "multi-touch: one user-keyed equi-join; per-purchase rank/count windows and the largest-remainder pass all share the purchase partitioning",
       "novelty_ngrams" -> "novelty: narrow window explode -> one hash groupBy (min doc) -> co-partitioned join back; the text never rides a shuffle",

@@ -5938,7 +5938,13 @@ object Queries {
       .where(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("pt"))
     val landing = s"$tmp/landing"
-    purchases.coalesce(1).write.mode("overwrite").parquet(landing)
+    // parallel landing write: this sink is single-batch (AvailableNow, no
+    // per-file trigger), so the file COUNT carries no batch semantics —
+    // unlike the multi-batch fixtures whose coalesce(1)+append sequencing
+    // IS the trigger schedule. At the 300× decade a coalesce(1) here
+    // funnels the whole purchase stream through one write task inside the
+    // timed query; scan-shaped parallelism costs nothing at sf0.1.
+    purchases.write.mode("overwrite").parquet(landing)
     val stream = s.readStream.schema(purchases.schema).parquet(landing)
     graft.streaming.StreamingIngest.asofEnrichSink(stream, dim,
         "user_id", "pt", col("d_user"), col("s_us"),

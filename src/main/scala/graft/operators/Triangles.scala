@@ -104,8 +104,12 @@ object Triangles {
       .join(hint(adj.select(col("w0").as("v"), col("nbrs").as("nv"))),
         Seq("v"), "left")
       .select(col("u"), col("v"),
-        sort_array(array_intersect(col("nu"),
-          coalesce(col("nv"), array().cast("array<long>")))).as("ws"))
+        // nu/nv are sorted-distinct (sort_array over distinct oriented
+        // edges), so the codegen merge walk IS sort_array∘array_intersect
+        // — minus the boxed HashSet array_intersect builds per edge and
+        // the redundant re-sort of an already-ordered result
+        graft.functions.JaccardFunctions.sortedIntersect(col("nu"),
+          coalesce(col("nv"), array().cast("array<long>"))).as("ws"))
     (out, release)
   }
 

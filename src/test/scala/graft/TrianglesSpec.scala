@@ -63,6 +63,32 @@ class TrianglesSpec extends AnyFunSuite with SparkFixture {
     assert(total == 45L + 120L)
   }
 
+  test("sortedIntersect ≡ sort_array∘array_intersect on sorted-distinct arrays") {
+    // the census invariant: nu/nv are sorted-distinct, so the merge walk
+    // must reproduce the built-in composition bit-for-bit (incl. empties)
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 300).map { _ =>
+      val a = rnd.shuffle((0L to 60L).toList).take(rnd.nextInt(20)).sorted
+      val b = rnd.shuffle((0L to 60L).toList).take(rnd.nextInt(20)).sorted
+      (a, b)
+    } ++ Seq((List.empty[Long], List(1L, 2L)), (List(1L, 2L), List.empty[Long]),
+      (List.empty[Long], List.empty[Long]))
+    val df = rows.toDF("a", "b")
+    val diff = df.select(
+        graft.functions.JaccardFunctions.sortedIntersect(col("a"), col("b"))
+          .as("x"),
+        sort_array(array_intersect(col("a"), col("b"))).as("y"))
+      .where(col("x") =!= col("y"))
+    assert(diff.count() == 0)
+    // interpreted (non-codegen) path agrees
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = graft.functions.SortedIntersect(
+      Literal(Array(1L, 3L, 5L, 9L)), Literal(Array(3L, 4L, 5L, 10L)))
+    assert(e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray.toSeq == Seq(3L, 5L))
+  }
+
   // ------------------------------------------------------------- CUSUM ----
 
   test("cusum matches the sequential recurrence on a shifted series") {
