@@ -52,6 +52,26 @@ object GraftSession {
       smallBytes: Long = 256L << 20): Int =
     if (bytes >= smallBytes) cores * 2 else cores
 
+  /** Input-conditional bucket count for build-once bucketed layouts
+    * (pure; same small-input rule as [[initPartitionsFor]] and the
+    * streaming state-store sizing). A bucketed table's bucket count IS
+    * its parallelism ceiling for every zero-exchange probe against it —
+    * the whole point of the layout is that neither side re-shuffles, so
+    * a fixed count that was right for a test fixture silently serializes
+    * at scale: the 1000×-decade probe read `asof_packed` at 5.3× per
+    * 3.33× data because its 8-bucket dim capped BOTH the dim write and
+    * every probe join at 8-way on a 32-core box (BASELINE r16 fourth-
+    * decade table). Small inputs keep 8 buckets (fewer, fuller files;
+    * bucket-count waves cost more than they parallelize at 17 MB);
+    * large inputs take `cores`, so probe parallelism tracks the machine
+    * while per-bucket size stays bounded by input/cores. On a real
+    * cluster, pass total executor cores — the layout should be sized
+    * for the fleet that probes it, not the session that wrote it.
+    */
+  def bucketsFor(cores: Int, bytes: Long,
+      smallBytes: Long = 256L << 20): Int =
+    if (bytes >= smallBytes) cores else math.min(cores, 8)
+
   /** [[builder]] with the AQE ceiling conditioned on the session's known
     * input directory. `SPARK_GRAFT_INIT_PARTITIONS` still wins outright.
     */

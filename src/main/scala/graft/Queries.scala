@@ -1117,12 +1117,19 @@ object Queries {
   def asofPackedQ(s: SparkSession, dir: String): DataFrame = {
     graft.sources.Sinks.dropManagedTable(s, "graft_asof_packed_q")
     val ev = events(s, dir)
+    // bucket count scales with input (GraftSession.bucketsFor): the
+    // bucketed layout is the probe's parallelism ceiling, and the fixed
+    // 8 this used to hardcode read 5.3x per 3.33x data at the 1000x
+    // decade — the dim write AND the zero-exchange probe both ran
+    // 8-way on a 32-core box
+    val buckets = GraftSession.bucketsFor(
+      s.sparkContext.defaultParallelism, GraftSession.inputBytes(dir))
     AsOfJoin.packDim(ev.where(col("event_type") === "click"),
         col("user_id"), unix_micros(col("ts")),
         Seq("click_event_id" -> col("event_id"),
           "click_value" -> col("value")))
-      .repartition(8, col("_k"))
-      .write.bucketBy(8, "_k").sortBy("_k")
+      .repartition(buckets, col("_k"))
+      .write.bucketBy(buckets, "_k").sortBy("_k")
       .mode("overwrite").saveAsTable("graft_asof_packed_q")
     val l = ev.where(col("event_type") === "error")
       .select(col("event_id"), col("user_id"),

@@ -94,6 +94,19 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(f(32, 256L << 20, 256L << 20) == 32) // boundary inclusive-large
   }
 
+  test("bucketsFor: small inputs keep 8 fuller buckets, large inputs " +
+      "track cores (the probe's parallelism ceiling)") {
+    val mib = 1L << 20
+    // sf0.1-sized fixtures: 8 buckets, fewer fuller files
+    assert(GraftSession.bucketsFor(32, 18 * mib) == 8)
+    // fewer cores than the small cap: never exceed cores
+    assert(GraftSession.bucketsFor(4, 18 * mib) == 4)
+    // decade dirs: bucket count = probe parallelism = cores (the fixed
+    // 8 read 5.3x per 3.33x data at 1000x — BASELINE r16)
+    assert(GraftSession.bucketsFor(32, 15L << 30) == 32)
+    assert(GraftSession.bucketsFor(32, 256 * mib) == 32) // boundary
+  }
+
   test("inputBytes sums regular files recursively, 0 for missing dirs") {
     val d = java.nio.file.Files.createTempDirectory("graft_ib_")
     try {
