@@ -13,11 +13,14 @@ import org.apache.spark.sql.functions._
 object ScaleSmoke {
 
   /** The STANDING decade-probe set (BASELINE.md's maintained 30×/100×/
-    * 300× table): the linear scan/sort controls, every query the
-    * r12–r15 scale reworks touched, the sort-spill class, and the
+    * 300×/1000× tables): the linear scan/sort controls, every query the
+    * r12–r16 scale reworks touched, the sort-spill class, and the
     * linear star-edge dedup consumers. `SPARK_GRAFT_SCALE_ONLY=flagship`
-    * expands to this list so the third-decade sweep is one env var per
-    * round, not a hand-maintained query string.
+    * expands to this list so a decade sweep is one env var per
+    * round, not a hand-maintained query string. The fourth decade
+    * (factor 1000: 600M-row lineitem, 15 GB input) fits /dev/shm and
+    * both bases on this box; see BASELINE r16 for its protocol notes
+    * (mp page-cache rep spikes, raw-path span rows).
     */
   val flagshipSet: Set[String] = Set(
     "q1_pricing", "etl_cast_rename", "ann_topk", "oov_rate",
