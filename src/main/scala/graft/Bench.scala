@@ -49,13 +49,8 @@ object Bench {
     * trip — loadavg is the only guard then.
     */
   private[graft] def sentinelContended(ratios: Seq[Double],
-      hi: Double = 1.2): Boolean = {
-    if (ratios.isEmpty) return false
-    val s = ratios.sorted
-    val mid = s.length / 2
-    val med = if (s.length % 2 == 1) s(mid) else (s(mid - 1) + s(mid)) / 2
-    med > hi
-  }
+      hi: Double = 1.2): Boolean =
+    ratios.nonEmpty && median(ratios) > hi
 
   /** (contended, regressionSuspect) for a full sweep — pure, unit-tested.
     * Egregious pre-existing load alone is contended; a tripped sentinel
@@ -69,6 +64,33 @@ object Bench {
       (sentinelTripped && loadavgPre > maxLoad / 2)
     (contended, sentinelTripped && !contended)
   }
+
+  /** True median (pure; unit-tested): averages the two middle elements
+    * for even counts — upper-middle alone biases high for reps=4.
+    */
+  private[graft] def median(ts: Seq[Double]): Double = {
+    val s = ts.sorted
+    val mid = s.length / 2
+    if (s.length % 2 == 1) s(mid) else (s(mid - 1) + s(mid)) / 2
+  }
+
+  /** Multi-draw spread selection (pure; unit-tested) — VERDICT r16 task 3:
+    * rows under a few seconds carry ~2× INTRINSIC cold-run variance with
+    * no code change (the r16 archaeology re-measured `pivot_event_values`
+    * at 0.24–2.76 s across same-tree sweeps), so a round-over-round diff
+    * on a small row is noise read as signal unless the row carries its
+    * own spread. Rows whose cold median lands under `thresh` get extra
+    * draws in main (below) and commit a [min,max] envelope alongside the
+    * median; rows above the threshold move more than their spread when
+    * they move for real, and stay single-valued. Returns the
+    * (name, (min, max)) entries to publish, preserving input order.
+    */
+  private[graft] def spreadEntries(draws: Seq[(String, Seq[Double])],
+      thresh: Double): Seq[(String, (Double, Double))] =
+    draws.collect {
+      case (n, ts) if ts.nonEmpty && median(ts) < thresh =>
+        n -> ((ts.min, ts.max))
+    }
 
   /** queries_cold map of a committed BENCH_full.json line (flat
     * "name":seconds pairs) — tolerant regex extraction, no JSON dep.
@@ -168,15 +190,28 @@ object Bench {
     val inRun = names.map(n => n -> timeOne(n, reset = false))
     val coldEnabled = sys.env.get("SPARK_GRAFT_BENCH_COLD").forall(_ != "0")
     val coldReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_COLD_REPS", "3").toInt
-    val cold =
+    // multi-draw rule as a harness feature (r16 verdict task 3): rows whose
+    // first-pass cold median is under the spread threshold draw extra
+    // samples, and every sub-threshold row commits a [min,max] envelope
+    // (queries_cold_minmax below) next to its median — the committed
+    // artifact then self-annotates which per-query deltas clear the row's
+    // own intrinsic variance. Extra draws cost only where rows are cheap
+    // by construction (sum of sub-3s medians, not the heavy tail).
+    val spreadThresh = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_SPREAD_THRESH", "3.0").toDouble
+    val spreadExtra = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_SPREAD_REPS", "2").toInt
+    val coldDraws: Seq[(String, Seq[Double])] =
       if (coldEnabled) names.map { n =>
-        val ts = (1 to coldReps).map(_ => timeOne(n, reset = true)).sorted
-        // true median: average the two middle elements for even rep counts
-        // (upper-middle alone biases high for reps=4)
-        val mid = ts.length / 2
-        n -> (if (ts.length % 2 == 1) ts(mid) else (ts(mid - 1) + ts(mid)) / 2)
+        val first = (1 to coldReps).map(_ => timeOne(n, reset = true))
+        val extra =
+          if (spreadExtra > 0 && median(first) < spreadThresh)
+            (1 to spreadExtra).map(_ => timeOne(n, reset = true))
+          else Seq.empty[Double]
+        n -> (first ++ extra)
       }
       else Nil
+    val cold = coldDraws.map { case (n, ts) => n -> median(ts) }
     // fresh-JVM true-cold mode (opt-in: SPARK_GRAFT_BENCH_FORK=1): each
     // query runs in a forked JVM via BenchFork, shedding the JIT/codegen
     // warmth that the in-process "cold" column necessarily keeps. The
@@ -285,20 +320,25 @@ object Bench {
       if (cold.nonEmpty)
         s""","total_cold":${cold.map(_._2).sum},"queries_cold":${json(cold)}"""
       else ""
+    // the [min,max] envelopes of the sub-threshold multi-draw rows (task 3)
+    val spreadPart = {
+      val es = spreadEntries(coldDraws, spreadThresh)
+      if (es.isEmpty) ""
+      else es.map { case (k, (lo, hi)) =>
+        "\"" + k + "\":[" + f"$lo%.3f" + "," + f"$hi%.3f" + "]"
+      }.mkString(""","queries_cold_minmax":{""", ",", "}")
+    }
     // failed forks stay visible as -1 per query but never poison the total
     val forkPart =
       if (fork.nonEmpty)
         s""","total_fork":${fork.map(_._2).filter(_ >= 0).sum},"queries_fork":${json(fork)}"""
       else ""
     val sentinelPart = {
-      val rs = sentinelRatios.map(_._2).sorted
-      val med =
-        if (rs.isEmpty) 1.0
-        else if (rs.length % 2 == 1) rs(rs.length / 2)
-        else (rs(rs.length / 2 - 1) + rs(rs.length / 2)) / 2
+      val rs = sentinelRatios.map(_._2)
+      val med = if (rs.isEmpty) 1.0 else median(rs)
       f""","sentinel":{"loadavg_pre":$loadavgPre,"vs_committed_median":$med%.3f,"compared":${rs.length},"contended":$contended,"regression_suspect":$regressionSuspect}"""
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(inRun)}$coldPart$forkPart$classPart$sentinelPart,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(inRun)}$coldPart$spreadPart$forkPart$classPart$sentinelPart,"sf":"$sfDir"}"""
     println(line)
     // the driver's BENCH_rN.json keeps only the tail of stdout, which
     // truncates the per-query map past ~70 queries — persist the FULL

@@ -465,10 +465,13 @@ object Queries {
     * The query reads the layout back and aggregates per leaf, so the
     * oracle gates the bucket arithmetic AND that every row landed in its
     * correct (bucket, status) directory. The config windows the input to
-    * one year: leaf-directory COUNT (days × statuses) is what costs
+    * one quarter: leaf-directory COUNT (days × statuses) is what costs
     * locally — at target scale each leaf is gigabytes and the per-file
     * constant vanishes, but a registered query shouldn't spend its time
-    * creating 7k near-empty files.
+    * creating near-empty files (this was the full sweep's slowest fixture
+    * at a year's 1095 leaves; 90 days × 3 statuses exercises the same
+    * compound-key shuffle + two-level layout at a quarter the files —
+    * r16 verdict task 6).
     */
   def pipelineConfigComposite(s: SparkSession, dir: String): DataFrame = {
     val outDir =
@@ -477,7 +480,7 @@ object Queries {
       "in": {"path": "$dir/orders.parquet"},
       "filters": [
         {"type": "where", "predicate":
-          "o_totalprice > 150000.0 AND o_orderdate >= timestamp'1997-01-01 00:00:00' AND o_orderdate < timestamp'1998-01-01 00:00:00'"}
+          "o_totalprice > 150000.0 AND o_orderdate >= timestamp'1997-01-01 00:00:00' AND o_orderdate < timestamp'1997-04-01 00:00:00'"}
       ],
       "partitioning": {"type": "composite", "column": "o_orderdate",
         "unit": "day", "second_column": "o_orderstatus"},
@@ -497,7 +500,7 @@ object Queries {
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
        FROM orders WHERE o_totalprice > 150000.0
          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-         AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
        GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** Cross-job partial-done recovery (R10 deepening — the reference's
@@ -744,15 +747,39 @@ object Queries {
     // decimal rescale at the end (DECIMAL(38,0)/10000 → DECIMAL(38,6),
     // exact, then a single cast to double) reproduces the oracle's
     // decimal→double rounding bit-exactly.
-    val revE4 = (dec2(col("l_extendedprice")) * lit(100)).cast("long") *
-      (lit(100L) - (dec2(col("l_discount")) * lit(100)).cast("long"))
-    val perOrder = lineitem(s, dir)
-      .groupBy(col("l_orderkey"))
-      .agg(sum(revE4).as("_rev"), count(lit(1)).as("_n"))
-    val perCust = perOrder
+    q5PlanOver(s, dir, lineitem(s, dir))
+  }
+
+  /** [[q5RegionRevenue]]'s plan over an ARBITRARY lineitem frame: the
+    * registered query passes the parquet scan; the `Q5Probe` study main
+    * passes a table bucketed on `l_orderkey` so the per-order partial agg
+    * runs bucket-local with zero exchange — the layout arm of the r16
+    * verdict's per-task group-cardinality experiment (task 1). Plan and
+    * results are otherwise identical by construction.
+    */
+  private[graft] def q5PlanOver(s: SparkSession, dir: String,
+      li: DataFrame): DataFrame = {
+    val perCust = q5PerOrder(li)
       .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"))
       .agg(sum(col("_rev")).as("_rev"), sum(col("_n")).as("_n"))
+    q5Tail(s, dir, perCust)
+  }
+
+  /** q5's per-order partial aggregate alone — the stage the 300× event-log
+    * forensics put ~60% of the wall in, exposed for the Q5Probe study
+    * main's arm isolation (exact LONG 1e-4-unit sums; see
+    * [[q5RegionRevenue]] for the overflow budget).
+    */
+  private[graft] def q5PerOrder(li: DataFrame): DataFrame = {
+    val revE4 = (dec2(col("l_extendedprice")) * lit(100)).cast("long") *
+      (lit(100L) - (dec2(col("l_discount")) * lit(100)).cast("long"))
+    li.groupBy(col("l_orderkey"))
+      .agg(sum(revE4).as("_rev"), count(lit(1)).as("_n"))
+  }
+
+  private def q5Tail(s: SparkSession, dir: String,
+      perCust: DataFrame): DataFrame =
     perCust
       .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
@@ -762,7 +789,6 @@ object Queries {
         .cast("double").as("revenue"),
         sum(col("_n")).as("n_items"))
       .orderBy(col("r_name"), col("n_name"))
-  }
 
   val q5RegionRevenueSql: String =
     s"""SELECT r_name, n_name, CAST(SUM($sqlRev) AS DOUBLE) AS revenue,
@@ -3345,12 +3371,18 @@ object Queries {
     val tmp = tempDir("graft_late_")
     val landing = s"$tmp/landing"; val ckpt = s"$tmp/ckpt"
     val outDir = s"$tmp/out"
-    val ev = events(s, dir).select(col("ts"), col("event_type"), col("value"))
-    val bounds = ev.agg(
-      min(unix_micros(col("ts"))).as("mn"),
-      max(unix_micros(col("ts"))).as("mx")).head()
-    val mnUs = bounds.getLong(0); val mxUs = bounds.getLong(1)
+    // fixture windowed to the first 10 days (oracle filters identically):
+    // the lateness GATE needs only (a) a full drain advancing the
+    // watermark past every window and (b) a replay of the earliest hour
+    // behind it — both are span-independent, and the full 30-day history
+    // made this the sweep's slowest streaming fixture on pure drain
+    // volume (r16 verdict task 6)
     val hourUs = 3600L * 1000 * 1000
+    val all = events(s, dir).select(col("ts"), col("event_type"), col("value"))
+    val mnUs = all.agg(min(unix_micros(col("ts")))).head().getLong(0)
+    val cutUs = mnUs + 10L * 24 * hourUs
+    val ev = all.where(unix_micros(col("ts")) < cutUs)
+    val mxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
     def advancer(tUs: Long) = s.range(1).select(
       timestamp_micros(lit(tUs)).as("ts"),
       lit("zz_advance").as("event_type"), lit(0.0).as("value"))
@@ -3377,7 +3409,10 @@ object Queries {
     """SELECT epoch_us(ts) // 3600000000 AS bucket, event_type,
        COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+       FROM events
+       WHERE epoch_us(ts) <
+         (SELECT MIN(epoch_us(ts)) FROM events) + 864000000000
+       GROUP BY 1, 2 ORDER BY 1, 2"""
 
   // -------------------------------------------- L22 line-level dedup ----
 

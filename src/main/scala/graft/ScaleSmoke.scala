@@ -29,6 +29,82 @@ object ScaleSmoke {
     "triangle_parts", "q5_region_revenue", "dedup_stats",
     "dedup_clusters", "dedup_levenshtein_clusters", "containment_stats")
 
+  /** The decade-harness SparkSession, factored for reuse by the study
+    * mains (Q5Probe): tmpfs-or-disk spill base sized to the decade,
+    * leak-proof local dir, and the `SPARK_GRAFT_MASTER` local-cluster
+    * override with app-jar shipping. Returns the session; the shutdown
+    * hook reclaims the local dir.
+    */
+  private[graft] def scaleSession(cpus: Int, factor: Int): org.apache.spark.sql.SparkSession = {
+    val spillBase = sys.env.get("SPARK_GRAFT_SPILL_DIR")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse {
+        val needBytes = math.max(8L, factor.toLong / 4) << 30
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        val usable = try {
+          if (java.nio.file.Files.isWritable(shm))
+            java.nio.file.Files.getFileStore(shm).getUsableSpace
+          else 0L
+        } catch { case _: java.io.IOException => 0L }
+        if (usable >= needBytes) shm
+        else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+      }
+    java.nio.file.Files.createDirectories(spillBase)
+    val local = java.nio.file.Files
+      .createTempDirectory(spillBase, "graft_scale_local_")
+    // Spark removes its inner spark-* trees on stop but not this parent:
+    // reclaim it on exit (shutdown hook covers the killed-run case that
+    // leaked a dozen empty dirs into /dev/shm across r13-r14)
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => Queries.rmTree(local.toFile)))
+    // SPARK_GRAFT_MASTER overrides the single-JVM local[k] master — the
+    // r15 verdict's open question was whether 300×-decade tail rows are
+    // plan behavior or artifacts of ONE 48 GB JVM aging across reps; a
+    // real cluster resets per-executor heaps by construction, and master
+    // local-cluster[4,8,12288] measures that basis on this box. Executors
+    // are real child processes that fetch the app jar from the driver, so
+    // this path needs `sbt package` first and SPARK_GRAFT_APP_JAR (or the
+    // default target/scala-2.13 jar) on disk.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val b0 = GraftSession.builder(master, cpus)
+      .config("spark.local.dir", local.toString)
+    val b1 = if (master.startsWith("local-cluster")) {
+      val jar = sys.env.getOrElse("SPARK_GRAFT_APP_JAR", {
+        val dir = java.nio.file.Paths.get("target/scala-2.13")
+        val s = java.nio.file.Files.list(dir)
+        try s.filter(_.toString.endsWith(".jar")).findFirst()
+          .orElseThrow(() => new IllegalStateException(
+            s"local-cluster master needs the app jar — run `sbt package` " +
+              s"(looked in $dir)")).toString
+        finally s.close()
+      })
+      // worker memory is the [n,cores,MB] third field; leave the executor
+      // 1 GiB under it for non-heap overhead so the worker can place it
+      val workerMb = master.replaceAll("[^0-9,]", "").split(",")(2).toLong
+      b0.config("spark.jars", jar)
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM",
+            s"${math.max(1024L, workerMb - 1024L)}m"))
+    } else b0
+    // SPARK_GRAFT_EXTRA_CONF: semicolon-separated k=v pairs applied last —
+    // the A/B instrument for session-level knobs the harness doesn't
+    // model (e.g. spark.sql.files.maxPartitionBytes for the q5 per-task
+    // group-cardinality experiment, r16 verdict task 1). Study knob, not
+    // a production path: values land verbatim in the session.
+    val withExtra = sys.env.get("SPARK_GRAFT_EXTRA_CONF")
+      .map(_.split(";").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
+      .foldLeft(b1) { (b, kv) =>
+        kv.split("=", 2) match {
+          case Array(k, v) => b.config(k, v)
+          case _ => b
+        }
+      }
+    val spark = withExtra.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     // SPARK_GRAFT_SCALE_DIR pins the amplified-table location and reuses
@@ -59,61 +135,10 @@ object ScaleSmoke {
     // used only with headroom PROPORTIONAL to the decade (Queries
     // .tempBase's 4 GiB floor is sized for harness landing residue, not
     // shuffle spill — a modest shm would ENOSPC mid-run or eat the RAM
-    // the spill was meant to relieve), else the system tmpdir.
-    val spillBase = sys.env.get("SPARK_GRAFT_SPILL_DIR")
-      .map(java.nio.file.Paths.get(_))
-      .getOrElse {
-        val needBytes = math.max(8L, factor.toLong / 4) << 30
-        val shm = java.nio.file.Paths.get("/dev/shm")
-        val usable = try {
-          if (java.nio.file.Files.isWritable(shm))
-            java.nio.file.Files.getFileStore(shm).getUsableSpace
-          else 0L
-        } catch { case _: java.io.IOException => 0L }
-        if (usable >= needBytes) shm
-        else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
-      }
-    java.nio.file.Files.createDirectories(spillBase)
-    val local = java.nio.file.Files
-      .createTempDirectory(spillBase, "graft_scale_local_")
-    // Spark removes its inner spark-* trees on stop but not this parent:
-    // reclaim it on exit (shutdown hook covers the killed-run case that
-    // leaked a dozen empty dirs into /dev/shm across r13-r14)
-    Runtime.getRuntime.addShutdownHook(
-      new Thread(() => Queries.rmTree(local.toFile)))
-    // SPARK_GRAFT_MASTER overrides the single-JVM local[k] master — the
-    // r15 verdict's open question is whether the 300×-decade tail rows
-    // (q5 steady-basis drift, triangle_parts aged-heap 104-127 s) are
-    // plan behavior or artifacts of ONE 48 GB JVM aging across reps. A
-    // real cluster resets per-executor heaps by construction; master
-    // local-cluster[4,8,12288] measures that basis on this box: 4
-    // separate executor JVMs × 8 cores × 12 GiB, driver heap isolated
-    // from executor heaps. Executors are real child processes that fetch
-    // the app jar from the driver, so this path needs `sbt package`
-    // first and SPARK_GRAFT_APP_JAR (or the default target/scala-2.13
-    // jar) on disk.
-    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    val b0 = GraftSession.builder(master, cpus)
-      .config("spark.local.dir", local.toString)
-    val spark = (if (master.startsWith("local-cluster")) {
-      val jar = sys.env.getOrElse("SPARK_GRAFT_APP_JAR", {
-        val dir = java.nio.file.Paths.get("target/scala-2.13")
-        val s = java.nio.file.Files.list(dir)
-        try s.filter(_.toString.endsWith(".jar")).findFirst()
-          .orElseThrow(() => new IllegalStateException(
-            s"local-cluster master needs the app jar — run `sbt package` " +
-              s"(looked in $dir)")).toString
-        finally s.close()
-      })
-      // worker memory is the [n,cores,MB] third field; leave the executor
-      // 1 GiB under it for non-heap overhead so the worker can place it
-      val workerMb = master.replaceAll("[^0-9,]", "").split(",")(2).toLong
-      b0.config("spark.jars", jar)
-        .config("spark.executor.memory",
-          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM",
-            s"${math.max(1024L, workerMb - 1024L)}m"))
-    } else b0).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the spill was meant to relieve), else the system tmpdir. All of
+    // this plus the local-cluster master override lives in scaleSession
+    // (shared with the study mains).
+    val spark = scaleSession(cpus, factor)
     def amplify(name: String, keyCols: Map[String, Long]): Unit = {
       val src = Tables.table(spark, base, name)
       val copies = (0 until factor).map { r =>
@@ -186,7 +211,7 @@ object ScaleSmoke {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"scale${factor}x","queries":$qs,"base":"$base","master":"$master"}""")
+    println(s"""{"metric":"scale${factor}x","queries":$qs,"base":"$base","master":"${spark.sparkContext.master}"}""")
     spark.stop()
   }
 }

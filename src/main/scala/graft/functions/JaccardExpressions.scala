@@ -7,6 +7,31 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
+/** Shared input gate for the three merge-walk expressions below: the walks
+  * read elements via `getLong` and never dedup, so their documented
+  * equivalences (to the `array_intersect` formulations) hold ONLY for
+  * sorted-distinct non-null arrays. Nullable ELEMENTS are rejected at
+  * analysis time — a `containsNull=true` array would read null slots as
+  * garbage longs and diverge silently (sortedness/distinctness are value
+  * properties no type check can see; the Scaladoc carries that half of the
+  * contract). Every in-repo producer (`array_sort(transform(_, xxhash64))`,
+  * the triangle census's sorted `collect_list`) types containsNull=false
+  * already; this gate is for the future caller that doesn't.
+  */
+private[functions] object SortedWalkCheck {
+  def apply(name: String, left: Expression, right: Expression): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, containsNull) => !containsNull
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name requires array<bigint> inputs with non-nullable elements " +
+        s"(the merge walk reads primitive longs and cannot represent null), " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+}
+
 /** Jaccard similarity of two SORTED long arrays (hashed shingle sets) via a
   * two-pointer merge walk — no per-pair hash set, no boxing.
   *
@@ -20,16 +45,8 @@ import org.apache.spark.sql.types._
 case class SortedJaccard(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(dt: DataType) = dt match {
-      case ArrayType(LongType, _) => true
-      case _ => false
-    }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"sorted_jaccard requires array<bigint> inputs, got " +
-        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    SortedWalkCheck("sorted_jaccard", left, right)
 
   override def dataType: DataType = DoubleType
 
@@ -86,16 +103,8 @@ case class SortedJaccard(left: Expression, right: Expression)
 case class SortedOverlap(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(dt: DataType) = dt match {
-      case ArrayType(LongType, _) => true
-      case _ => false
-    }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"sorted_overlap requires array<bigint> inputs, got " +
-        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    SortedWalkCheck("sorted_overlap", left, right)
 
   override def dataType: DataType = DoubleType
 
@@ -158,16 +167,8 @@ case class SortedOverlap(left: Expression, right: Expression)
 case class SortedIntersect(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(dt: DataType) = dt match {
-      case ArrayType(LongType, _) => true
-      case _ => false
-    }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"sorted_intersect requires array<bigint> inputs, got " +
-        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    SortedWalkCheck("sorted_intersect", left, right)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

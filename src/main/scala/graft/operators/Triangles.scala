@@ -108,8 +108,10 @@ object Triangles {
         // edges), so the codegen merge walk IS sort_array∘array_intersect
         // — minus the boxed HashSet array_intersect builds per edge and
         // the redundant re-sort of an already-ordered result
+        // typedlit keeps containsNull=false — `array().cast(...)` types its
+        // elements nullable, which the merge walk's analysis gate rejects
         graft.functions.JaccardFunctions.sortedIntersect(col("nu"),
-          coalesce(col("nv"), array().cast("array<long>"))).as("ws"))
+          coalesce(col("nv"), typedLit(Array.empty[Long]))).as("ws"))
     (out, release)
   }
 

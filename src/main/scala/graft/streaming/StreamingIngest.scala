@@ -127,14 +127,30 @@ object StreamingIngest {
       payload: Seq[(String, org.apache.spark.sql.Column)],
       outDir: String, ckpt: String,
       dimTable: String = "graft_asof_dim_b",
-      buckets: Int = 32): StreamingQuery = {
+      buckets: Int = -1): StreamingQuery = {
     val spark = dim.sparkSession
+    // bucket count sized like the batch twin (`Queries.asofPackedQ` /
+    // GraftSession.bucketsFor): the bucketed dim's bucket count IS the
+    // parallelism ceiling of every per-microbatch probe against it, so a
+    // fixed 32 caps probe parallelism on a >32-core fleet and scatters a
+    // fixture-sized dim over 32 near-empty files. No input dir exists
+    // here — the dim is an arbitrary frame — so the size estimate is the
+    // optimizer's plan stats (exact for on-disk sources post-pruning,
+    // conservative elsewhere); pass `buckets` explicitly to override,
+    // e.g. with total fleet cores when the writer is smaller than the
+    // probing cluster.
+    val nb =
+      if (buckets > 0) buckets
+      else graft.GraftSession.bucketsFor(
+        spark.sparkContext.defaultParallelism,
+        dim.queryExecution.optimizedPlan.stats.sizeInBytes
+          .min(BigInt(Long.MaxValue)).toLong)
     graft.sources.Sinks.dropManagedTable(spark, dimTable)
     // explicit repartition onto the bucket hash → one file per bucket →
     // per-bucket sort metadata survives and probe joins skip the sort
     graft.operators.AsOfJoin.packDim(dim, rightKey, rightTime, payload)
-      .repartition(buckets, col("_k"))
-      .write.bucketBy(buckets, "_k").sortBy("_k")
+      .repartition(nb, col("_k"))
+      .write.bucketBy(nb, "_k").sortBy("_k")
       .mode("overwrite").saveAsTable(dimTable)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>

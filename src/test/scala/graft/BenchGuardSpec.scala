@@ -118,6 +118,29 @@ class BenchGuardSpec extends AnyFunSuite {
     } finally Queries.rmTree(d.toFile)
   }
 
+  test("median: true median on odd and even counts") {
+    assert(Bench.median(Seq(3.0)) == 3.0)
+    assert(Bench.median(Seq(5.0, 1.0, 3.0)) == 3.0)
+    // even count averages the two middle elements (upper-middle alone
+    // biases high)
+    assert(Bench.median(Seq(1.0, 2.0, 10.0, 4.0)) == 3.0)
+  }
+
+  test("spreadEntries: sub-threshold rows carry [min,max], heavy rows " +
+      "and empty draws don't (r16 verdict task 3)") {
+    val draws = Seq(
+      "tiny" -> Seq(0.3, 2.7, 0.4, 0.5, 0.6),   // the archaeology class
+      "heavy" -> Seq(20.0, 21.0, 19.0),          // above threshold: single-valued
+      "edge" -> Seq(3.0, 3.0, 3.0),              // median == thresh: excluded
+      "empty" -> Seq.empty[Double])
+    val es = Bench.spreadEntries(draws, thresh = 3.0)
+    assert(es == Seq("tiny" -> ((0.3, 2.7))))
+    // input order is preserved across multiple qualifying rows
+    val multi = Bench.spreadEntries(Seq(
+      "b" -> Seq(1.0, 2.0), "a" -> Seq(0.1, 0.2)), thresh = 3.0)
+    assert(multi.map(_._1) == Seq("b", "a"))
+  }
+
   test("parseColdMap extracts the committed cold medians") {
     val line = """{"metric":"total","value":1.5,"queries":{"a_b":1.0},""" +
       ""","total_cold":2.0,"queries_cold":{"a_b":0.544,"c_d9":4.158},""" +

@@ -136,4 +136,46 @@ class BucketingSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf
       .set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("asofEnrichSink auto-sizes its dim bucket count via bucketsFor") {
+    // r16 ADVICE: the streaming dim must size like the batch twin
+    // (asofPackedQ) — fixture-sized dims get few fuller buckets, not a
+    // hardcoded 32 near-empty ones; the explicit parameter still overrides.
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val landing = java.nio.file.Files.createTempDirectory("graft_aes_in_")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_aes_out_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_aes_ck_")
+    val dim = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("event_id"))
+    val probe = Tables.events(spark, sf)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("pt"))
+    probe.write.mode("overwrite").parquet(landing.toString)
+    val stream = spark.readStream.schema(probe.schema)
+      .parquet(landing.toString)
+    try {
+      graft.streaming.StreamingIngest.asofEnrichSink(stream, dim,
+          "user_id", "pt", col("user_id"), col("t_us"),
+          Seq("click_event_id" -> col("event_id")),
+          outDir.toString, ckpt.toString, dimTable = "aes_dim_auto_spec")
+        .awaitTermination()
+      val meta = spark.sessionState.catalog
+        .getTableMetadata(TableIdentifier("aes_dim_auto_spec"))
+      val expected = GraftSession.bucketsFor(
+        spark.sparkContext.defaultParallelism,
+        dim.queryExecution.optimizedPlan.stats.sizeInBytes
+          .min(BigInt(Long.MaxValue)).toLong)
+      assert(meta.bucketSpec.map(_.numBuckets).contains(expected),
+        s"bucketSpec=${meta.bucketSpec}")
+      // fixture session: 4 cores, tiny dim → the small-input branch
+      assert(expected == math.min(spark.sparkContext.defaultParallelism, 8))
+      assert(spark.read.parquet(s"$outDir/batch_id=0").count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS aes_dim_auto_spec")
+      Seq(landing, outDir, ckpt)
+        .foreach(p => Queries.rmTree(p.toFile))
+    }
+  }
 }

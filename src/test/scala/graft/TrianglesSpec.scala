@@ -89,6 +89,32 @@ class TrianglesSpec extends AnyFunSuite with SparkFixture {
       .toLongArray.toSeq == Seq(3L, 5L))
   }
 
+  test("sorted-walk expressions reject nullable array elements at analysis") {
+    // the merge walks read primitive longs (getLong) and would interpret a
+    // null slot as garbage — containsNull=true inputs must fail LOUDLY at
+    // analysis time, not diverge silently (r16 ADVICE). Seq[Option[Long]]
+    // encodes as array<bigint> with containsNull=true.
+    val df = Seq(
+      (Seq(Option(1L), Option(3L)), Seq(Option(3L), None))
+    ).toDF("a", "b")
+    for (f <- Seq[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+        => org.apache.spark.sql.Column](
+      graft.functions.JaccardFunctions.sortedIntersect,
+      graft.functions.JaccardFunctions.sortedJaccard,
+      graft.functions.JaccardFunctions.sortedOverlap)) {
+      val err = intercept[org.apache.spark.sql.AnalysisException] {
+        df.select(f(col("a"), col("b"))).collect()
+      }
+      assert(err.getMessage.contains("non-nullable elements"), err.getMessage)
+    }
+    // the happy path is untouched: non-nullable elements still analyze
+    val ok = Seq((Seq(1L, 3L), Seq(3L, 4L))).toDF("a", "b")
+      .select(graft.functions.JaccardFunctions.sortedIntersect(
+        col("a"), col("b")).as("x"))
+      .head().getSeq[Long](0)
+    assert(ok == Seq(3L))
+  }
+
   // ------------------------------------------------------------- CUSUM ----
 
   test("cusum matches the sequential recurrence on a shifted series") {
