@@ -18,6 +18,9 @@ import org.apache.spark.sql.functions._
   *                  outside via SPARK_GRAFT_EXTRA_CONF=
   *                  "spark.sql.files.maxPartitionBytes=…" — halving it
   *                  doubles tasks and halves each task's key set.
+  *   - `percust`  — q5 up to the per-customer aggregate (adds the orders
+  *                  join + per-cust agg to `perorder`) — splits the join
+  *                  tail the first decomposition exposed.
   *   - `perorder` — ONLY the per-order aggregate ([[Queries.q5PerOrder]]
   *                  noop-forced: scan → partial agg → exchange → final
   *                  agg). The 300× stage forensics put ~60% of q5's wall
@@ -91,6 +94,9 @@ object Q5Probe {
       case "perorder" =>
         time(s"perorder#$r") {
           noop(Queries.q5PerOrder(Tables.lineitem(spark, dir))) }
+      case "percust" =>
+        time(s"percust#$r") {
+          noop(Queries.q5PerCust(spark, dir, Tables.lineitem(spark, dir))) }
       case "bucketed" =>
         val b = builtBuckets
         time(s"bucketed(b=$b)#$r") {

@@ -758,13 +758,21 @@ object Queries {
     * results are otherwise identical by construction.
     */
   private[graft] def q5PlanOver(s: SparkSession, dir: String,
-      li: DataFrame): DataFrame = {
-    val perCust = q5PerOrder(li)
+      li: DataFrame): DataFrame =
+    q5Tail(s, dir, q5PerCust(s, dir, li))
+
+  /** q5 up to the per-customer aggregate (per-order agg → orders join →
+    * per-cust agg) — the Q5Probe arm that splits the join tail: at the
+    * fourth decade the per-order agg alone is SUB-linear (2.0× per 3.33×
+    * data on the mp basis) and the residual super-linear term lives in
+    * this join-and-reaggregate middle plus the customer join after it.
+    */
+  private[graft] def q5PerCust(s: SparkSession, dir: String,
+      li: DataFrame): DataFrame =
+    q5PerOrder(li)
       .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"))
       .agg(sum(col("_rev")).as("_rev"), sum(col("_n")).as("_n"))
-    q5Tail(s, dir, perCust)
-  }
 
   /** q5's per-order partial aggregate alone — the stage the 300× event-log
     * forensics put ~60% of the wall in, exposed for the Q5Probe study
