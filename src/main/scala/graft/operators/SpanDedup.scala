@@ -77,6 +77,18 @@ object SpanDedup {
     * only, dropped before any shuffle) and both hash halves read it —
     * hashing inside the transform lambda would re-evaluate the
     * array_join per half (measured 1.3× on the whole query).
+    *
+    * The output is REPARTITIONED on `h` so the frame's two consumers —
+    * the shared/first hash aggregate and the join back — both read ONE
+    * exchange of ONE window build: both plans contain the identical
+    * exchange subtree, which ReuseExchange (stage-level under AQE)
+    * executes once. Without it each consumer re-planned its own
+    * exchange above its own copy of the explode — r17 event-log
+    * forensics at the 1000× decade showed the window build (the
+    * dominant ~4,000 s-CPU map stage) running TWICE, each instance
+    * writing its own ~5.2 GB shuffle (BASELINE r17). Post-repartition
+    * both the hash agg (ClusteredDistribution(h) satisfied) and the
+    * join probe side plan zero further exchanges.
     */
   private def windows(df: DataFrame, key: Seq[String], words: Column,
       nWords: Column, n: Int): DataFrame =
@@ -85,6 +97,7 @@ object SpanDedup {
         explode(transform(sequence(lit(0), (nWords - n).cast("int")),
           i => array_join(slice(words, i + 1, lit(n)), " "))).as("ws"): _*)
       .select(key.map(col) :+ winKey(col("ws")).as("h"): _*)
+      .repartition(col("h"))
 
   /** (doc_id, gk, nt) with a 128-bit integer content key over the
     * NORMALIZED text (windows are a function of the normalized text, so
