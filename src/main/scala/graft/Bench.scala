@@ -65,6 +65,14 @@ object Bench {
     (contended, sentinelTripped && !contended)
   }
 
+  /** Locale-proof fixed-point formatting for every JSON-line emitter
+    * (Bench, ScaleSmoke, Q5Probe): the f-interpolator honors the default
+    * locale, so under a comma-decimal locale `f"$v%.3f"` would emit
+    * `0,544` and the committed line stops being JSON.
+    */
+  private[graft] def jnum(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", v)
+
   /** True median (pure; unit-tested): averages the two middle elements
     * for even counts — upper-middle alone biases high for reps=4.
     */
@@ -84,11 +92,20 @@ object Bench {
     * median; rows above the threshold move more than their spread when
     * they move for real, and stay single-valued. Returns the
     * (name, (min, max)) entries to publish, preserving input order.
+    *
+    * The gate reads the median of the FIRST `gateReps` draws — the same
+    * basis main uses to decide extra draws — so a borderline row that
+    * took extra draws always publishes its envelope, even when the
+    * combined median drifts over the threshold (ADVICE r17: gating on
+    * the combined median let such a row commit a 5-draw median silently
+    * mixed among 3-draw rows, with the annotation flickering round over
+    * round).
     */
   private[graft] def spreadEntries(draws: Seq[(String, Seq[Double])],
-      thresh: Double): Seq[(String, (Double, Double))] =
+      thresh: Double,
+      gateReps: Int = Int.MaxValue): Seq[(String, (Double, Double))] =
     draws.collect {
-      case (n, ts) if ts.nonEmpty && median(ts) < thresh =>
+      case (n, ts) if ts.nonEmpty && median(ts.take(gateReps)) < thresh =>
         n -> ((ts.min, ts.max))
     }
 
@@ -104,6 +121,46 @@ object Bench {
     raw""""([a-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(body.substring(0, end))
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
+
+  /** A committed line's [min,max] envelope map under `key` (e.g.
+    * `queries_cold_minmax_own`) — same tolerant extraction style as
+    * parseColdMap. The full `"key":{` token is matched, so the `_own`
+    * variant never aliases the plain one.
+    */
+  private[graft] def parseMinMaxMap(line: String,
+      key: String): Map[String, (Double, Double)] = {
+    val tok = "\"" + key + "\":{"
+    val start = line.indexOf(tok)
+    if (start < 0) return Map.empty
+    val body = line.substring(start + tok.length)
+    val end = body.indexOf('}')
+    if (end < 0) return Map.empty
+    raw""""([a-z0-9_]+)":\[([0-9.]+),([0-9.]+)\]""".r
+      .findAllMatchIn(body.substring(0, end))
+      .map(m => m.group(1) -> ((m.group(2).toDouble, m.group(3).toDouble)))
+      .toMap
+  }
+
+  /** Two-sweep envelope union (pure; unit-tested) — VERDICT r17 task 2:
+    * a single sweep's [min,max] under-covers cross-sweep machine-state
+    * spread (r17: `rfm_segments` and `vocab_growth` moved outside their
+    * own envelopes with untouched code), so the PUBLISHED envelope is
+    * this sweep's draws unioned with the PREVIOUS committed sweep's own
+    * draws. The union reads the previous line's `_own` map — never the
+    * published (already-unioned) one — so the window is exactly two
+    * sweeps and cannot cascade into an ever-growing band that would
+    * stop flagging real moves.
+    */
+  private[graft] def unionEnvelopes(
+      own: Seq[(String, (Double, Double))],
+      prevOwn: Map[String, (Double, Double)])
+      : Seq[(String, (Double, Double))] =
+    own.map { case (n, (lo, hi)) =>
+      prevOwn.get(n) match {
+        case Some((plo, phi)) => n -> ((math.min(lo, plo), math.max(hi, phi)))
+        case None => n -> ((lo, hi))
+      }
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -185,7 +242,7 @@ object Bench {
       dt
     }
     def json(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      rs.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
         .mkString("{", ",", "}")
     val inRun = names.map(n => n -> timeOne(n, reset = false))
     val coldEnabled = sys.env.get("SPARK_GRAFT_BENCH_COLD").forall(_ != "0")
@@ -212,13 +269,24 @@ object Bench {
       }
       else Nil
     val cold = coldDraws.map { case (n, ts) => n -> median(ts) }
-    // fresh-JVM true-cold mode (opt-in: SPARK_GRAFT_BENCH_FORK=1): each
-    // query runs in a forked JVM via BenchFork, shedding the JIT/codegen
-    // warmth that the in-process "cold" column necessarily keeps. The
-    // forked time excludes session bootstrap (BenchFork starts its timer
-    // after the SparkSession is up). ~10 s JVM+session spin-up per query,
-    // so this is a study mode, not the per-round default.
-    val forkEnabled = sys.env.get("SPARK_GRAFT_BENCH_FORK").exists(_ != "0")
+    // fresh-JVM true-cold mode: each selected query runs in a forked JVM
+    // via BenchFork, shedding the JIT/codegen warmth that the in-process
+    // "cold" column necessarily keeps (the r17 instrumented rep read 278 s
+    // against a 130–196 s wall series — JIT state is part of the ±2×
+    // class, and only a fresh JVM anchors it). The forked time excludes
+    // session bootstrap (BenchFork starts its timer after the
+    // SparkSession is up). ~10 s JVM+session spin-up per query, so:
+    //   SPARK_GRAFT_BENCH_FORK=flagship — fork only the flagship set
+    //     (~17 rows) inside the full sweep; the PER-ROUND default, cheap
+    //     enough that the committed artifact always carries a true-cold
+    //     column (r17 verdict task 3);
+    //   SPARK_GRAFT_BENCH_FORK=1 — fork every query (study mode).
+    val forkMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "0")
+    val forkNames = forkMode match {
+      case "0" | "" => Seq.empty[String]
+      case "flagship" => names.filter(ScaleSmoke.flagshipSet.contains)
+      case _ => names
+    }
     def forkOne(n: String): Double = {
       val java = s"${sys.props("java.home")}/bin/java"
       // mirrors build.sbt / JavaModuleOptions.defaultModuleOptions(): the
@@ -269,17 +337,19 @@ object Bench {
         -1.0
       }
     }
-    val fork = if (forkEnabled) names.map(n => n -> forkOne(n)) else Nil
+    val fork = forkNames.map(n => n -> forkOne(n))
     // contention sentinel: this sweep's pure-class cold medians against
     // the COMMITTED artifact's (see sentinelContended for why the
     // 190-query median separates machine artifacts from code changes);
     // only a full sweep compares — partial sweeps never touch the
     // artifact anyway
     val coldByName = cold.toMap
+    val committedLine =
+      if (only.isDefined || cold.isEmpty) None
+      else scala.util.Try(java.nio.file.Files.readString(
+        java.nio.file.Paths.get("BENCH_full.json"))).toOption
     val committedCold =
-      if (only.isDefined || cold.isEmpty) Map.empty[String, Double]
-      else scala.util.Try(parseColdMap(java.nio.file.Files.readString(
-        java.nio.file.Paths.get("BENCH_full.json")))).getOrElse(Map.empty)
+      committedLine.map(parseColdMap).getOrElse(Map.empty)
     val sentinelRatios = names
       .filter(n => qClass(n) == "pure")
       .flatMap { n =>
@@ -322,11 +392,26 @@ object Bench {
       else ""
     // the [min,max] envelopes of the sub-threshold multi-draw rows (task 3)
     val spreadPart = {
-      val es = spreadEntries(coldDraws, spreadThresh)
-      if (es.isEmpty) ""
-      else es.map { case (k, (lo, hi)) =>
-        "\"" + k + "\":[" + f"$lo%.3f" + "," + f"$hi%.3f" + "]"
-      }.mkString(""","queries_cold_minmax":{""", ",", "}")
+      // gate on the first-pass median — the exact extra-draw decision
+      // above — so envelope publication and extra draws share one basis
+      val own = spreadEntries(coldDraws, spreadThresh, gateReps = coldReps)
+      if (own.isEmpty) ""
+      else {
+        // published envelope = this sweep's draws ∪ previous committed
+        // sweep's OWN draws (two-sweep window; see unionEnvelopes). The
+        // previous `_own` map is preferred; a pre-r18 artifact only has
+        // the published map, which equals its own draws — same thing.
+        val prevOwn = committedLine.map { l =>
+          val o = parseMinMaxMap(l, "queries_cold_minmax_own")
+          if (o.nonEmpty) o else parseMinMaxMap(l, "queries_cold_minmax")
+        }.getOrElse(Map.empty)
+        def fmt(key: String, es: Seq[(String, (Double, Double))]) =
+          es.map { case (k, (lo, hi)) =>
+            "\"" + k + "\":[" + jnum(lo) + "," + jnum(hi) + "]"
+          }.mkString(s""","$key":{""", ",", "}")
+        fmt("queries_cold_minmax", unionEnvelopes(own, prevOwn)) +
+          fmt("queries_cold_minmax_own", own)
+      }
     }
     // failed forks stay visible as -1 per query but never poison the total
     val forkPart =
@@ -336,10 +421,21 @@ object Bench {
     val sentinelPart = {
       val rs = sentinelRatios.map(_._2)
       val med = if (rs.isEmpty) 1.0 else median(rs)
-      f""","sentinel":{"loadavg_pre":$loadavgPre,"vs_committed_median":$med%.3f,"compared":${rs.length},"contended":$contended,"regression_suspect":$regressionSuspect}"""
+      s""","sentinel":{"loadavg_pre":$loadavgPre,"vs_committed_median":${jnum(med)},"compared":${rs.length},"contended":$contended,"regression_suspect":$regressionSuspect}"""
     }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(inRun)}$coldPart$spreadPart$forkPart$classPart$sentinelPart,"sf":"$sfDir"}"""
     println(line)
+    // the driver's BENCH_rN.json keeps only the TAIL of stdout, and the
+    // full line above has outgrown it (r17's driver artifact recorded
+    // parsed:null) — so the LAST stdout line is a compact summary the
+    // tail always contains whole: totals, per-class subtotals, sentinel,
+    // and a queries map restricted to the flagship set (the driver's
+    // schema wants a queries key; 17 rows keep the line a few hundred
+    // bytes). The full per-query artifact is the persisted file below.
+    val flagshipCold = cold.filter { case (n, _) =>
+      ScaleSmoke.flagshipSet.contains(n) }
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(flagshipCold)}$classPart$sentinelPart,"total_cold":${cold.map(_._2).sum},"full_artifact":"BENCH_full.json","sf":"$sfDir"}"""
+    println(compact)
     // the driver's BENCH_rN.json keeps only the tail of stdout, which
     // truncates the per-query map past ~70 queries — persist the FULL
     // line to a repo file so every round-over-round diff covers every

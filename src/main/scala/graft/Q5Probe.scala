@@ -108,7 +108,7 @@ object Q5Probe {
       case other =>
         System.err.println(s"[q5probe] unknown arm: $other")
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + Bench.jnum(v) }
       .mkString("{", ",", "}")
     val conf = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
       .getOrElse("default")

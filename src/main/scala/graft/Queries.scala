@@ -3379,16 +3379,16 @@ object Queries {
     val tmp = tempDir("graft_late_")
     val landing = s"$tmp/landing"; val ckpt = s"$tmp/ckpt"
     val outDir = s"$tmp/out"
-    // fixture windowed to the first 10 days (oracle filters identically):
+    // fixture windowed to the first 3 days (oracle filters identically):
     // the lateness GATE needs only (a) a full drain advancing the
     // watermark past every window and (b) a replay of the earliest hour
-    // behind it — both are span-independent, and the full 30-day history
-    // made this the sweep's slowest streaming fixture on pure drain
-    // volume (r16 verdict task 6)
+    // behind it — both are span-independent, and drain volume was the
+    // cost (r16 task 6 cut 30 → 10 days; r17 task 7 cuts to 3 — still
+    // ~72 real windows between the replayed hour and the watermark)
     val hourUs = 3600L * 1000 * 1000
     val all = events(s, dir).select(col("ts"), col("event_type"), col("value"))
     val mnUs = all.agg(min(unix_micros(col("ts")))).head().getLong(0)
-    val cutUs = mnUs + 10L * 24 * hourUs
+    val cutUs = mnUs + 3L * 24 * hourUs
     val ev = all.where(unix_micros(col("ts")) < cutUs)
     val mxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
     def advancer(tUs: Long) = s.range(1).select(
@@ -3419,7 +3419,7 @@ object Queries {
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
        FROM events
        WHERE epoch_us(ts) <
-         (SELECT MIN(epoch_us(ts)) FROM events) + 864000000000
+         (SELECT MIN(epoch_us(ts)) FROM events) + 259200000000
        GROUP BY 1, 2 ORDER BY 1, 2"""
 
   // -------------------------------------------- L22 line-level dedup ----
@@ -6622,7 +6622,12 @@ object Queries {
       .orderBy(col("exact_cnt").desc, col("token"))
   }
 
-  val cmsCountsSql: String = {
+  /** cms oracle, parameterized over a documents WHERE clause so the
+    * streaming fixture can gate on a corpus slice (r17 verdict task 7)
+    * while `cms_counts` keeps the full table — the sketch math is
+    * identical either way.
+    */
+  private def cmsCountsSqlFor(where: String): String = {
     // the oracle's bucket mapping derives its nibble count from the SAME
     // rule the engine uses (CountMin.nibblesFor) and applies the same
     // mod-w reduction, so changing the sketch width can never silently
@@ -6640,7 +6645,7 @@ object Queries {
     }
     s"""WITH toks AS (
          SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
-         FROM documents),
+         FROM documents $where),
        hj AS (SELECT unnest([0, 1, 2, 3]) AS j),
        cells AS (
          SELECT j, b, COUNT(*) AS cnt FROM (
@@ -6657,6 +6662,8 @@ object Queries {
        FROM probes p JOIN cells c ON c.j = p.j AND c.b = p.b
        GROUP BY 1, 2 ORDER BY exact_cnt DESC, token"""
   }
+
+  val cmsCountsSql: String = cmsCountsSqlFor("")
 
   // ------------------------------------ L37 vocabulary growth curve ------
 
@@ -6885,10 +6892,16 @@ object Queries {
     val tmp = tempDir("graft_scms_")
     val landing = s"$tmp/landing"; val cellsDir = s"$tmp/cells"
     val ckpt = s"$tmp/ckpt"
-    val toks = documents(s, dir).select(col("doc_id"),
-      explode(regexp_extract_all(lower(col("text")),
-        lit("[a-z0-9]+"), lit(0))).as("t"))
-    toks.where(pmod(col("doc_id"), lit(2)) === 0).select(col("t"))
+    // fixture corpus = one quarter of documents (oracle filters
+    // identically): the gate — two-drain replay over a SPLIT corpus
+    // lands on exactly the batch sketch — is corpus-size-independent,
+    // and the full-table tokenize+land was the cost, not the sketch
+    // (r17 verdict task 7; same discipline as the composite trim)
+    val toks = documents(s, dir).where(pmod(col("doc_id"), lit(4)) === 0)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z0-9]+"), lit(0))).as("t"))
+    toks.where(pmod(col("doc_id"), lit(8)) === 0).select(col("t"))
       .write.mode("overwrite").parquet(landing)
     val schema = org.apache.spark.sql.types.StructType.fromDDL("t STRING")
     def drain(): Unit =
@@ -6897,7 +6910,7 @@ object Queries {
         checkpointDir = Some(ckpt), availableNow = true)
         .awaitTermination()
     drain()
-    toks.where(pmod(col("doc_id"), lit(2)) === 1).select(col("t"))
+    toks.where(pmod(col("doc_id"), lit(8)) === 4).select(col("t"))
       .write.mode("append").parquet(landing)
     drain()
     val cells = s.read.parquet(cellsDir)
@@ -6913,7 +6926,7 @@ object Queries {
       .orderBy(col("exact_cnt").desc, col("token"))
   }
 
-  val streamCmsSql: String = cmsCountsSql
+  val streamCmsSql: String = cmsCountsSqlFor("WHERE doc_id % 4 = 0")
 
   // --------------------------- E45b position-based multi-touch attribution
 

@@ -209,7 +209,7 @@ object ScaleSmoke {
           (System.nanoTime() - t0) / 1e9
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + Bench.jnum(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"scale${factor}x","queries":$qs,"base":"$base","master":"${spark.sparkContext.master}"}""")
     spark.stop()

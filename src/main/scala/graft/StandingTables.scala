@@ -1,0 +1,170 @@
+package graft
+
+/** One-command regeneration of BASELINE.md's standing decade tables
+  * (VERDICT r17 tasks 4+5): the per-round ritual — flagship set × two
+  * decades (300×, 1000×) × two execution bases (single 48 GB JVM;
+  * `local-cluster[4,8,12288]` multi-process) × REPS, chunked into
+  * short-lived JVMs — was a hand-driven sequence of env-var incantations
+  * with transcription risk. This main orchestrates it: ONE child JVM per
+  * (decade, basis, query) runs ScaleSmoke under the protocol env, the
+  * parent parses each child's scale JSON line, and the output is the
+  * markdown rows ready to paste into BASELINE.md plus one JSON line per
+  * decade carrying per-row [min,max] envelopes (task 4: decade drift
+  * judgments become machine-checkable, like the sf0.1 bench envelopes).
+  *
+  * One-query-per-child is not just chunking for the harness timeout: the
+  * protocol's comparability rests on it (BASELINE r17 standing-1000×
+  * reading 2 — a long-lived JVM's aged heap inflates later rows, so
+  * chunked fresh-JVM runs are the basis of record for the sj column).
+  *
+  * Knobs (all optional): SPARK_GRAFT_ST_DECADES="300,1000",
+  * SPARK_GRAFT_ST_BASES="sj,mp", SPARK_GRAFT_ST_ONLY=comma-list
+  * (default: ScaleSmoke.flagshipSet), SPARK_GRAFT_ST_TIMEOUT_S per-child
+  * watchdog (default 900). Decade dirs default to the pinned
+  * /dev/shm/graft_scale{N} locations; a missing/mismatched dir is built
+  * by the first child that touches it (ScaleSmoke's marker logic).
+  *
+  * Run under tmux, not a time-capped shell: the full sweep is hours of
+  * measurement by construction.
+  */
+object StandingTables {
+
+  private case class Basis(key: String, master: Option[String],
+      driverMem: String, reps: Int => Int)
+
+  /** sj: fresh 48 GB JVMs, REPS=2 — the chunked single-JVM protocol.
+    * mp: 4×8-core 12 GiB executors, REPS=3 at 300× / 2 at 1000× (the
+    * 1000× reps cost minutes each; r16/r17 quoted r1/r2 there).
+    */
+  private val bases = Seq(
+    Basis("sj", None, "48g", _ => 2),
+    Basis("mp", Some("local-cluster[4,8,12288]"), "8g",
+      f => if (f >= 1000) 2 else 3))
+
+  private def jdk17AddOpens: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar")
+    .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Child stdout → the rep timings of `query` (parsed from ScaleSmoke's
+    * scale{N}x JSON line; reps print as name#1..name#N, a single rep as
+    * the bare name). Pure; unit-tested.
+    */
+  private[graft] def parseReps(lines: Seq[String], query: String)
+      : Seq[Double] = {
+    val line = lines.reverse.find(_.contains("\"metric\":\"scale"))
+      .getOrElse(return Seq.empty)
+    val re = ("\"" + java.util.regex.Pattern.quote(query) +
+      "(?:#([0-9]+))?\":([0-9.]+)").r
+    re.findAllMatchIn(line)
+      .map(m => (Option(m.group(1)).map(_.toInt).getOrElse(1), m.group(2).toDouble))
+      .toSeq.sortBy(_._1).map(_._2)
+  }
+
+  private def runChild(query: String, factor: Int, basis: Basis,
+      reps: Int, scaleDir: String, base: String, timeoutS: Long)
+      : Seq[Double] = {
+    val java = s"${sys.props("java.home")}/bin/java"
+    val cmd = Seq(java) ++ jdk17AddOpens ++ Seq(
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      s"-Xmx${basis.driverMem}",
+      "-cp", sys.props("java.class.path"),
+      "graft.ScaleSmoke", base)
+    val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+    val env = pb.environment()
+    env.put("SPARK_GRAFT_SCALE_DIR", scaleDir)
+    env.put("SPARK_GRAFT_SCALE_FACTOR", factor.toString)
+    env.put("SPARK_GRAFT_SCALE_ONLY", query)
+    env.put("SPARK_GRAFT_SCALE_REPS", reps.toString)
+    basis.master.foreach { m =>
+      env.put("SPARK_GRAFT_MASTER", m)
+      // local-cluster's executor launcher resolves its classpath through
+      // the scala-version-suffixed dir name
+      env.put("SPARK_SCALA_VERSION", "2.13")
+    }
+    val p = pb.start()
+    val watchdog = new Thread(() => {
+      if (!p.waitFor(timeoutS,
+          _root_.java.util.concurrent.TimeUnit.SECONDS)) {
+        System.err.println(
+          s"[standing] $query@${factor}x/${basis.key} timed out after " +
+            s"$timeoutS s; killing")
+        p.destroyForcibly(); ()
+      }
+    })
+    watchdog.setDaemon(true)
+    watchdog.start()
+    val src = scala.io.Source.fromInputStream(p.getInputStream)
+    val lines = try src.getLines().toList finally src.close()
+    p.waitFor()
+    val ts = parseReps(lines, query)
+    if (ts.isEmpty) {
+      System.err.println(
+        s"[standing] $query@${factor}x/${basis.key} produced no timings " +
+          s"(exit=${p.exitValue()}); last output: " +
+          lines.takeRight(3).mkString(" | "))
+    }
+    ts
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val decades = sys.env.getOrElse("SPARK_GRAFT_ST_DECADES", "300,1000")
+      .split(",").map(_.trim.toInt).toSeq
+    val basisKeys = sys.env.getOrElse("SPARK_GRAFT_ST_BASES", "sj,mp")
+      .split(",").map(_.trim).toSet
+    val queries = sys.env.get("SPARK_GRAFT_ST_ONLY")
+      .map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(ScaleSmoke.flagshipSet.toSeq.sorted)
+    val timeoutS = sys.env.getOrElse("SPARK_GRAFT_ST_TIMEOUT_S", "900").toLong
+    val activeBases = bases.filter(b => basisKeys.contains(b.key))
+    if (activeBases.exists(_.master.isDefined)) {
+      val jarDir = new java.io.File("target/scala-2.13")
+      val hasJar = Option(jarDir.listFiles())
+        .exists(_.exists(_.getName.endsWith(".jar")))
+      require(hasJar, "mp basis needs the app jar — run `sbt package` first")
+    }
+    for (factor <- decades) {
+      val scaleDir = sys.env.getOrElse(s"SPARK_GRAFT_ST_DIR_$factor",
+        s"/dev/shm/graft_scale$factor")
+      // rows accumulate as (query -> basisKey -> reps)
+      val rows = queries.map { q =>
+        q -> activeBases.map { b =>
+          val reps = b.reps(factor)
+          val t0 = System.nanoTime()
+          val ts = runChild(q, factor, b, reps, scaleDir, base, timeoutS)
+          System.err.println(f"[standing] $q@${factor}x/${b.key}: " +
+            ts.map(Bench.jnum).mkString(" / ") +
+            f" (child wall ${(System.nanoTime() - t0) / 1e9}%.0f s)")
+          b.key -> ts
+        }
+      }
+      // markdown rows, BASELINE standing-table format + envelope columns
+      val hdrBases = activeBases.map(b =>
+        s"${b.key} r1..rN | ${b.key} [min,max]").mkString(" | ")
+      println(s"\n| query @${factor}× | $hdrBases |")
+      println("|---" * (1 + 2 * activeBases.size) + "|")
+      rows.foreach { case (q, perBasis) =>
+        val cells = perBasis.map { case (_, ts) =>
+          if (ts.isEmpty) "FAILED | —"
+          else ts.map(Bench.jnum).mkString(" / ") +
+            s" | [${Bench.jnum(ts.min)},${Bench.jnum(ts.max)}]"
+        }.mkString(" | ")
+        println(s"| $q | $cells |")
+      }
+      // the machine-checkable record (one line per decade)
+      val js = rows.map { case (q, perBasis) =>
+        val inner = perBasis.map { case (k, ts) =>
+          s""""$k":[${ts.map(Bench.jnum).mkString(",")}]"""
+        }.mkString(",")
+        s""""$q":{$inner}"""
+      }.mkString(",")
+      println(s"""{"metric":"standing${factor}x","rows":{$js},"base":"$base"}""")
+    }
+  }
+}

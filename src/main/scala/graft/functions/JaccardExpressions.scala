@@ -28,7 +28,11 @@ private[functions] object SortedWalkCheck {
     else TypeCheckResult.TypeCheckFailure(
       s"$name requires array<bigint> inputs with non-nullable elements " +
         s"(the merge walk reads primitive longs and cannot represent null), " +
-        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}. " +
+        s"Parquet-sourced arrays are often typed element-nullable even when " +
+        s"null-free: rebuild the column with a producer that types elements " +
+        s"non-null, e.g. array_sort(transform(col, x -> xxhash64(x))) or " +
+        s"filter(col, x -> x IS NOT NULL) followed by such a transform")
   }
 }
 

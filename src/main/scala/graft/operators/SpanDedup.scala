@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cross-document duplicated-SPAN detection — the word-window
@@ -14,12 +15,19 @@ import org.apache.spark.sql.functions._
   * n-window at every offset inside it, so span-level duplication is never
   * missed, only quantized to window granularity.
   *
-  * Scale shape: the window explode is narrow (≈ words-per-doc rows, each
-  * a 16-byte hash + ids — the text itself never rides the shuffle); ONE
-  * groupBy on the hash finds cross-doc windows; the join back is
-  * co-partitioned on the same hash key (exchange reuse); one final
-  * groupBy(doc) — every stage linear in corpus size, nothing quadratic,
-  * no driver state.
+  * Scale shape (single-pass since r18): the window explode is narrow
+  * (≈ words-per-doc rows, each a 16-byte hash + ids — the text itself
+  * never rides the shuffle) and is shuffled ONCE on the hash key; on the
+  * reduce side a (hash, doc) aggregate collapses instances, a window
+  * aggregate over the same h-partitioning counts distinct docs (or takes
+  * the min doc) per hash with zero further exchange, and one slim
+  * groupBy(doc) folds the verdicts — every stage linear in corpus size,
+  * nothing quadratic, no driver state, and exactly ONE window-build map
+  * stage by construction. (The pre-r18 shape fed the frame to two
+  * consumers — count_distinct + join back — and relied on ReuseExchange
+  * to fold their twin exchanges; it never did, because the outer
+  * n_windows join infers isnotnull(doc_id) into only the probe-side
+  * copy, breaking canonical equality. See graft.ReuseProbe.)
   *
   * Verbatim-dup collapse (r16): web-scale corpora are dominated by
   * verbatim copies, and stride-1 windows multiply that redundancy by
@@ -78,17 +86,17 @@ object SpanDedup {
     * hashing inside the transform lambda would re-evaluate the
     * array_join per half (measured 1.3× on the whole query).
     *
-    * The output is REPARTITIONED on `h` so the frame's two consumers —
-    * the shared/first hash aggregate and the join back — both read ONE
-    * exchange of ONE window build: both plans contain the identical
-    * exchange subtree, which ReuseExchange (stage-level under AQE)
-    * executes once. Without it each consumer re-planned its own
-    * exchange above its own copy of the explode — r17 event-log
-    * forensics at the 1000× decade showed the window build (the
-    * dominant ~4,000 s-CPU map stage) running TWICE, each instance
-    * writing its own ~5.2 GB shuffle (BASELINE r17). Post-repartition
-    * both the hash agg (ClusteredDistribution(h) satisfied) and the
-    * join probe side plan zero further exchanges.
+    * The output is REPARTITIONED on `h` so the whole reduce side — the
+    * (h, key) instance-count aggregate AND the per-hash window aggregate
+    * above it — satisfies its distribution from this one exchange and
+    * plans zero further shuffles (ClusteredDistribution(h, key) and
+    * ClusteredDistribution(h) are both satisfied by HashPartitioning(h)).
+    * Without it the planner would exchange on (h, key) for the
+    * aggregate and then AGAIN on (h) for the window. The repartition
+    * also keeps count/min aggregation off the map side: stride-1
+    * windows of distinct docs barely repeat within a scan task, so a
+    * pre-shuffle partial aggregate rebuilds a corpus-sized per-task
+    * hash map to shrink the shuffle ~0.6% (the r17 forensics find).
     */
   private def windows(df: DataFrame, key: Seq[String], words: Column,
       nWords: Column, n: Int): DataFrame =
@@ -159,11 +167,13 @@ object SpanDedup {
       if (counts.getLong(0) == counts.getLong(1)) return rawSpanStats(k, n)
       val reps = repGroups(k)
       val winsG = windows(reps, Seq("gk"), col("w"), col("nwl"), n)
-      val sharedG = winsG.groupBy(col("h"))
-        .agg(count_distinct(col("gk")).as("ngr"))
-        .where(col("ngr") >= 2).select(col("h"))
-      val dupG = winsG.join(sharedG, "h")
-        .groupBy(col("gk")).agg(count(lit(1)).as("n_dup_g"))
+      // same single-pass window shape as rawSpanStats (one consumer, one
+      // window-build exchange by construction — see the note there)
+      val dupG = winsG.groupBy(col("h"), col("gk"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("ngr", count(lit(1)).over(Window.partitionBy(col("h"))))
+        .where(col("ngr") >= 2)
+        .groupBy(col("gk")).agg(sum(col("cnt")).as("n_dup_g"))
       val gstats = reps
         .select(col("gk"), col("gsize"),
           greatest(col("nwl") - (n - 1), lit(0L)).as("n_windows"))
@@ -190,11 +200,25 @@ object SpanDedup {
     val base = k.select(col("doc_id"), split(col("nt"), " ").as("w"))
       .withColumn("nw", size(col("w")).cast("long"))
     val wins = windows(base, Seq("doc_id"), col("w"), col("nw"), n)
-    val shared = wins.groupBy(col("h"))
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .where(col("nd") >= 2).select(col("h"))
-    val dup = wins.join(shared, "h")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    // single-pass shape (r18): per-(h, doc) instance counts, then the
+    // distinct-doc count of each hash as a WINDOW aggregate over the
+    // already-h-partitioned frame — n_dup(d) = Σ cnt over d's rows whose
+    // hash lands in ≥ 2 docs. Equivalent to the former count_distinct +
+    // join-back (each instance row of a shared hash counted once), but
+    // the window frame now has exactly ONE consumer, so the window-build
+    // map stage and its ~5.2 GB exchange run once BY CONSTRUCTION. The
+    // former two-consumer plan could never reuse its twin exchanges: the
+    // outer n_windows left join infers isnotnull(doc_id) into the join
+    // probe's copy of the build but not the aggregate's (doc_id there
+    // only feeds count_distinct, which infers no constraint), so the two
+    // subtrees stopped canonicalizing equal and both ReuseExchange and
+    // AQE's stage cache missed — measured twice-run ~4,000 s-CPU build
+    // stages at the 1000× decade (graft.ReuseProbe; BASELINE r18).
+    val dup = wins.groupBy(col("h"), col("doc_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .where(col("nd") >= 2)
+      .groupBy(col("doc_id")).agg(sum(col("cnt")).as("n_dup"))
     base
       .select(col("doc_id"),
         greatest(col("nw") - (n - 1), lit(0L)).as("n_windows"))
@@ -242,11 +266,16 @@ object SpanDedup {
       if (counts.getLong(0) == counts.getLong(1)) return rawNoveltyStats(k, n)
       val reps = repGroups(k)
       val winsG = windows(reps, Seq("gk", "min_doc"), col("w"), col("nwl"), n)
-      val firstH = winsG.groupBy(col("h"))
-        .agg(min(col("min_doc")).as("first_doc"))
-      val novelG = winsG.join(firstH, "h")
+      // single-pass window shape (see rawSpanStats): first_doc(h) as a
+      // window min over the h-partitioned frame, instance counts carried
+      // through the per-(h, gk) cnt — min_doc is functionally dependent
+      // on gk, so grouping by both only threads it through
+      val novelG = winsG.groupBy(col("h"), col("gk"), col("min_doc"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("first_doc",
+          min(col("min_doc")).over(Window.partitionBy(col("h"))))
         .groupBy(col("gk"))
-        .agg(sum(when(col("min_doc") === col("first_doc"), 1L)
+        .agg(sum(when(col("min_doc") === col("first_doc"), col("cnt"))
           .otherwise(0L)).as("n_novel_g"))
       val gstats = reps
         .select(col("gk"), col("min_doc"),
@@ -272,11 +301,15 @@ object SpanDedup {
     val base = k.select(col("doc_id"), split(col("nt"), " ").as("w"))
       .withColumn("nw", size(col("w")).cast("long"))
     val wins = windows(base, Seq("doc_id"), col("w"), col("nw"), n)
-    val first = wins.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
-    val novel = wins.join(first, "h")
+    // single-pass window shape (see rawSpanStats for the twin-exchange
+    // root cause this removes)
+    val novel = wins.groupBy(col("h"), col("doc_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("first_doc",
+        min(col("doc_id")).over(Window.partitionBy(col("h"))))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
-        .as("n_novel"))
+      .agg(sum(when(col("doc_id") === col("first_doc"), col("cnt"))
+        .otherwise(0L)).as("n_novel"))
     base
       .select(col("doc_id"),
         greatest(col("nw") - (n - 1), lit(0L)).as("n_windows"))

@@ -141,6 +141,62 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(multi.map(_._1) == Seq("b", "a"))
   }
 
+  test("spreadEntries gates on the first-pass draws — the extra-draw " +
+      "basis — not the combined median (ADVICE r17)") {
+    // first 3 draws median 2.9 < 3.0 → took extra draws; the extra draws
+    // drag the combined 5-draw median to 3.1 ≥ thresh. One basis means
+    // the envelope still publishes (and covers all 5 draws).
+    val borderline = Seq("edge" -> Seq(2.9, 2.8, 3.2, 4.0, 3.1))
+    assert(Bench.spreadEntries(borderline, thresh = 3.0).isEmpty)
+    assert(Bench.spreadEntries(borderline, thresh = 3.0, gateReps = 3) ==
+      Seq("edge" -> ((2.8, 4.0))))
+    // and a row whose first pass is ABOVE threshold never publishes,
+    // regardless of later draws
+    val heavy = Seq("heavy" -> Seq(3.5, 3.6, 3.4, 0.1))
+    assert(Bench.spreadEntries(heavy, thresh = 3.0, gateReps = 3).isEmpty)
+  }
+
+  test("parseMinMaxMap reads the keyed envelope map and never aliases " +
+      "the _own variant with the plain one") {
+    val line = """{"queries_cold_minmax":{"a_b":[0.1,0.9],"c":[1.0,2.0]}""" +
+      ""","queries_cold_minmax_own":{"a_b":[0.2,0.8]},"sf":"x"}"""
+    assert(Bench.parseMinMaxMap(line, "queries_cold_minmax") ==
+      Map("a_b" -> ((0.1, 0.9)), "c" -> ((1.0, 2.0))))
+    assert(Bench.parseMinMaxMap(line, "queries_cold_minmax_own") ==
+      Map("a_b" -> ((0.2, 0.8))))
+    assert(Bench.parseMinMaxMap("{}", "queries_cold_minmax").isEmpty)
+  }
+
+  test("unionEnvelopes widens to cover the previous sweep's own draws " +
+      "(two-sweep window, r17 verdict task 2)") {
+    val own = Seq("a" -> ((1.0, 2.0)), "b" -> ((0.5, 0.7)))
+    val prev = Map("a" -> ((1.5, 3.0)), "zz" -> ((9.0, 9.9)))
+    // a: widened up to prev max; b: no prior row, stays own; prev-only
+    // rows are NOT resurrected (a row must qualify in THIS sweep)
+    assert(Bench.unionEnvelopes(own, prev) ==
+      Seq("a" -> ((1.0, 3.0)), "b" -> ((0.5, 0.7))))
+  }
+
+  test("StandingTables.parseReps reads a child's scale line: rep order, " +
+      "bare single-rep names, prefix-safe query matching") {
+    val line = """{"metric":"scale300x","queries":{"span_dedup#2":28.810,""" +
+      """"span_dedup#1":28.453,"span_dedup_x#1":9.9},"base":"b"}"""
+    assert(StandingTables.parseReps(Seq("noise", line), "span_dedup") ==
+      Seq(28.453, 28.810))
+    val single = """{"metric":"scale1000x","queries":{"q1_pricing":61.2}}"""
+    assert(StandingTables.parseReps(Seq(single), "q1_pricing") == Seq(61.2))
+    assert(StandingTables.parseReps(Seq("no json here"), "q").isEmpty)
+  }
+
+  test("jnum formats with '.' decimals independent of default locale") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      assert(Bench.jnum(0.544) == "0.544")
+      assert(Bench.jnum(1234.5) == "1234.500")
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("parseColdMap extracts the committed cold medians") {
     val line = """{"metric":"total","value":1.5,"queries":{"a_b":1.0},""" +
       ""","total_cold":2.0,"queries_cold":{"a_b":0.544,"c_d9":4.158},""" +
