@@ -48,7 +48,7 @@ object PlanDump {
       "mixture_sample" -> "temperature mixture: windows touch only the dimension-sized quota frame; the corpus cut heap-prunes through TopKPerKeyExec at the max quota",
       "doc_blocks" -> "GPT block packing: two-level prefix sum (range exchange + local window + broadcast offsets) -> narrow per-doc block explode; BPE billing inside the same codegen map",
       "text_bpe_encode" -> "tokenizer output: the id-array BpeEncode kernel and its posexplode stay one narrow codegen span — zero exchanges before the output sort",
-      "span_dedup" -> "rolling-window span dedup: narrow window explode (16-byte xxhash64-pair keys, text never shuffles) -> one hash groupBy -> co-partitioned join back -> one doc groupBy; all linear",
+      "span_dedup" -> "rolling-window span dedup: narrow window explode (16-byte xxhash64-pair keys, text never shuffles) -> ONE h-exchange feeding (h,doc) agg + per-hash window count with zero further shuffles (single consumer: the build stage exists once by construction) -> one slim doc groupBy; all linear",
       "containment_pairs" -> "overlap-coefficient pairs: SLIM (blk,id) candidate self-join (shuffled-hash; arrays never ride it) -> hashed sorted arrays re-joined BY ID -> codegen'd merge-walk overlap kernel; strategy-roulette-proof",
       "ann_topk_q8" -> "quantized ANN: int8 codes in a narrow map, broadcast query side, integer-dot scoring, bounded-heap TopKPerKey argmax — corpus never shuffles",
       "profile_table" -> "one-pass profile: single scan -> Expand (multi-distinct) -> one aggregation -> stack unpivot; no per-column re-scan",
@@ -105,7 +105,7 @@ object PlanDump {
       "triangle_parts" -> "triangles: basket groupBy + narrow pair explode (no fact self-join); degree/adjacency broadcast SIZE-GATED on the measured distinct-edge count (edge-sized payload would OOM at graph scale; above the bound every probe is a plain co-partitioned equi-join); per-edge codegen merge-walk intersection (SortedIntersect — no boxed per-edge HashSet) — the wedge stream never materializes",
       "cusum_daily" -> "CUSUM: one fact agg to the |days| frame; prefix sum + two running extrema share ONE sorted window",
       "attribution_position" -> "multi-touch: one user-keyed equi-join; per-purchase rank/count windows and the largest-remainder pass all share the purchase partitioning",
-      "novelty_ngrams" -> "novelty: narrow window explode -> one hash groupBy (min doc) -> co-partitioned join back; the text never rides a shuffle",
+      "novelty_ngrams" -> "novelty: narrow window explode -> ONE h-exchange feeding (h,doc) agg + per-hash window min(doc) with zero further shuffles (single consumer); the text never rides a shuffle",
       "phrase_search" -> "phrase: postings term-filtered AT THE SCAN; (doc,pos) equi-joins co-partitioned on doc — the corpus never shuffles",
       "quality_calibrated" -> "calibrated quality: two-level range rank (no one-task-per-source sort) + broadcast per-source counts; one decile agg",
       "seq_pattern" -> "pattern chains: two as-of joins + both census aggs reuse ONE user-hash exchange; step windows are post-filters on the attached link times",
