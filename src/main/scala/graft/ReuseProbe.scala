@@ -156,6 +156,15 @@ object ReuseProbe {
     if (arms("span")) report("span-shape/AQE", spanShape(docs))
     if (arms("spanOuter"))
       report("span-outer-shape/AQE", spanOuterShape(docs))
+    if (arms("spanOuterNoInfer")) {
+      // the falsification arm: if the isnotnull inference asymmetry is
+      // the root cause, turning constraint propagation OFF must restore
+      // the fold in the very shape that broke it
+      spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+      report("span-outer-shape/AQE/noConstraintPropagation",
+        spanOuterShape(docs))
+      spark.conf.set("spark.sql.constraintPropagation.enabled", "true")
+    }
     if (arms("plain")) report("plain-shape/AQE", plainShape(docs))
     if (arms("spanNoBc")) {
       // the decade regime: shared-hash side too big to broadcast, so the
