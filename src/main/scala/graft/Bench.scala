@@ -289,18 +289,13 @@ object Bench {
     }
     def forkOne(n: String): Double = {
       val java = s"${sys.props("java.home")}/bin/java"
-      // mirrors build.sbt / JavaModuleOptions.defaultModuleOptions(): the
-      // child is a bare `java`, so nothing injects these for us
-      val addOpens = Seq(
-        "java.base/java.lang", "java.base/java.lang.invoke",
-        "java.base/java.lang.reflect", "java.base/java.io",
-        "java.base/java.net", "java.base/java.nio",
-        "java.base/java.util", "java.base/java.util.concurrent",
-        "java.base/java.util.concurrent.atomic",
-        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-        "java.base/sun.security.action", "java.base/sun.util.calendar")
-        .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-      val cmd = Seq(java) ++ addOpens ++ Seq(
+      // ChildJvm carries the add-opens list (mirrors build.sbt /
+      // JavaModuleOptions.defaultModuleOptions(): the child is a bare
+      // `java`, so nothing injects these for us) and the watchdog — a
+      // hung child would otherwise keep stdout open and block the line
+      // read forever, wedging the whole bench run; on kill the read
+      // unblocks and the query records -1
+      val cmd = Seq(java) ++ ChildJvm.jdk17AddOpens ++ Seq(
         s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
         "-cp", sys.props("java.class.path"),
         // the child gets the same tmpfs warehouse/local-dir treatment as
@@ -310,24 +305,10 @@ object Bench {
         // in-run/cold columns
         "graft.BenchFork", n, sfDir, cpus.toString,
         wh.resolve(s"fork_$n").toString)
-      val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
-      // watchdog: a hung child keeps stdout open, which would block the
-      // stream read below forever and wedge the whole bench run — kill it
-      // after the deadline so the read unblocks and the query records -1
-      val deadlineMs = sys.env
-        .getOrElse("SPARK_GRAFT_BENCH_FORK_TIMEOUT_S", "600").toLong * 1000L
-      val watchdog = new Thread(() => {
-        if (!p.waitFor(deadlineMs,
-            _root_.java.util.concurrent.TimeUnit.MILLISECONDS)) {
-          System.err.println(s"[bench] fork of $n timed out after ${deadlineMs / 1000}s; killing")
-          p.destroyForcibly(); ()
-        }
-      })
-      watchdog.setDaemon(true)
-      watchdog.start()
-      val src = scala.io.Source.fromInputStream(p.getInputStream)
-      val lines = try src.getLines().toList finally src.close()
-      p.waitFor()
+      val deadlineS = sys.env
+        .getOrElse("SPARK_GRAFT_BENCH_FORK_TIMEOUT_S", "600").toLong
+      val (lines, _) =
+        ChildJvm.run(cmd, Map.empty, deadlineS, s"fork of $n")
       // nanos as a long: locale-proof across the process boundary
       lines.collectFirst {
         case l if l.startsWith("FORK_NANOS ") =>
@@ -425,25 +406,34 @@ object Bench {
     }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(inRun)}$coldPart$spreadPart$forkPart$classPart$sentinelPart,"sf":"$sfDir"}"""
     println(line)
+    // routing decided BEFORE the compact line so its artifact pointer is
+    // the file this sweep actually writes (a contended/partial sweep
+    // must not point readers at a stale BENCH_full.json)
+    val target = fullOutputTarget(sys.env.get("SPARK_GRAFT_BENCH_FULL"),
+      isPartial = only.isDefined, contended = contended)
     // the driver's BENCH_rN.json keeps only the TAIL of stdout, and the
     // full line above has outgrown it (r17's driver artifact recorded
     // parsed:null) — so the LAST stdout line is a compact summary the
     // tail always contains whole: totals, per-class subtotals, sentinel,
     // and a queries map restricted to the flagship set (the driver's
     // schema wants a queries key; 17 rows keep the line a few hundred
-    // bytes). The full per-query artifact is the persisted file below.
-    val flagshipCold = cold.filter { case (n, _) =>
-      ScaleSmoke.flagshipSet.contains(n) }
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(flagshipCold)}$classPart$sentinelPart,"total_cold":${cold.map(_._2).sum},"full_artifact":"BENCH_full.json","sf":"$sfDir"}"""
+    // bytes). Cold medians are the diffable column of record; a sweep
+    // with the cold pass disabled falls back to in-run values rather
+    // than committing an empty map and a zero total.
+    val flagshipOf = (rs: Seq[(String, Double)]) => rs.filter {
+      case (n, _) => ScaleSmoke.flagshipSet.contains(n) }
+    val compactQueries =
+      if (cold.nonEmpty) flagshipOf(cold) else flagshipOf(inRun)
+    val compactCold =
+      if (cold.nonEmpty) s""","total_cold":${cold.map(_._2).sum}""" else ""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(compactQueries)}$classPart$sentinelPart$compactCold,"full_artifact":"$target","sf":"$sfDir"}"""
     println(compact)
     // the driver's BENCH_rN.json keeps only the tail of stdout, which
     // truncates the per-query map past ~70 queries — persist the FULL
     // line to a repo file so every round-over-round diff covers every
     // query (the file rides the driver's end-of-round commit). The
-    // target routes through fullOutputTarget: partial or contended
+    // target routed through fullOutputTarget above: partial or contended
     // sweeps can never overwrite the committed BENCH_full.json.
-    val target = fullOutputTarget(sys.env.get("SPARK_GRAFT_BENCH_FULL"),
-      isPartial = only.isDefined, contended = contended)
     if (contended) System.err.println(
       s"[bench] contention guard tripped (loadavg_pre=$loadavgPre, " +
         s"pure-class cold medians vs committed artifact inflated) — " +

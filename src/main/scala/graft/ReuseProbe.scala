@@ -169,9 +169,12 @@ object ReuseProbe {
     if (arms("spanNoBc")) {
       // the decade regime: shared-hash side too big to broadcast, so the
       // join consumer is a shuffle join — does stage reuse still fire?
+      // (save/restore the ambient threshold rather than resetting to the
+      // Spark default, so later arms run under the session's own value)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       report("span-shape/AQE/noBroadcast", spanShape(docs))
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     if (arms("spanNoAqe")) report("span-shape/noAQE", spanShape(docs))

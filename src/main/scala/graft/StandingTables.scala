@@ -41,16 +41,6 @@ object StandingTables {
     Basis("mp", Some("local-cluster[4,8,12288]"), "8g",
       f => if (f >= 1000) 2 else 3))
 
-  private def jdk17AddOpens: Seq[String] = Seq(
-    "java.base/java.lang", "java.base/java.lang.invoke",
-    "java.base/java.lang.reflect", "java.base/java.io",
-    "java.base/java.net", "java.base/java.nio",
-    "java.base/java.util", "java.base/java.util.concurrent",
-    "java.base/java.util.concurrent.atomic",
-    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-    "java.base/sun.security.action", "java.base/sun.util.calendar")
-    .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-
   /** Child stdout → the rep timings of `query` (parsed from ScaleSmoke's
     * scale{N}x JSON line; reps print as name#1..name#N, a single rep as
     * the bare name). Pure; unit-tested.
@@ -70,46 +60,73 @@ object StandingTables {
       reps: Int, scaleDir: String, base: String, timeoutS: Long)
       : Seq[Double] = {
     val java = s"${sys.props("java.home")}/bin/java"
-    val cmd = Seq(java) ++ jdk17AddOpens ++ Seq(
+    val cmd = Seq(java) ++ ChildJvm.jdk17AddOpens ++ Seq(
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       s"-Xmx${basis.driverMem}",
       "-cp", sys.props("java.class.path"),
       "graft.ScaleSmoke", base)
-    val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
-    val env = pb.environment()
-    env.put("SPARK_GRAFT_SCALE_DIR", scaleDir)
-    env.put("SPARK_GRAFT_SCALE_FACTOR", factor.toString)
-    env.put("SPARK_GRAFT_SCALE_ONLY", query)
-    env.put("SPARK_GRAFT_SCALE_REPS", reps.toString)
-    basis.master.foreach { m =>
-      env.put("SPARK_GRAFT_MASTER", m)
+    // basis-defining and semantics-changing vars are SET OR REMOVED
+    // explicitly — the parent may be running from the exact shell whose
+    // hand-driven incantations this main replaces, and an inherited
+    // SPARK_GRAFT_MASTER would silently turn every "sj" row into an mp
+    // measurement (likewise SPAN_NO_COLLAPSE would flip span/novelty to
+    // the raw study path). SPARK_GRAFT_EXTRA_CONF stays inherited on
+    // purpose: it is the documented instrumentation passthrough.
+    val env = Map[String, Option[String]](
+      "SPARK_GRAFT_SCALE_DIR" -> Some(scaleDir),
+      "SPARK_GRAFT_SCALE_FACTOR" -> Some(factor.toString),
+      "SPARK_GRAFT_SCALE_ONLY" -> Some(query),
+      "SPARK_GRAFT_SCALE_REPS" -> Some(reps.toString),
+      "SPARK_GRAFT_SPAN_NO_COLLAPSE" -> None,
       // local-cluster's executor launcher resolves its classpath through
       // the scala-version-suffixed dir name
-      env.put("SPARK_SCALA_VERSION", "2.13")
+      "SPARK_SCALA_VERSION" -> basis.master.map(_ => "2.13"),
+      "SPARK_GRAFT_MASTER" -> basis.master)
+    val (lines, exit) = ChildJvm.run(cmd, env, timeoutS,
+      s"$query@${factor}x/${basis.key}")
+    // a query that THREW still gets a timing printed by ScaleSmoke (it
+    // records the elapsed time around the catch) — an evidence table
+    // must not commit a phantom fast rep for a failed run, so the
+    // failure marker voids the whole cell
+    val failed = lines.filter(_.contains(s"[scale] $query failed"))
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[standing] $query@${factor}x/${basis.key} FAILED in-child: " +
+          failed.head.takeRight(160))
+      return Seq.empty
     }
-    val p = pb.start()
-    val watchdog = new Thread(() => {
-      if (!p.waitFor(timeoutS,
-          _root_.java.util.concurrent.TimeUnit.SECONDS)) {
-        System.err.println(
-          s"[standing] $query@${factor}x/${basis.key} timed out after " +
-            s"$timeoutS s; killing")
-        p.destroyForcibly(); ()
-      }
-    })
-    watchdog.setDaemon(true)
-    watchdog.start()
-    val src = scala.io.Source.fromInputStream(p.getInputStream)
-    val lines = try src.getLines().toList finally src.close()
-    p.waitFor()
     val ts = parseReps(lines, query)
     if (ts.isEmpty) {
       System.err.println(
         s"[standing] $query@${factor}x/${basis.key} produced no timings " +
-          s"(exit=${p.exitValue()}); last output: " +
+          s"(exit=$exit); last output: " +
           lines.takeRight(3).mkString(" | "))
     }
     ts
+  }
+
+  /** Ensure the pinned decade dir is built BEFORE the timed children
+    * run: a cold or stamp-mismatched dir would otherwise be amplified
+    * inside the first timed child, blowing its watchdog mid-build with
+    * no marker written — and every subsequent child would re-pay the
+    * multi-GB rebuild and die the same way. The build child gets its
+    * own generous timeout and its timings are discarded.
+    */
+  private def ensureDir(factor: Int, scaleDir: String, base: String,
+      buildTimeoutS: Long): Unit = {
+    val marker = new java.io.File(scaleDir, "_graft_scale_build")
+    val stamp = s"base=$base factor=$factor"
+    val built = marker.exists() &&
+      scala.util.Try(java.nio.file.Files.readString(marker.toPath).trim)
+        .getOrElse("") == stamp
+    if (built) return
+    System.err.println(s"[standing] $scaleDir not built for '$stamp' — " +
+      s"building it first (timeout $buildTimeoutS s)")
+    val ts = runChild("q1_pricing", factor, bases.head, 1, scaleDir, base,
+      buildTimeoutS)
+    require(marker.exists(),
+      s"decade-dir build failed for $scaleDir (no marker after build " +
+        s"child; timings=$ts)")
   }
 
   def main(args: Array[String]): Unit = {
@@ -124,14 +141,22 @@ object StandingTables {
     val timeoutS = sys.env.getOrElse("SPARK_GRAFT_ST_TIMEOUT_S", "900").toLong
     val activeBases = bases.filter(b => basisKeys.contains(b.key))
     if (activeBases.exists(_.master.isDefined)) {
+      // same jar resolution ScaleSmoke's local-cluster path uses: an
+      // explicit SPARK_GRAFT_APP_JAR satisfies the preflight too
+      val explicit = sys.env.get("SPARK_GRAFT_APP_JAR")
+        .filter(p => new java.io.File(p).isFile)
       val jarDir = new java.io.File("target/scala-2.13")
-      val hasJar = Option(jarDir.listFiles())
+      val hasJar = explicit.isDefined || Option(jarDir.listFiles())
         .exists(_.exists(_.getName.endsWith(".jar")))
-      require(hasJar, "mp basis needs the app jar — run `sbt package` first")
+      require(hasJar, "mp basis needs the app jar — run `sbt package` " +
+        "first (or point SPARK_GRAFT_APP_JAR at one)")
     }
+    val buildTimeoutS = sys.env
+      .getOrElse("SPARK_GRAFT_ST_BUILD_TIMEOUT_S", "3600").toLong
     for (factor <- decades) {
       val scaleDir = sys.env.getOrElse(s"SPARK_GRAFT_ST_DIR_$factor",
         s"/dev/shm/graft_scale$factor")
+      ensureDir(factor, scaleDir, base, buildTimeoutS)
       // rows accumulate as (query -> basisKey -> reps)
       val rows = queries.map { q =>
         q -> activeBases.map { b =>
