@@ -277,11 +277,13 @@ object Bench {
     // session bootstrap (BenchFork starts its timer after the
     // SparkSession is up). ~10 s JVM+session spin-up per query, so:
     //   SPARK_GRAFT_BENCH_FORK=flagship — fork only the flagship set
-    //     (~17 rows) inside the full sweep; the PER-ROUND default, cheap
-    //     enough that the committed artifact always carries a true-cold
-    //     column (r17 verdict task 3);
-    //   SPARK_GRAFT_BENCH_FORK=1 — fork every query (study mode).
-    val forkMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "0")
+    //     (~17 rows, ~5 min) inside the full sweep; the DEFAULT, so the
+    //     committed artifact always carries a true-cold column no matter
+    //     who runs the sweep (r17 verdict task 3 — an opt-in env var
+    //     would silently drop the column from any harness-driven run);
+    //   SPARK_GRAFT_BENCH_FORK=1 — fork every query (study mode);
+    //   SPARK_GRAFT_BENCH_FORK=0 — no forks (fast dev loops).
+    val forkMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "flagship")
     val forkNames = forkMode match {
       case "0" | "" => Seq.empty[String]
       case "flagship" => names.filter(ScaleSmoke.flagshipSet.contains)
