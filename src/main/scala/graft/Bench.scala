@@ -14,8 +14,10 @@ object Bench {
     *   - an explicit SPARK_GRAFT_BENCH_FULL path is always honored (the
     *     dev-loop contract: subset probes MUST redirect, or they clobber
     *     the full-sweep line every round-over-round diff reads);
-    *   - a restricted (SPARK_GRAFT_BENCH_ONLY) sweep without an explicit
-    *     path lands in BENCH_full.partial.json, never the committed file;
+    *   - a restricted (SPARK_GRAFT_BENCH_ONLY) sweep, or a full sweep
+    *     whose sf dir differs from the committed artifact's own "sf"
+    *     field (a dev-loop run at sf0.01 — see parseSf), lands in
+    *     BENCH_full.partial.json, never the committed file;
     *   - a full sweep classified contended (sentinel tripped AND loadavg
     *     corroborates external load — see the sentinel block in main)
     *     lands in BENCH_full.contended.json — the r14 failure mode (a
@@ -66,12 +68,17 @@ object Bench {
   }
 
   /** Locale-proof fixed-point formatting for every JSON-line emitter
-    * (Bench, ScaleSmoke, Q5Probe): the f-interpolator honors the default
-    * locale, so under a comma-decimal locale `f"$v%.3f"` would emit
-    * `0,544` and the committed line stops being JSON.
+    * (Bench, ScaleSmoke, Q5Probe, StandingTables, and the study bench
+    * mains): the f-interpolator honors the default locale, so under a
+    * comma-decimal locale `f"$v%.3f"` would emit `0,544` and the
+    * committed line stops being JSON.
     */
   private[graft] def jnum(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", v)
+
+  /** Same, for emitters that want a different precision. */
+  private[graft] def jnum(v: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f", v)
 
   /** True median (pure; unit-tested): averages the two middle elements
     * for even counts — upper-middle alone biases high for reps=4.
@@ -108,6 +115,16 @@ object Bench {
       case (n, ts) if ts.nonEmpty && median(ts.take(gateReps)) < thresh =>
         n -> ((ts.min, ts.max))
     }
+
+  /** The "sf" field of a committed BENCH_full.json line — the dir the
+    * committed sweep ran against (pure; unit-tested). Used to refuse
+    * cross-dir comparisons and artifact overwrites: a dev-loop sweep at
+    * sf0.01 is ~10× faster per query than the committed sf0.1 line, so
+    * its sentinel ratio reads ~0.1 (never trips the >1.2 guard) and it
+    * would silently clobber the round's artifact.
+    */
+  private[graft] def parseSf(line: String): Option[String] =
+    raw""""sf":"([^"]+)"""".r.findFirstMatchIn(line).map(_.group(1))
 
   /** queries_cold map of a committed BENCH_full.json line (flat
     * "name":seconds pairs) — tolerant regex extraction, no JSON dep.
@@ -327,10 +344,21 @@ object Bench {
     // only a full sweep compares — partial sweeps never touch the
     // artifact anyway
     val coldByName = cold.toMap
-    val committedLine =
-      if (only.isDefined || cold.isEmpty) None
+    val committedRaw =
+      if (only.isDefined) None
       else scala.util.Try(java.nio.file.Files.readString(
         java.nio.file.Paths.get("BENCH_full.json"))).toOption
+    // a full sweep against a DIFFERENT sf dir than the committed
+    // artifact's is a dev-loop probe, not the round's sweep: its numbers
+    // are incomparable to the committed line (at sf0.01 the sentinel
+    // ratio reads ~0.1× and never trips), its envelopes must not union
+    // across scales, and it must NOT overwrite the committed artifact —
+    // the pre-guard footgun was the verify recipe's own sf0.01 bench
+    // step silently clobbering the round's sf0.1 line
+    val committedSf = committedRaw.flatMap(parseSf)
+    val dirMismatch = committedSf.exists(_ != sfDir)
+    val committedLine =
+      if (dirMismatch || cold.isEmpty) None else committedRaw
     val committedCold =
       committedLine.map(parseColdMap).getOrElse(Map.empty)
     val sentinelRatios = names
@@ -412,7 +440,7 @@ object Bench {
     // the file this sweep actually writes (a contended/partial sweep
     // must not point readers at a stale BENCH_full.json)
     val target = fullOutputTarget(sys.env.get("SPARK_GRAFT_BENCH_FULL"),
-      isPartial = only.isDefined, contended = contended)
+      isPartial = only.isDefined || dirMismatch, contended = contended)
     // the driver's BENCH_rN.json keeps only the TAIL of stdout, and the
     // full line above has outgrown it (r17's driver artifact recorded
     // parsed:null) — so the LAST stdout line is a compact summary the
@@ -436,6 +464,10 @@ object Bench {
     // query (the file rides the driver's end-of-round commit). The
     // target routed through fullOutputTarget above: partial or contended
     // sweeps can never overwrite the committed BENCH_full.json.
+    if (dirMismatch) System.err.println(
+      s"[bench] sf-dir mismatch: committed artifact ran " +
+        s"${committedSf.getOrElse("?")}, this sweep ran $sfDir — " +
+        s"writing $target, NOT BENCH_full.json")
     if (contended) System.err.println(
       s"[bench] contention guard tripped (loadavg_pre=$loadavgPre, " +
         s"pure-class cold medians vs committed artifact inflated) — " +

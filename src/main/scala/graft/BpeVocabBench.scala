@@ -63,10 +63,10 @@ object BpeVocabBench {
         val (smallSec, smallToks) = timedSum(df, small)
         df.unpersist()
         val hitRate = 1.0 - distinct.toDouble / pretokens.toDouble
-        f""""$label":{"rows":$rows,"pretokens":$pretokens,""" +
-          f""""distinct_words":$distinct,"memo_hit_rate":$hitRate%.4f,""" +
-          f""""big_vocab_sec":$bigSec%.3f,"big_vocab_tokens":$bigToks,""" +
-          f""""small_vocab_sec":$smallSec%.3f,"small_vocab_tokens":$smallToks}"""
+        s""""$label":{"rows":$rows,"pretokens":$pretokens,""" +
+          s""""distinct_words":$distinct,"memo_hit_rate":${Bench.jnum(hitRate, 4)},""" +
+          s""""big_vocab_sec":${Bench.jnum(bigSec)},"big_vocab_tokens":$bigToks,""" +
+          s""""small_vocab_sec":${Bench.jnum(smallSec)},"small_vocab_tokens":$smallToks}"""
     }
     println(s"""{"metric":"bpe_vocab_cost","merges_big":${full.length},""" +
       s""""merges_small":${small.length},"reps":$reps,""" +

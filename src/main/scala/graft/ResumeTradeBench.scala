@@ -69,12 +69,12 @@ object ResumeTradeBench {
         waves = waves, pass = 2)
       ()
     }
-    println(f"""{"metric":"resume_trade","plain_write_sec":$plain%.2f,""" +
-      f""""resumable_pass_sec":$resumable%.2f,"waves":$waves,""" +
-      f""""ratio":${resumable / plain}%.2f,""" +
-      f""""faulted_pass_sec":$faulted%.2f,"resume_pass_sec":$resumed%.2f,""" +
-      f""""recovery_total_ratio":${(faulted + resumed) / plain}%.2f,""" +
-      f""""dir":"$dir"}""")
+    println(s"""{"metric":"resume_trade","plain_write_sec":${Bench.jnum(plain, 2)},""" +
+      s""""resumable_pass_sec":${Bench.jnum(resumable, 2)},"waves":$waves,""" +
+      s""""ratio":${Bench.jnum(resumable / plain, 2)},""" +
+      s""""faulted_pass_sec":${Bench.jnum(faulted, 2)},"resume_pass_sec":${Bench.jnum(resumed, 2)},""" +
+      s""""recovery_total_ratio":${Bench.jnum((faulted + resumed) / plain, 2)},""" +
+      s""""dir":"$dir"}""")
     Queries.rmTree(new java.io.File(plainDir))
     Queries.rmTree(new java.io.File(resumeDir))
     Queries.rmTree(new java.io.File(faultDir))

@@ -71,7 +71,7 @@ object StreamScaleBench {
       // only covering event delivery, not query execution
       Thread.sleep(2000)
       val extraJson = extra.map { case (k, v) => s""","$k":$v""" }.mkString
-      println(f"""{"query":"$name","dir":"$dir","sec":$sec%.2f,""" +
+      println(s"""{"query":"$name","dir":"$dir","sec":${Bench.jnum(sec, 2)},""" +
         s""""state_rows_max":${maxRows.get},""" +
         s""""state_mem_bytes_max":${maxMem.get},""" +
         s""""rows_dropped_by_watermark":${dropped.get}$extraJson}""")

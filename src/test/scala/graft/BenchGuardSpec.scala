@@ -29,6 +29,16 @@ class BenchGuardSpec extends AnyFunSuite {
       contended = true) == "BENCH_full.contended.json")
   }
 
+  test("parseSf extracts the committed sweep's sf dir") {
+    val line = """{"metric":"total","value":1.5,"queries":{"a":1.0},""" +
+      """"sf":"/root/testdata/sf0.1"}"""
+    assert(Bench.parseSf(line).contains("/root/testdata/sf0.1"))
+    // a dev-loop sweep at another sf must read as a mismatch (routes to
+    // BENCH_full.partial.json via isPartial — the sf0.01 clobber guard)
+    assert(Bench.parseSf(line).exists(_ != "/root/testdata/sf0.01"))
+    assert(Bench.parseSf("""{"metric":"total","value":1.5}""").isEmpty)
+  }
+
   test("explicit path is always honored") {
     for (p <- Seq(true, false); c <- Seq(true, false))
       assert(Bench.fullOutputTarget(Some("/tmp/x.json"), p, c)
@@ -194,6 +204,8 @@ class BenchGuardSpec extends AnyFunSuite {
       java.util.Locale.setDefault(java.util.Locale.GERMANY)
       assert(Bench.jnum(0.544) == "0.544")
       assert(Bench.jnum(1234.5) == "1234.500")
+      assert(Bench.jnum(0.5444, 2) == "0.54")
+      assert(Bench.jnum(0.98765, 4) == "0.9877")
     } finally java.util.Locale.setDefault(prev)
   }
 
