@@ -126,6 +126,15 @@ object Bench {
   private[graft] def parseSf(line: String): Option[String] =
     raw""""sf":"([^"]+)"""".r.findFirstMatchIn(line).map(_.group(1))
 
+  /** Normalized form for the sf-dir comparison (pure; unit-tested): a
+    * trailing slash or ./ segment in SPARK_GRAFT_SF_DIR must not read as
+    * a mismatch — that would misroute the round's REAL sweep to the
+    * partial file and leave the committed artifact silently stale.
+    */
+  private[graft] def normPath(p: String): String =
+    scala.util.Try(java.nio.file.Paths.get(p).normalize.toString)
+      .getOrElse(p).stripSuffix("/")
+
   /** queries_cold map of a committed BENCH_full.json line (flat
     * "name":seconds pairs) — tolerant regex extraction, no JSON dep.
     */
@@ -356,7 +365,7 @@ object Bench {
     // the pre-guard footgun was the verify recipe's own sf0.01 bench
     // step silently clobbering the round's sf0.1 line
     val committedSf = committedRaw.flatMap(parseSf)
-    val dirMismatch = committedSf.exists(_ != sfDir)
+    val dirMismatch = committedSf.exists(normPath(_) != normPath(sfDir))
     val committedLine =
       if (dirMismatch || cold.isEmpty) None else committedRaw
     val committedCold =

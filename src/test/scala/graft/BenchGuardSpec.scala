@@ -37,6 +37,14 @@ class BenchGuardSpec extends AnyFunSuite {
     // BENCH_full.partial.json via isPartial — the sf0.01 clobber guard)
     assert(Bench.parseSf(line).exists(_ != "/root/testdata/sf0.01"))
     assert(Bench.parseSf("""{"metric":"total","value":1.5}""").isEmpty)
+    // the mismatch compare normalizes: spelling variants of the SAME dir
+    // must not divert the round's real sweep off the committed artifact
+    assert(Bench.normPath("/root/testdata/sf0.1/")
+      == Bench.normPath("/root/testdata/sf0.1"))
+    assert(Bench.normPath("/root/testdata/./sf0.1")
+      == Bench.normPath("/root/testdata/sf0.1"))
+    assert(Bench.normPath("/root/testdata/sf0.01")
+      != Bench.normPath("/root/testdata/sf0.1"))
   }
 
   test("explicit path is always honored") {
