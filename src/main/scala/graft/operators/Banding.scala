@@ -134,7 +134,7 @@ object Banding {
     val joined = local.join(broadcast(offsDf),
         col("_pid") === col("_opid") && col(stratumCol) <=> col("_ost"))
       .withColumn(out, band)
-      .select(df.columns.map(col) :+ col(out): _*)
+      .select(df.columns.toIndexedSeq.map(col) :+ col(out): _*)
     // release `local` deterministically instead of renting storage memory
     // for the session lifetime: materialize the result eagerly (same
     // Caching.withCached pattern — the result's own checkpoint is freed by

@@ -100,11 +100,11 @@ object CountMin {
     val jb = probes
       .withColumn("_jb", explode(array((0 until d).map(j =>
         struct(lit(j).as("j"), bucket(itemCol, j, w).as("b"))): _*)))
-      .select(probes.columns.map(col) :+ col("_jb.j").as("_j")
+      .select(probes.columns.toIndexedSeq.map(col) :+ col("_jb.j").as("_j")
         :+ col("_jb.b").as("_b"): _*)
     jb.join(broadcast(cells),
         jb("_j") === cells("j") && jb("_b") === cells("b"), "left")
-      .groupBy(probes.columns.map(jb(_)): _*)
+      .groupBy(probes.columns.toIndexedSeq.map(jb(_)): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
 }
