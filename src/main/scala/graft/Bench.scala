@@ -126,14 +126,20 @@ object Bench {
   private[graft] def parseSf(line: String): Option[String] =
     raw""""sf":"([^"]+)"""".r.findFirstMatchIn(line).map(_.group(1))
 
-  /** Normalized form for the sf-dir comparison (pure; unit-tested): a
-    * trailing slash or ./ segment in SPARK_GRAFT_SF_DIR must not read as
-    * a mismatch — that would misroute the round's REAL sweep to the
-    * partial file and leave the committed artifact silently stale.
+  /** Normalized form for the sf-dir comparison (unit-tested): a trailing
+    * slash, ./ segment, relative spelling, or symlinked alias of the SAME
+    * dir in SPARK_GRAFT_SF_DIR must not read as a mismatch — that would
+    * misroute the round's REAL sweep to the partial file and leave the
+    * committed artifact silently stale. Canonicalizes through the
+    * filesystem when the path exists (resolving symlinks and relative
+    * spellings); falls back to lexical normalization when it doesn't.
     */
-  private[graft] def normPath(p: String): String =
-    scala.util.Try(java.nio.file.Paths.get(p).normalize.toString)
+  private[graft] def normPath(p: String): String = {
+    val t = scala.util.Try(java.nio.file.Paths.get(p))
+    t.flatMap(q => scala.util.Try(q.toRealPath().toString))
+      .orElse(t.map(_.toAbsolutePath.normalize.toString))
       .getOrElse(p).stripSuffix("/")
+  }
 
   /** queries_cold map of a committed BENCH_full.json line (flat
     * "name":seconds pairs) — tolerant regex extraction, no JSON dep.
@@ -309,7 +315,13 @@ object Bench {
     //     would silently drop the column from any harness-driven run);
     //   SPARK_GRAFT_BENCH_FORK=1 — fork every query (study mode);
     //   SPARK_GRAFT_BENCH_FORK=0 — no forks (fast dev loops).
-    val forkMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "flagship")
+    // the DEFAULT only applies to full sweeps: a BENCH_ONLY subset probe
+    // routes to the partial artifact, where the true-cold column buys
+    // nothing — forking its flagship rows would just tax every dev loop
+    // ~10 s+query per row. An EXPLICIT fork env is still honored on
+    // subsets (fork studies of single queries are a real workflow).
+    val forkMode = sys.env.get("SPARK_GRAFT_BENCH_FORK")
+      .getOrElse(if (only.isDefined) "0" else "flagship")
     val forkNames = forkMode match {
       case "0" | "" => Seq.empty[String]
       case "flagship" => names.filter(ScaleSmoke.flagshipSet.contains)
@@ -476,7 +488,10 @@ object Bench {
     if (dirMismatch) System.err.println(
       s"[bench] sf-dir mismatch: committed artifact ran " +
         s"${committedSf.getOrElse("?")}, this sweep ran $sfDir — " +
-        s"writing $target, NOT BENCH_full.json")
+        (if (sys.env.contains("SPARK_GRAFT_BENCH_FULL"))
+          s"explicit SPARK_GRAFT_BENCH_FULL override in effect, writing " +
+            s"$target (cross-scale compares still skipped)"
+        else s"writing $target, NOT BENCH_full.json"))
     if (contended) System.err.println(
       s"[bench] contention guard tripped (loadavg_pre=$loadavgPre, " +
         s"pure-class cold medians vs committed artifact inflated) — " +

@@ -124,9 +124,16 @@ object StandingTables {
       s"building it first (timeout $buildTimeoutS s)")
     val ts = runChild("q1_pricing", factor, bases.head, 1, scaleDir, base,
       buildTimeoutS)
-    require(marker.exists(),
-      s"decade-dir build failed for $scaleDir (no marker after build " +
-        s"child; timings=$ts)")
+    // check the marker CONTENT, not mere existence: a stale marker from a
+    // previous build shape survives a killed rebuild (ScaleSmoke only
+    // writes the marker after a COMPLETE build, and never deletes a stale
+    // one first), and existence alone would report that failure as success
+    val rebuilt =
+      scala.util.Try(java.nio.file.Files.readString(marker.toPath).trim)
+        .getOrElse("") == stamp
+    require(rebuilt,
+      s"decade-dir build failed for $scaleDir (marker missing or stale " +
+        s"after build child; wanted '$stamp'; timings=$ts)")
   }
 
   def main(args: Array[String]): Unit = {
@@ -143,8 +150,15 @@ object StandingTables {
     if (activeBases.exists(_.master.isDefined)) {
       // same jar resolution ScaleSmoke's local-cluster path uses: an
       // explicit SPARK_GRAFT_APP_JAR satisfies the preflight too
-      val explicit = sys.env.get("SPARK_GRAFT_APP_JAR")
-        .filter(p => new java.io.File(p).isFile)
+      val explicitRaw = sys.env.get("SPARK_GRAFT_APP_JAR")
+      val explicit = explicitRaw.filter(p => new java.io.File(p).isFile)
+      // a SET-but-unusable explicit jar must fail here, not pass the
+      // preflight via the dir-scan fallback: the mp children use the env
+      // var verbatim, so they would all die at session creation — after
+      // hours of sj cells already ran
+      require(explicitRaw.isEmpty || explicit.isDefined,
+        s"SPARK_GRAFT_APP_JAR=${explicitRaw.get} is not a file — the mp " +
+          s"children would inherit and fail on it; fix or unset it")
       val jarDir = new java.io.File("target/scala-2.13")
       val hasJar = explicit.isDefined || Option(jarDir.listFiles())
         .exists(_.exists(_.getName.endsWith(".jar")))

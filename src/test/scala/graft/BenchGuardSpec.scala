@@ -33,9 +33,15 @@ class BenchGuardSpec extends AnyFunSuite {
     val line = """{"metric":"total","value":1.5,"queries":{"a":1.0},""" +
       """"sf":"/root/testdata/sf0.1"}"""
     assert(Bench.parseSf(line).contains("/root/testdata/sf0.1"))
-    // a dev-loop sweep at another sf must read as a mismatch (routes to
-    // BENCH_full.partial.json via isPartial — the sf0.01 clobber guard)
-    assert(Bench.parseSf(line).exists(_ != "/root/testdata/sf0.01"))
+    // the actual guard composition (the sf0.01 clobber case): the parsed
+    // committed sf, normalized, must differ from the dev-loop dir —
+    // driving isPartial and the BENCH_full.partial.json route
+    assert(Bench.parseSf(line).exists(sf =>
+      Bench.normPath(sf) != Bench.normPath("/root/testdata/sf0.01")))
+    // and MATCH the committed dir itself, so the round's real sweep at
+    // the same dir never diverts
+    assert(Bench.parseSf(line).exists(sf =>
+      Bench.normPath(sf) == Bench.normPath("/root/testdata/sf0.1")))
     assert(Bench.parseSf("""{"metric":"total","value":1.5}""").isEmpty)
     // the mismatch compare normalizes: spelling variants of the SAME dir
     // must not divert the round's real sweep off the committed artifact
@@ -45,6 +51,16 @@ class BenchGuardSpec extends AnyFunSuite {
       == Bench.normPath("/root/testdata/sf0.1"))
     assert(Bench.normPath("/root/testdata/sf0.01")
       != Bench.normPath("/root/testdata/sf0.1"))
+    // symlinked aliases of the same existing dir canonicalize together
+    val link = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft_normpath_link_${ProcessHandle.current().pid()}")
+    java.nio.file.Files.deleteIfExists(link)
+    java.nio.file.Files.createSymbolicLink(
+      link, java.nio.file.Paths.get("/root/testdata/sf0.1"))
+    try assert(Bench.normPath(link.toString)
+      == Bench.normPath("/root/testdata/sf0.1"))
+    finally java.nio.file.Files.deleteIfExists(link)
   }
 
   test("explicit path is always honored") {
