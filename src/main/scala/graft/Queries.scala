@@ -1772,6 +1772,67 @@ object Queries {
          AS BIGINT) AS sum_bpe
        FROM documents GROUP BY lang, source ORDER BY lang, source"""
 
+  /** Source-mixture reweighting at temperature α = 1/2 — the standard
+    * training-mix curation step (smooth the source distribution toward
+    * uniform: `w_d ∝ p_d^α` downweights dominant sources, upweights the
+    * tail; the Pile/LLaMA-style mix table). α is FIXED at 1/2 because
+    * IEEE 754 requires sqrt to be correctly rounded (pow is not — libm
+    * implementations differ in the last ulp), and the cross-source
+    * normalizing sum rides the E63 integer-quantization discipline —
+    * q_d = ⌊2²⁰·√p_d⌋ per source, Σq exact BIGINT in both engines — so
+    * every emitted double is a single fixed-shape division over
+    * identical integers, never a float accumulation. Output per source:
+    * doc/token counts, token share p_d, smoothed normalized weight w_d,
+    * and the sampling multiplier w_d/p_d (> 1 ⇒ oversample this source
+    * when drawing the training mix).
+    *
+    * Scale shape: one map-side-combining aggregate to |sources| rows;
+    * the normalizing total is a broadcast one-row cross join. Nothing
+    * else shuffles — linear at any corpus size.
+    */
+  def domainMixture(s: SparkSession, dir: String): DataFrame = {
+    val per = documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.wordCount(col("text")).cast("long")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot")).select(col("tot"))
+    val q = floor(lit(1048576.0) *
+      sqrt(col("n_tokens").cast("double") / col("tot").cast("double")))
+      .cast("long")
+    val withQ = per.crossJoin(broadcast(tot)).withColumn("q", q)
+    val qtot = withQ.agg(sum(col("q")).as("qtot")).select(col("qtot"))
+    withQ.crossJoin(broadcast(qtot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("tot").cast("double"))
+          .as("tok_share"),
+        (col("q").cast("double") / col("qtot").cast("double")).as("weight"),
+        ((col("q").cast("double") / col("qtot").cast("double")) /
+          (col("n_tokens").cast("double") / col("tot").cast("double")))
+          .as("multiplier"))
+      .orderBy(col("source"))
+  }
+
+  val domainMixtureSql: String =
+    """WITH per AS (
+         SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)
+             AS n_tokens
+         FROM documents GROUP BY source),
+       tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM per),
+       wq AS (
+         SELECT per.*, tot.tot,
+           CAST(FLOOR(1048576.0 *
+             sqrt(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)))
+             AS BIGINT) AS q
+         FROM per, tot),
+       qt AS (SELECT CAST(SUM(q) AS BIGINT) AS qtot FROM wq)
+       SELECT source, n_docs, n_tokens,
+         CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS tok_share,
+         CAST(q AS DOUBLE) / CAST(qtot AS DOUBLE) AS weight,
+         (CAST(q AS DOUBLE) / CAST(qtot AS DOUBLE)) /
+           (CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)) AS multiplier
+       FROM wq, qt ORDER BY source"""
+
   def textTokens(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).where(col("doc_id") < 50)
       .select(col("doc_id"),
@@ -2092,6 +2153,36 @@ object Queries {
            ELSE 0.0 END AS dup_frac
        FROM b2 LEFT JOIN dup USING (doc_id)
        ORDER BY doc_id"""
+
+  /** Corpus duplicated-span census (operators/SpanDedup.scala): the top
+    * shared 8-word spans (≥ 3 distinct docs) with doc/instance counts,
+    * heaviest first — the strip-list consumer of the span family (WHICH
+    * boilerplate to remove, where `span_dedup` scores how much each doc
+    * carries). Total order (span is the group key), deterministic cut.
+    */
+  def spanCensusQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SpanDedup.spanCensus(
+      documents(s, dir), col("doc_id"), col("text"), n = 8,
+      minDocs = 3, k = 100)
+
+  val spanCensusSql: String =
+    s"""WITH base AS (
+         SELECT doc_id, string_split($normalizeSql, ' ') AS w
+         FROM documents),
+       b2 AS (SELECT doc_id, w, len(w) AS nw FROM base),
+       wins AS (
+         SELECT doc_id, array_to_string(w[i+1:i+8], ' ') AS span
+         FROM (SELECT doc_id, w, nw, unnest(range(nw - 7)) AS i
+               FROM b2 WHERE nw >= 8)),
+       agg AS (
+         SELECT span, COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_instances
+         FROM wins GROUP BY 1)
+       SELECT span, CAST(n_docs AS BIGINT) AS n_docs,
+         CAST(n_instances AS BIGINT) AS n_instances
+       FROM agg WHERE n_docs >= 3
+       ORDER BY n_docs DESC, n_instances DESC, span
+       LIMIT 100"""
 
   def fingerprintQ(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).where(col("doc_id") < 50)

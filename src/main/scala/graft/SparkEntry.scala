@@ -137,6 +137,8 @@ object SparkEntry {
     "source_quota" -> (Queries.sourceQuota _),
     // L8-L11 text analysis
     "text_stats" -> (Queries.textStats _),
+    // L47 sqrt-temperature source-mixture weights
+    "domain_mixture" -> (Queries.domainMixture _),
     "text_tokens" -> (Queries.textTokens _),
     "text_bpe_tokens" -> (Queries.textBpeTokens _),
     "text_bpe_names" -> (Queries.textBpeNames _),
@@ -151,6 +153,8 @@ object SparkEntry {
     // L22 line-level dedup
     "line_dedup" -> (Queries.lineDedup _),
     "span_dedup" -> (Queries.spanDedup _),
+    // L46 duplicated-span census (the span-family strip-list consumer)
+    "span_census" -> (Queries.spanCensusQ _),
     // L25 NFC canonicalization
     "text_nfc_clean" -> (Queries.textNfcClean _),
     // E23-E27 CDC merge, inverted index, histogram, winsorize, cohort
@@ -431,6 +435,7 @@ object SparkEntry {
     "multimodal_video" -> Queries.multimodalVideoSql,
     "source_quota" -> Queries.sourceQuotaSql,
     "text_stats" -> Queries.textStatsSql,
+    "domain_mixture" -> Queries.domainMixtureSql,
     "text_tokens" -> Queries.textTokensSql,
     "text_bpe_tokens" -> Queries.textBpeTokensSql,
     "text_bpe_names" -> Queries.textBpeNamesSql,
@@ -443,6 +448,7 @@ object SparkEntry {
     "pii_redact" -> Queries.piiRedactSql,
     "line_dedup" -> Queries.lineDedupSql,
     "span_dedup" -> Queries.spanDedupSql,
+    "span_census" -> Queries.spanCensusSql,
     "text_nfc_clean" -> Queries.textNfcCleanSql,
     "merge_upsert" -> Queries.mergeUpsertSql,
     "inverted_index" -> Queries.invertedIndexSql,

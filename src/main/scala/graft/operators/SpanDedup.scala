@@ -294,6 +294,79 @@ object SpanDedup {
     } finally members.unpersist(false)
   }
 
+  /** Corpus-level duplicated-SPAN census — the actionable consumer of the
+    * span family: [[spanStats]] says how much of each DOC is duplicated;
+    * this says WHICH spans (boilerplate headers, nav chrome, license
+    * blocks, templated disclaimers) carry the duplication, so a curation
+    * pass knows what to strip. One row per distinct `n`-word window
+    * occurring in ≥ `minDocs` distinct documents: the span text, its
+    * distinct-doc count, and its total instance count, heaviest first —
+    * `(n_docs DESC, n_instances DESC, span)` is a TOTAL order (the span
+    * IS the group identity), so the top-`k` cut is deterministic and the
+    * DuckDB oracle reproduces it row for row.
+    *
+    * Scale shape: same single window-build pass as [[spanStats]] (the
+    * r18 one-build discipline), but the census must OUTPUT the span
+    * text, so each instance carries its window string through the ONE
+    * `h` exchange and `min(ws)` recovers the representative per hash
+    * (exact under the 128-bit key contract — all strings in an h-group
+    * ARE the span) — re-exploding the corpus in a second recovery pass
+    * would double the dominant window-build CPU (746 s/rep at the 1000×
+    * decade) to save shuffle bytes on a stage that never spills. Both
+    * aggregate levels and the final threshold filter ride the one
+    * HashPartitioning(h); the ordered cut plans TakeOrderedAndProject
+    * (per-partition top-k, no global sort shuffle).
+    *
+    * Verbatim-dup collapse (same adaptive dispatch as [[spanStats]]):
+    * for doc groups by content key, n_docs(h) = Σ_{g : h ∈ windows(g)}
+    * gsize(g) — members of a group are distinct docs carrying identical
+    * window multisets — and n_instances(h) = Σ_g gsize(g)·inst_g(h),
+    * both exact.
+    */
+  def spanCensus(docs: DataFrame, id: Column, text: Column, n: Int,
+      minDocs: Int, k: Int): DataFrame = {
+    require(n >= 2, s"window must be >= 2 words, got $n")
+    require(minDocs >= 2, s"census threshold must be >= 2 docs, got $minDocs")
+    require(k >= 1, s"census cut must keep >= 1 row, got $k")
+    val kk = keyed(docs, id, text)
+    val useRaw = collapseDisabled || {
+      val c = kk.agg(count(lit(1)).as("n"),
+        countDistinct(col("gk")).as("d")).head()
+      c.getLong(0) == c.getLong(1)
+    }
+    // (src, weight, w, nwl): one row per doc (raw; weight 1) or per
+    // distinct text (collapsed; weight = group size). src is doc_id on
+    // the raw path — under SPARK_GRAFT_SPAN_NO_COLLAPSE the corpus may
+    // still hold verbatim copies, and keying instances by gk there would
+    // merge two docs' instances under one weight-1 row.
+    val frame =
+      if (useRaw)
+        kk.select(col("doc_id").as("src"), lit(1L).as("weight"),
+            split(col("nt"), " ").as("w"))
+          .withColumn("nwl", size(col("w")).cast("long"))
+      else
+        repGroups(kk).select(col("gk").as("src"), col("gsize").as("weight"),
+          col("w"), col("nwl"))
+    val wins = frame.where(col("nwl") >= n)
+      .select(col("src"), col("weight"),
+        explode(transform(sequence(lit(0), (col("nwl") - n).cast("int")),
+          i => array_join(slice(col("w"), i + 1, lit(n)), " "))).as("ws"))
+      .select(col("src"), col("weight"), col("ws"),
+        winKey(col("ws")).as("h"))
+      .repartition(col("h"))
+    wins
+      .groupBy(col("h"), col("src"), col("weight"))
+      .agg(count(lit(1)).as("inst"), min(col("ws")).as("wsr"))
+      .groupBy(col("h"))
+      .agg(sum(col("weight")).as("n_docs"),
+        sum(col("weight") * col("inst")).as("n_instances"),
+        min(col("wsr")).as("span"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("span"), col("n_docs"), col("n_instances"))
+      .orderBy(col("n_docs").desc, col("n_instances").desc, col("span"))
+      .limit(k)
+  }
+
   /** Duplication-free fast path of [[noveltyStats]] (pre-collapse shape,
     * retained verbatim).
     */

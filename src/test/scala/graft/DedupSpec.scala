@@ -270,6 +270,37 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(gotFree === naiveSpan(free, n))
   }
 
+  // naive census truth: every window instance (in-doc repeats included),
+  // distinct-doc + instance counts per span, threshold + total-order cut
+  private def naiveCensus(corpus: Seq[(Long, String)], n: Int,
+      minDocs: Int, k: Int): Seq[(String, Long, Long)] = {
+    val inst = corpus.flatMap { case (d, t) =>
+      naiveWindows(t, n).map(w => (w, d)) }
+    inst.groupBy(_._1).toSeq.map { case (w, xs) =>
+      (w, xs.map(_._2).distinct.size.toLong, xs.size.toLong) }
+      .filter(_._2 >= minDocs)
+      .sortBy { case (w, nd, ni) => (-nd, -ni, w) }
+      .take(k)
+  }
+
+  test("spanCensus equals the naive span truth, ordered, on both the " +
+      "collapsed and dup-free paths; the k cut is deterministic") {
+    import spark.implicits._
+    val n = 4
+    def run(c: Seq[(Long, String)], k: Int) = graft.operators.SpanDedup
+      .spanCensus(c.toDF("doc_id", "text"), $"doc_id", $"text", n,
+        minDocs = 2, k = k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // collapsed path (verbatim groups present): weights must recover
+    // per-doc counts; doc 7's in-doc-repeated window (nd=1) must be cut
+    assert(run(spanCorpus, 100) === naiveCensus(spanCorpus, n, 2, 100))
+    // dup-free projection dispatches the raw path — same truth
+    val free = spanCorpus.filterNot(p => Set(2L, 6L, 9L)(p._1))
+    assert(run(free, 100) === naiveCensus(free, n, 2, 100))
+    // the top-k cut is a prefix of the same total order
+    assert(run(spanCorpus, 3) === naiveCensus(spanCorpus, n, 2, 3))
+  }
+
   test("noveltyStats collapsed path equals the naive first-occurrence " +
       "truth on both corpora") {
     import spark.implicits._

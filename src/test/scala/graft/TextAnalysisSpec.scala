@@ -57,6 +57,43 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(fp(0) === fp(1))
   }
 
+  test("domainMixture: sqrt-temperature weights match the naive truth, " +
+      "normalize to 1, and oversample the tail") {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source", $"text").collect()
+    val per = rows.groupBy(_.getString(0)).map { case (src, xs) =>
+      src -> ((xs.length.toLong,
+        xs.map(_.getString(1).split("\\s+").length.toLong).sum))
+    }
+    val tot = per.values.map(_._2).sum
+    val q = per.map { case (src, (_, t)) =>
+      src -> math.floor(1048576.0 *
+        math.sqrt(t.toDouble / tot.toDouble)).toLong
+    }
+    val qtot = q.values.sum
+    val got = Queries.domainMixture(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSeq === per.keys.toSeq.sorted)
+    got.foreach { r =>
+      val src = r.getString(0)
+      assert(r.getLong(1) === per(src)._1, s"n_docs of $src")
+      assert(r.getLong(2) === per(src)._2, s"n_tokens of $src")
+      assert(r.getDouble(3) === per(src)._2.toDouble / tot.toDouble)
+      assert(r.getDouble(4) === q(src).toDouble / qtot.toDouble)
+      assert(r.getDouble(5) === r.getDouble(4) / r.getDouble(3))
+    }
+    // weights normalize (exactly q/qtot summed — tiny float tail only)
+    assert(math.abs(got.map(_.getDouble(4)).sum - 1.0) < 1e-9)
+    // α = 1/2 smooths toward uniform: the token-heaviest source is
+    // undersampled (multiplier < 1), the lightest oversampled (> 1),
+    // provided the corpus isn't already uniform
+    val bySh = got.sortBy(_.getDouble(3))
+    if (bySh.last.getDouble(3) > bySh.head.getDouble(3) * 1.01) {
+      assert(bySh.last.getDouble(5) < 1.0)
+      assert(bySh.head.getDouble(5) > 1.0)
+    }
+  }
+
   test("redactPii masks emails, IPv4s, and phone numbers; counts match") {
     val text = "mail a.b+c@ex-1.org or admin@x.io, host 192.168.0.1, " +
       "call +1 555-012-3456; clean text stays."
