@@ -1791,10 +1791,18 @@ object Queries {
     * else shuffles — linear at any corpus size.
     */
   def domainMixture(s: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint pins the |sources|-row aggregate so the THREE
+    // downstream consumers (tot, qtot, the final select) read the tiny
+    // materialized result instead of re-deriving it — without it, column
+    // pruning narrows tot's copy of the aggregate (sum-only vs
+    // count+sum), the subtrees stop canonicalizing equal, stage reuse
+    // misses, and the corpus gets scanned + tokenized TWICE (read off
+    // the r18 plan dump — the span-family reuse lesson in miniature)
     val per = documents(s, dir)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(TextAnalysis.wordCount(col("text")).cast("long")).as("n_tokens"))
+      .localCheckpoint()
     val tot = per.agg(sum(col("n_tokens")).as("tot")).select(col("tot"))
     val q = floor(lit(1048576.0) *
       sqrt(col("n_tokens").cast("double") / col("tot").cast("double")))
