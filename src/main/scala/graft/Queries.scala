@@ -2192,6 +2192,41 @@ object Queries {
        ORDER BY n_docs DESC, n_instances DESC, span
        LIMIT 100"""
 
+  /** Cross-source span-overlap matrix (operators/SpanDedup.scala): for
+    * every source pair, distinct shared 8-word spans, per-source span
+    * totals, and the overlap coefficient — the provenance report run
+    * before mixing subcorpora (how much of a source's text is ALREADY
+    * in another). Dimension-sized output, total ORDER BY.
+    */
+  def sourceOverlapQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SpanDedup.sourceOverlap(
+      documents(s, dir), col("source"), col("text"), n = 8)
+
+  val sourceOverlapSql: String =
+    s"""WITH base AS (
+         SELECT source, string_split($normalizeSql, ' ') AS w
+         FROM documents),
+       b2 AS (SELECT source, w, len(w) AS nw FROM base WHERE len(w) >= 8),
+       wins AS (
+         SELECT DISTINCT source, array_to_string(w[i+1:i+8], ' ') AS span
+         FROM (SELECT source, w, nw, unnest(range(nw - 7)) AS i FROM b2)),
+       tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_spans
+               FROM wins GROUP BY 1),
+       shared AS (
+         SELECT w1.source AS src_a, w2.source AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_spans
+         FROM wins w1 JOIN wins w2
+           ON w1.span = w2.span AND w1.source < w2.source
+         GROUP BY 1, 2)
+       SELECT src_a, src_b, ta.n_spans AS spans_a, tb.n_spans AS spans_b,
+         shared_spans,
+         CAST(shared_spans AS DOUBLE) /
+           CAST(LEAST(ta.n_spans, tb.n_spans) AS DOUBLE) AS overlap
+       FROM shared
+       JOIN tot ta ON ta.source = shared.src_a
+       JOIN tot tb ON tb.source = shared.src_b
+       ORDER BY src_a, src_b"""
+
   def fingerprintQ(s: SparkSession, dir: String): DataFrame =
     documents(s, dir).where(col("doc_id") < 50)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))

@@ -155,6 +155,8 @@ object SparkEntry {
     "span_dedup" -> (Queries.spanDedup _),
     // L46 duplicated-span census (the span-family strip-list consumer)
     "span_census" -> (Queries.spanCensusQ _),
+    // L48 cross-source span-overlap matrix
+    "source_overlap" -> (Queries.sourceOverlapQ _),
     // L25 NFC canonicalization
     "text_nfc_clean" -> (Queries.textNfcClean _),
     // E23-E27 CDC merge, inverted index, histogram, winsorize, cohort
@@ -449,6 +451,7 @@ object SparkEntry {
     "line_dedup" -> Queries.lineDedupSql,
     "span_dedup" -> Queries.spanDedupSql,
     "span_census" -> Queries.spanCensusSql,
+    "source_overlap" -> Queries.sourceOverlapSql,
     "text_nfc_clean" -> Queries.textNfcCleanSql,
     "merge_upsert" -> Queries.mergeUpsertSql,
     "inverted_index" -> Queries.invertedIndexSql,

@@ -367,6 +367,69 @@ object SpanDedup {
       .limit(k)
   }
 
+  /** Cross-SOURCE span-overlap matrix — corpus provenance forensics:
+    * for every source pair (a < b), how many distinct `n`-word spans
+    * occur in BOTH (mirrored content, shared boilerplate, one crawl
+    * embedded in another), plus each source's distinct-span total and
+    * the overlap coefficient shared/min(|a|,|b|) — the
+    * dataset-composition report run before mixing subcorpora (the L47
+    * table says how much to draw from each source; this says how much
+    * of that is the SAME text).
+    *
+    * Scale shape: one window build (instances keyed by source, doc
+    * identity irrelevant — presence is all that matters), one
+    * `repartition(h)` exchange; the (h, source) distinct collapse and
+    * the per-hash source-set both ride that one partitioning, and the
+    * per-source totals fall out of the matrix's own diagonal (see the
+    * body note) rather than a second pass. The per-hash set is bounded
+    * by |sources| — a DIMENSION, not the corpus — so the pair explode
+    * is ≤ |S|² per hash and the matrix at most |S|² rows. No
+    * verbatim-collapse machinery: duplicate docs inside one source
+    * vanish in the (h, source) distinct, and cross-source copies are
+    * precisely the signal.
+    */
+  def sourceOverlap(docs: DataFrame, source: Column, text: Column,
+      n: Int): DataFrame = {
+    require(n >= 2, s"window must be >= 2 words, got $n")
+    val base = docs
+      .select(source.as("src"), TextAnalysis.normalize(text).as("nt"))
+      .select(col("src"), split(col("nt"), " ").as("w"))
+      .withColumn("nwl", size(col("w")).cast("long"))
+    val wins = windows(base, Seq("src"), col("w"), col("nwl"), n)
+    // ONE heavy chain (the span-family single-consumer discipline): the
+    // per-hash sorted source set explodes to ordered pairs INCLUDING the
+    // self-pair (slice from i+1 keeps x itself), so the |S|^2 matrix
+    // carries its own diagonal — (a, a)'s count IS source a's
+    // distinct-span total. Deriving totals from a second consumer of the
+    // distinct frame would re-plan the whole window build (the exact
+    // twin-exchange shape the r18 fold removed); instead the
+    // dimension-sized matrix is checkpointed and both outputs read it.
+    val m = wins
+      .groupBy(col("h"), col("src")).agg(count(lit(1)).as("i"))
+      .groupBy(col("h"))
+      .agg(sort_array(collect_set(col("src"))).as("ss"))
+      .select(explode(flatten(transform(col("ss"), (x, i) =>
+        transform(slice(col("ss"), i + lit(1), size(col("ss"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val totals = m.where(col("src_a") === col("src_b"))
+      .select(col("src_a").as("s"), col("cnt").as("n_spans"))
+    m.where(col("src_a") < col("src_b"))
+      .withColumnRenamed("cnt", "shared_spans")
+      .join(broadcast(totals.select(col("s").as("src_a"),
+        col("n_spans").as("spans_a"))), "src_a")
+      .join(broadcast(totals.select(col("s").as("src_b"),
+        col("n_spans").as("spans_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("spans_a"), col("spans_b"),
+        col("shared_spans"),
+        (col("shared_spans").cast("double") /
+          least(col("spans_a"), col("spans_b")).cast("double"))
+          .as("overlap"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** Duplication-free fast path of [[noveltyStats]] (pre-collapse shape,
     * retained verbatim).
     */

@@ -301,6 +301,43 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(run(spanCorpus, 3) === naiveCensus(spanCorpus, n, 2, 3))
   }
 
+  test("sourceOverlap matrix equals the naive per-source set truth; " +
+      "in-source duplicates don't inflate, disjoint sources don't appear") {
+    import spark.implicits._
+    val n = 4
+    val shared = "alpha beta gamma delta epsilon"
+    val corpus = Seq(
+      (1L, "web", s"one two three $shared four five six"),
+      (2L, "web", s"one two three $shared four five six"), // verbatim dup
+      (3L, "books", s"$shared totally different ending here now"),
+      (4L, "books", "independent books text with enough words to window"),
+      (5L, "code", "def main prints hello world and returns zero status"))
+      .toDF("doc_id", "source", "text")
+    val got = graft.operators.SpanDedup
+      .sourceOverlap(corpus, $"source", $"text", n)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    // naive: per-source distinct window sets, ordered pairs with overlap
+    val rows = Seq(
+      (1L, "web", s"one two three $shared four five six"),
+      (2L, "web", s"one two three $shared four five six"),
+      (3L, "books", s"$shared totally different ending here now"),
+      (4L, "books", "independent books text with enough words to window"),
+      (5L, "code", "def main prints hello world and returns zero status"))
+    val sets = rows.groupBy(_._2).map { case (s2, xs) =>
+      s2 -> xs.flatMap(x => naiveWindows(x._3, n)).toSet }
+    val want = sets.keys.toSeq.sorted.combinations(2).toSeq.collect {
+      case Seq(a, b) if (sets(a) & sets(b)).nonEmpty =>
+        val sh = (sets(a) & sets(b)).size.toLong
+        (a, b, sets(a).size.toLong, sets(b).size.toLong, sh,
+          sh.toDouble / math.min(sets(a).size, sets(b).size))
+    }
+    assert(got === want)
+    // the verbatim in-source dup adds no spans; code shares nothing
+    assert(got.map(p => (p._1, p._2)) === Seq(("books", "web")))
+  }
+
   test("noveltyStats collapsed path equals the naive first-occurrence " +
       "truth on both corpora") {
     import spark.implicits._
