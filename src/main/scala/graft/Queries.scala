@@ -1817,7 +1817,9 @@ object Queries {
         ((col("q").cast("double") / col("qtot").cast("double")) /
           (col("n_tokens").cast("double") / col("tot").cast("double")))
           .as("multiplier"))
-      .orderBy(col("source"))
+      // nulls-last matches DuckDB's ASC default; Spark's nulls-first
+      // would flip the row order of a NULL source group
+      .orderBy(col("source").asc_nulls_last)
   }
 
   val domainMixtureSql: String =

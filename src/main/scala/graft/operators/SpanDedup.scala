@@ -99,13 +99,19 @@ object SpanDedup {
     * hash map to shrink the shuffle ~0.6% (the r17 forensics find).
     */
   private def windows(df: DataFrame, key: Seq[String], words: Column,
-      nWords: Column, n: Int): DataFrame =
-    df.where(nWords >= n)
+      nWords: Column, n: Int, keepText: Boolean = false): DataFrame = {
+    val exploded = df.where(nWords >= n)
       .select(key.map(col) :+
         explode(transform(sequence(lit(0), (nWords - n).cast("int")),
           i => array_join(slice(words, i + 1, lit(n)), " "))).as("ws"): _*)
-      .select(key.map(col) :+ winKey(col("ws")).as("h"): _*)
-      .repartition(col("h"))
+    // keepText threads the window STRING through the exchange for the
+    // consumers that must output it (the census family) — one shared
+    // build expression, so a fix to the slice arithmetic or the
+    // repartition discipline can never reach one caller and miss another
+    val out = key.map(col) ++ (if (keepText) Seq(col("ws")) else Nil) :+
+      winKey(col("ws")).as("h")
+    exploded.select(out: _*).repartition(col("h"))
+  }
 
   /** (doc_id, gk, nt) with a 128-bit integer content key over the
     * NORMALIZED text (windows are a function of the normalized text, so
@@ -347,13 +353,8 @@ object SpanDedup {
       else
         repGroups(kk).select(col("gk").as("src"), col("gsize").as("weight"),
           col("w"), col("nwl"))
-    val wins = frame.where(col("nwl") >= n)
-      .select(col("src"), col("weight"),
-        explode(transform(sequence(lit(0), (col("nwl") - n).cast("int")),
-          i => array_join(slice(col("w"), i + 1, lit(n)), " "))).as("ws"))
-      .select(col("src"), col("weight"), col("ws"),
-        winKey(col("ws")).as("h"))
-      .repartition(col("h"))
+    val wins = windows(frame, Seq("src", "weight"), col("w"), col("nwl"),
+      n, keepText = true)
     wins
       .groupBy(col("h"), col("src"), col("weight"))
       .agg(count(lit(1)).as("inst"), min(col("ws")).as("wsr"))
@@ -405,7 +406,7 @@ object SpanDedup {
     // twin-exchange shape the r18 fold removed); instead the
     // dimension-sized matrix is checkpointed and both outputs read it.
     val m = wins
-      .groupBy(col("h"), col("src")).agg(count(lit(1)).as("i"))
+      .select(col("h"), col("src")).distinct()
       .groupBy(col("h"))
       .agg(sort_array(collect_set(col("src"))).as("ss"))
       .select(explode(flatten(transform(col("ss"), (x, i) =>

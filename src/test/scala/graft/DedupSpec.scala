@@ -306,25 +306,21 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     import spark.implicits._
     val n = 4
     val shared = "alpha beta gamma delta epsilon"
-    val corpus = Seq(
+    // ONE literal feeds both the DataFrame under test and the naive
+    // truth — divergent copies would silently test the wrong corpus
+    val rows = Seq(
       (1L, "web", s"one two three $shared four five six"),
       (2L, "web", s"one two three $shared four five six"), // verbatim dup
       (3L, "books", s"$shared totally different ending here now"),
       (4L, "books", "independent books text with enough words to window"),
       (5L, "code", "def main prints hello world and returns zero status"))
-      .toDF("doc_id", "source", "text")
     val got = graft.operators.SpanDedup
-      .sourceOverlap(corpus, $"source", $"text", n)
+      .sourceOverlap(rows.toDF("doc_id", "source", "text"),
+        $"source", $"text", n)
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getDouble(5))).toSeq
     // naive: per-source distinct window sets, ordered pairs with overlap
-    val rows = Seq(
-      (1L, "web", s"one two three $shared four five six"),
-      (2L, "web", s"one two three $shared four five six"),
-      (3L, "books", s"$shared totally different ending here now"),
-      (4L, "books", "independent books text with enough words to window"),
-      (5L, "code", "def main prints hello world and returns zero status"))
     val sets = rows.groupBy(_._2).map { case (s2, xs) =>
       s2 -> xs.flatMap(x => naiveWindows(x._3, n)).toSet }
     val want = sets.keys.toSeq.sorted.combinations(2).toSeq.collect {

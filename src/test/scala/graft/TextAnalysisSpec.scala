@@ -62,9 +62,12 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     import spark.implicits._
     val rows = spark.read.parquet(s"$sf/documents.parquet")
       .select($"source", $"text").collect()
+    // split limit -1 keeps trailing empty tokens — the semantics of
+    // Spark's split and DuckDB's string_split_regex; Java's default
+    // limit 0 drops them and would diverge on trailing whitespace
     val per = rows.groupBy(_.getString(0)).map { case (src, xs) =>
       src -> ((xs.length.toLong,
-        xs.map(_.getString(1).split("\\s+").length.toLong).sum))
+        xs.map(_.getString(1).split("\\s+", -1).length.toLong).sum))
     }
     val tot = per.values.map(_._2).sum
     val q = per.map { case (src, (_, t)) =>
