@@ -2941,6 +2941,75 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram-LM fluency score — the CCNet/KenLM-class quality filter:
+    * score each document by the average corpus-conditional probability
+    * of its word bigrams, P(y|x) = c(xy)/c(x·) with c(x·) = occurrences
+    * of x in non-final position (so Σ_y P(y|x) = 1 exactly). Low scores
+    * flag disfluent/noisy text, high scores boilerplate — the
+    * model-based axis the heuristic `quality_score` and the
+    * document-frequency `corpus_freq_score` don't measure (df mass
+    * scores TOKEN POPULARITY; this scores TRANSITION predictability).
+    *
+    * Cross-engine exactness: each bigram TYPE's probability is
+    * quantized once — q = ⌊2²⁰·c₂/c₁⌋, an integer both engines floor
+    * from identical int/int division — and the per-doc score is the
+    * BIGINT sum of instance q's over the instance count (one fixed-shape
+    * division; no float accumulation — the E63 discipline).
+    *
+    * Scale shape: narrow ordered-bigram explode; pair counts and
+    * first-position counts are aggregates of the COUNT table
+    * (vocabulary-sized, stays distributed); one co-partitioned join
+    * back on the bigram key; one doc groupBy. All linear, the
+    * corpus_freq_score plan family.
+    */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val inst = documents(s, dir)
+      .select(col("doc_id"),
+        split(TextAnalysis.normalize(col("text")), " ").as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("x"),
+            element_at(col("w"), i + 1).as("y")))).as("bg"))
+      .select(col("doc_id"), col("bg.x").as("x"), col("bg.y").as("y"))
+    val c2 = inst.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("x")).agg(sum(col("c2")).as("c1"))
+    val probs = c2.join(c1, "x")
+      .select(col("x"), col("y"),
+        floor(lit(1048576.0) *
+          (col("c2").cast("double") / col("c1").cast("double")))
+          .cast("long").as("q"))
+    inst.join(probs, Seq("x", "y"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sum_q").cast("double") / col("n_bigrams").cast("double") /
+          lit(1048576.0)).as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmScoreSql: String =
+    s"""WITH base AS (
+         SELECT doc_id, string_split($normalizeSql, ' ') AS w
+         FROM documents),
+       inst AS (
+         SELECT doc_id, w[i] AS x, w[i+1] AS y
+         FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+               FROM base WHERE len(w) >= 2)),
+       c2 AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c2
+              FROM inst GROUP BY 1, 2),
+       c1 AS (SELECT x, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+       probs AS (
+         SELECT x, y,
+           CAST(FLOOR(1048576.0 *
+             (CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))) AS BIGINT) AS q
+         FROM c2 JOIN c1 USING (x))
+       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1048576.0
+           AS lm_score
+       FROM inst JOIN probs USING (x, y)
+       GROUP BY 1 ORDER BY 1"""
+
   /** DuckDB word bigrams mirroring Dedup.shingles(n=2). */
   private val bigramSql: String =
     """list_distinct(CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]

@@ -146,6 +146,8 @@ object SparkEntry {
     "lang_id" -> (Queries.langId _),
     "quality_score" -> (Queries.qualityScore _),
     "corpus_freq_score" -> (Queries.corpusFreqScore _),
+    // L49 bigram-LM fluency score
+    "lm_score" -> (Queries.lmScore _),
     "text_repetition" -> (Queries.textRepetition _),
     "fingerprint" -> (Queries.fingerprintQ _),
     // L21 PII redaction
@@ -445,6 +447,7 @@ object SparkEntry {
     "lang_id" -> Queries.langIdSql,
     "quality_score" -> Queries.qualityScoreSql,
     "corpus_freq_score" -> Queries.corpusFreqScoreSql,
+    "lm_score" -> Queries.lmScoreSql,
     "text_repetition" -> Queries.textRepetitionSql,
     "fingerprint" -> Queries.fingerprintSql,
     "pii_redact" -> Queries.piiRedactSql,

@@ -97,6 +97,39 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("lmScore equals the naive conditional-probability truth over " +
+      "the corpus; sub-2-word docs excluded; probabilities normalize") {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").collect()
+    def norm(t: String) =
+      t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+    val words = rows.map(r =>
+      r.getLong(0) -> norm(r.getString(1)).split(" ", -1).toSeq).toMap
+    val inst = words.toSeq.flatMap { case (d, w) =>
+      if (w.length < 2) Nil
+      else w.sliding(2).map(p => (d, p(0), p(1))).toSeq
+    }
+    val c2 = inst.groupBy(i => (i._2, i._3))
+      .map { case (k, v) => k -> v.size.toLong }
+    val c1 = c2.groupBy(_._1._1).map { case (x, m) => x -> m.values.sum }
+    val q = c2.map { case ((x, y), c) =>
+      (x, y) -> math.floor(1048576.0 * (c.toDouble / c1(x).toDouble)).toLong
+    }
+    val want = inst.groupBy(_._1).map { case (d, xs) =>
+      val sq = xs.map(i => q((i._2, i._3))).sum
+      d -> ((xs.size.toLong, sq.toDouble / xs.size / 1048576.0))
+    }
+    val got = Queries.lmScore(spark, sf).collect()
+    assert(got.length === want.size)
+    got.foreach { r =>
+      val d = r.getLong(0)
+      assert(r.getLong(1) === want(d)._1, s"n_bigrams of doc $d")
+      assert(r.getDouble(2) === want(d)._2, s"lm_score of doc $d")
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+
   test("redactPii masks emails, IPv4s, and phone numbers; counts match") {
     val text = "mail a.b+c@ex-1.org or admin@x.io, host 192.168.0.1, " +
       "call +1 555-012-3456; clean text stays."
