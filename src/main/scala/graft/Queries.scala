@@ -2929,8 +2929,17 @@ object Queries {
     * state, the count table stays distributed.
     */
   def corpusFreqScore(s: SparkSession, dir: String): DataFrame = {
+    // ONE tokenize+shingle pass (the oov_rate / vocab_growth checkpoint
+    // discipline): the (doc, bg) frame is materialized once and BOTH
+    // consumers — the df counts and the mass join — read it. The former
+    // count-then-join shape re-ran the normalize+shingle explode per
+    // consumer (two full corpus passes of the dominant regex kernel;
+    // plans/r18/corpus_freq_score_before.txt), and at sf0.001 sizes the
+    // planner even broadcast the INSTANCE side of the join — an estimate
+    // artifact this shape removes.
     val bi = documents(s, dir).select(col("doc_id"),
       explode(Dedup.shingles(col("text"), 2)).as("bg"))
+      .localCheckpoint(true)
     val counts = bi.groupBy(col("bg")).agg(count(lit(1)).as("df"))
     bi.join(counts, "bg")
       .groupBy(col("doc_id"))
@@ -2972,16 +2981,32 @@ object Queries {
           i => struct(element_at(col("w"), i).as("x"),
             element_at(col("w"), i + 1).as("y")))).as("bg"))
       .select(col("doc_id"), col("bg.x").as("x"), col("bg.y").as("y"))
-    val c2 = inst.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c2"))
+    // ONE tokenize+explode pass (the oov_rate checkpoint discipline): the
+    // per-(x, y, doc) instance-count table is the Zipf-compact
+    // intermediate — the count chains AND the score join read it. The
+    // count-then-join shape re-ran the corpus normalize+explode per
+    // consumer (THREE full passes: the instance side, the c2 chain, and
+    // the c1 chain rebuilding c2 from scratch as twin hashpartitioning
+    // (x, y) exchanges — plans/r18/lm_score_before.txt). c2 is
+    // vocabulary-sized and feeds two consumers (c1 and probs), so it
+    // checkpoints too — at corpus scale that saves a second aggregate
+    // pass over dxy. Per-doc sums ride the counts: sum(q·cnt) ≡ the
+    // former per-instance sum(q), sum(cnt) ≡ count(1) over instances.
+    val dxy = inst.groupBy(col("x"), col("y"), col("doc_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val c2 = dxy.groupBy(col("x"), col("y")).agg(sum(col("cnt")).as("c2"))
+      .localCheckpoint(true)
     val c1 = c2.groupBy(col("x")).agg(sum(col("c2")).as("c1"))
     val probs = c2.join(c1, "x")
       .select(col("x"), col("y"),
         floor(lit(1048576.0) *
           (col("c2").cast("double") / col("c1").cast("double")))
           .cast("long").as("q"))
-    inst.join(probs, Seq("x", "y"))
+    dxy.join(probs, Seq("x", "y"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n_bigrams"))
+      .agg(sum(col("q") * col("cnt")).as("sum_q"),
+        sum(col("cnt")).as("n_bigrams"))
       .select(col("doc_id"), col("n_bigrams"),
         (col("sum_q").cast("double") / col("n_bigrams").cast("double") /
           lit(1048576.0)).as("lm_score"))
@@ -3648,6 +3673,11 @@ object Queries {
           i => array_join(slice(words, i * 10 + 1, lit(10)), " ")))
         .as(Seq("pos", "line")))
       .select(col("doc_id"), col("pos"), col("line"), md5(col("line")).as("lh"))
+      // ONE segment explode + md5 pass (the oov_rate checkpoint
+      // discipline): the common-line census and the anti-join both read
+      // the materialized line frame — the former shape re-ran the
+      // corpus-wide explode + per-line md5 for each consumer.
+      .localCheckpoint(true)
     val common = lines.groupBy(col("lh"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .where(col("df") >= 3).select(col("lh"))

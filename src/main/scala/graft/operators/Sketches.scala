@@ -86,21 +86,31 @@ object Sketches {
     val spark = df.sparkSession
     import spark.implicits._
     // pass 1: per-partition Misra-Gries (one ≤k-1-entry map per
-    // partition crosses to the driver), mergeable combine there
-    val candidates = items.as[String].rdd
-      .mapPartitions(it => Iterator.single(misraGries(it, k)))
+    // partition crosses to the driver), mergeable combine there. The
+    // partition's item count rides the same summary row (one long), so
+    // n_total needs no third pass over the input — the former
+    // crossJoin(broadcast(df.agg(count))) subtree re-ran the whole
+    // upstream pipeline (for heavy_words: a full corpus re-tokenize)
+    // just to count rows.
+    val summaries = items.as[String].rdd
+      .mapPartitions { it =>
+        var n = 0L
+        val mg = misraGries(it.map { x => n += 1; x }, k)
+        Iterator.single((mg, n))
+      }
       .collect()
+    val candidates = summaries.map(_._1)
       .foldLeft(mutable.Map.empty[String, Long])(mergeSummaries(_, _, k))
       .keys.toSeq.sorted
+    val nTotal = summaries.map(_._2).sum
     // pass 2: candidate filter BEFORE the aggregation — the recount's
     // key space is ≤ k-1, never the item cardinality (InSet, codegen'd)
     items.where(col("item").isin(candidates: _*))
       .groupBy(col("item"))
       .agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(df.agg(count(lit(1)).as("n_total"))))
-      .where(col("cnt") * lit(k.toLong) > col("n_total"))
+      .where(col("cnt") * lit(k.toLong) > lit(nTotal))
       .select(col("item"), col("cnt"),
-        (col("cnt").cast("double") / col("n_total").cast("double"))
+        (col("cnt").cast("double") / lit(nTotal).cast("double"))
           .as("share"))
   }
 }
