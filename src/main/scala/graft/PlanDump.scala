@@ -27,7 +27,7 @@ object PlanDump {
       "dedup_levenshtein" -> "length-banded candidates (structural recall) + bit-parallel Myers DP verify; no all-pairs, no cap",
       "moving_avg" -> "two-level ROWS-frame: parallel per-chunk windows + broadcast chunk offsets + rn-7 self-join; no global sort",
       "pii_redact" -> "pure narrow map — regex masking inside one WholeStageCodegen span, zero exchanges before the output sort",
-      "line_dedup" -> "narrow line explode -> df hash agg (map-side partial) -> broadcast anti-join vs tiny common set -> one doc_id shuffle for in-order reassembly",
+      "line_dedup" -> "narrow line explode + per-line md5 ONCE (checkpointed; the census and the anti-join both read it — r18) -> df hash agg (map-side partial) -> broadcast anti-join vs tiny common set -> one doc_id shuffle for in-order reassembly",
       "ann_topk_lsh" -> "native LshBuckets signature map both sides; bucket equi-join candidates, exact re-rank — never all-pairs",
       "dedup_incremental_bloom" -> "driver-held bloom splits incoming: definitely-new rows SKIP the anti-join shuffle; maybe-seen remainder anti-joins 16-byte hashes",
       "quality_bands" -> "two-level exact ntile: range partition + per-partition rank (checkpointed) + broadcast offset join — NO per-language single-task WindowExec",
@@ -37,7 +37,7 @@ object PlanDump {
       "pipeline_config_quota_bands" -> "JSON config -> TopKPerKey quota cut feeding the two-level exact-ntile band cut — no window, no corpus sort, all from the declarative filter chain",
       "knn_label" -> "label propagation: the FIXED query side broadcasts against the streaming labeled-corpus scan; per-query argmax through TopKPerKey — corpus never shuffles",
       "knn_label_ivf" -> "label propagation at query-set scale: native IvfNearestCell/IvfProbeCells kernels (centroid matrix as a reference object, fused codegen loops) -> cell equi-join candidates -> TopKPerKey argmax; no nested-loop join anywhere",
-      "corpus_freq_score" -> "narrow bigram explode -> one groupBy(bigram) pass -> co-partitioned join back on the bigram key -> groupBy(doc) — all linear, count table stays distributed",
+      "corpus_freq_score" -> "narrow bigram explode ONCE (the (doc,bg) frame checkpoints; df counts and mass join both read it — r18) -> one groupBy(bigram) pass -> join back on the bigram key -> groupBy(doc) — all linear, count table stays distributed",
       "ann_ivf_refined" -> "Lloyd refinement stays an aggregate over the cell equi-join assignment — 2 rounds = 2 small agg jobs on the collected centroid matrix, the corpus scans stay candidate-pruned",
       "text_bpe_tokens" -> "real-vocab BPE counting is ONE narrow codegen map (BpeTokenCount kernel, ranks + memo as reference objects) — zero exchanges before the output sort",
       "doc_packing_bpe" -> "same two-level prefix-sum packing as doc_packing, billed by the BPE kernel in the same narrow map — token cost adds no shuffle",
@@ -52,7 +52,7 @@ object PlanDump {
       "span_census" -> "span strip-list: same single window-build pass as span_dedup, min(ws) riding the ONE h-exchange (a recovery re-explode would double the dominant build CPU); both agg levels + the >=3-docs threshold on HashPartitioning(h), zero further shuffles; top-k via TakeOrderedAndProject (per-partition heads, no global sort)",
       "domain_mixture" -> "sqrt-temperature mix table: one map-side-combining agg to |sources| rows; normalizing totals as broadcast one-row cross joins; no data-sized shuffle at any corpus size",
       "source_overlap" -> "provenance matrix: one window build + one h-exchange; per-hash source set DIMENSION-bounded, self-pair explode folds per-source totals into the |S|^2 matrix diagonal (single consumer of the build); checkpointed matrix feeds both outputs, broadcast total joins",
-      "lm_score" -> "bigram-LM fluency: narrow ordered-bigram explode; pair + first-position counts are aggregates of the vocabulary-sized count frame (distributed, never collected); quantized per-TYPE probability joined back on the bigram key; one doc groupBy — all linear",
+      "lm_score" -> "bigram-LM fluency: ONE ordered-bigram explode (the per-(x,y,doc) count table checkpoints; both count chains and the score join read it — r18); pair + first-position counts are aggregates of the vocabulary-sized count frame (distributed, never collected); quantized per-TYPE probability joined back on the bigram key; per-doc sums ride the counts — all linear",
       "containment_pairs" -> "overlap-coefficient pairs: SLIM (blk,id) candidate self-join (shuffled-hash; arrays never ride it) -> hashed sorted arrays re-joined BY ID -> codegen'd merge-walk overlap kernel; strategy-roulette-proof",
       "ann_topk_q8" -> "quantized ANN: int8 codes in a narrow map, broadcast query side, integer-dot scoring, bounded-heap TopKPerKey argmax — corpus never shuffles",
       "profile_table" -> "one-pass profile: single scan -> Expand (multi-distinct) -> one aggregation -> stack unpivot; no per-column re-scan",
@@ -69,7 +69,7 @@ object PlanDump {
       "snapshot_diff" -> "snapshot diff: both sides projected to key+struct, ONE full-outer shuffled join, ONE agg of case-counters — no per-column re-scan",
       "twap_value" -> "twap: lead window and per-user agg share one user_id exchange; decimal-exact weighted sums",
       "table_checksum" -> "anti-entropy checksum: md5 digest is one narrow codegen map; ONE 64-key HashAggregate with map-side partials (count + bit_xor + the sum signature carried as two exact BIGINT halves, sum_lo/sum_hi) — nothing else moves",
-      "heavy_words" -> "heavy hitters: the recount pass — InSet candidate filter BEFORE the aggregation, so the shuffle carries <= k-1 keys; the MG sketch pass is a separate O(k)-memory mapPartitions job",
+      "heavy_words" -> "heavy hitters: the recount pass — InSet candidate filter BEFORE the aggregation, so the shuffle carries <= k-1 keys; the MG sketch pass is a separate O(k)-memory mapPartitions job whose summary rows also carry n_total (no third pass — r18)",
       "bigram_pmi" -> "collocations: slice+arrays_zip pair build (codegen'd, NOT a HOF lambda) -> vocab-sized count aggs -> joins only on aggregated frames",
       "hierarchy_flatten" -> "pointer doubling: printed plan is the final projection — each round is one shuffled self-join on the pointer key, lineage truncated per round",
       "chi_square" -> "chi-square: cells/marginals branches reuse the one count-agg exchange; the statistic folds inside a single sorted row — no double-sum exchange",
