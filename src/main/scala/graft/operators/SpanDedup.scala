@@ -384,16 +384,48 @@ object SpanDedup {
     * per-source totals fall out of the matrix's own diagonal (see the
     * body note) rather than a second pass. The per-hash set is bounded
     * by |sources| — a DIMENSION, not the corpus — so the pair explode
-    * is ≤ |S|² per hash and the matrix at most |S|² rows. No
-    * verbatim-collapse machinery: duplicate docs inside one source
-    * vanish in the (h, source) distinct, and cross-source copies are
-    * precisely the signal.
+    * is ≤ |S|² per hash and the matrix at most |S|² rows.
+    *
+    * Verbatim-dup collapse (r18, same adaptive dispatch as
+    * [[spanStats]]): duplicate docs inside one source vanish in the
+    * (h, source) distinct anyway — but only AFTER paying the window
+    * build for every copy, and mirrored corpora (the operator's use
+    * case) are exactly the dup-heavy ones. Every member of a
+    * (src, content-key) group contributes the identical window set,
+    * so one representative per group yields the identical (h, src)
+    * distinct frame — exact, not approximate — and the corpus is
+    * collapsed to distinct (source, text) pairs before the explode
+    * when the two scalar counts differ. Cross-source copies survive
+    * by construction (the collapse key includes the source).
     */
   def sourceOverlap(docs: DataFrame, source: Column, text: Column,
       n: Int): DataFrame = {
     require(n >= 2, s"window must be >= 2 words, got $n")
-    val base = docs
+    // the dispatch probes duplication on the RAW (source, text) pair —
+    // no normalize pass, so a dup-free corpus pays only a hash-agg scan
+    // (~free next to the window build). Conservative: raw-distinct ≥
+    // normalized-distinct, so a corpus whose only duplicates are
+    // normalize-equal-but-raw-different takes the (always-correct) raw
+    // branch and merely forgoes the collapse.
+    val collapse = !collapseDisabled && {
+      val c = docs.agg(count(lit(1)).as("n"),
+        countDistinct(source, text).as("d")).head()
+      c.getLong(0) != c.getLong(1)
+    }
+    val normed = docs
       .select(source.as("src"), TextAnalysis.normalize(text).as("nt"))
+    val texts =
+      if (collapse)
+        // min picks THE text: group members carry identical nt by the
+        // 128-bit key contract (the repGroups argument)
+        normed
+          .select(col("src"), col("nt"),
+            struct(xxhash64(col("nt")).as("g1"),
+              xxhash64(lit(2L), col("nt")).as("g2")).as("gk"))
+          .groupBy(col("src"), col("gk"))
+          .agg(min(col("nt")).as("nt"))
+      else normed
+    val base = texts
       .select(col("src"), split(col("nt"), " ").as("w"))
       .withColumn("nwl", size(col("w")).cast("long"))
     val wins = windows(base, Seq("src"), col("w"), col("nwl"), n)

@@ -314,24 +314,34 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       (3L, "books", s"$shared totally different ending here now"),
       (4L, "books", "independent books text with enough words to window"),
       (5L, "code", "def main prints hello world and returns zero status"))
-    val got = graft.operators.SpanDedup
-      .sourceOverlap(rows.toDF("doc_id", "source", "text"),
+    def run(c: Seq[(Long, String, String)]) = graft.operators.SpanDedup
+      .sourceOverlap(c.toDF("doc_id", "source", "text"),
         $"source", $"text", n)
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getDouble(5))).toSeq
     // naive: per-source distinct window sets, ordered pairs with overlap
-    val sets = rows.groupBy(_._2).map { case (s2, xs) =>
-      s2 -> xs.flatMap(x => naiveWindows(x._3, n)).toSet }
-    val want = sets.keys.toSeq.sorted.combinations(2).toSeq.collect {
-      case Seq(a, b) if (sets(a) & sets(b)).nonEmpty =>
-        val sh = (sets(a) & sets(b)).size.toLong
-        (a, b, sets(a).size.toLong, sets(b).size.toLong, sh,
-          sh.toDouble / math.min(sets(a).size, sets(b).size))
+    def naive(c: Seq[(Long, String, String)]) = {
+      val sets = c.groupBy(_._2).map { case (s2, xs) =>
+        s2 -> xs.flatMap(x => naiveWindows(x._3, n)).toSet }
+      sets.keys.toSeq.sorted.combinations(2).toSeq.collect {
+        case Seq(a, b) if (sets(a) & sets(b)).nonEmpty =>
+          val sh = (sets(a) & sets(b)).size.toLong
+          (a, b, sets(a).size.toLong, sets(b).size.toLong, sh,
+            sh.toDouble / math.min(sets(a).size, sets(b).size))
+      }
     }
-    assert(got === want)
+    // rows 1-2 are a verbatim (src, text) group, so this corpus takes
+    // the r18 collapse branch (one representative per group windows)
+    val got = run(rows)
+    assert(got === naive(rows))
     // the verbatim in-source dup adds no spans; code shares nothing
     assert(got.map(p => (p._1, p._2)) === Seq(("books", "web")))
+    // dropping the dup makes the corpus (src, text)-distinct, so the
+    // dispatch takes the raw branch — same truth (the spanCensus
+    // both-paths pattern)
+    val free = rows.filterNot(_._1 == 2L)
+    assert(run(free) === naive(free))
   }
 
   test("noveltyStats collapsed path equals the naive first-occurrence " +
