@@ -2972,17 +2972,58 @@ object Queries {
     * corpus_freq_score plan family.
     */
   def lmScore(s: SparkSession, dir: String): DataFrame = {
-    val inst = documents(s, dir)
-      .select(col("doc_id"),
-        split(TextAnalysis.normalize(col("text")), " ").as("w"))
+    val docs = documents(s, dir)
+    // adaptive verbatim-dup dispatch (the span-family discipline;
+    // raw-text probe — no normalize pass — conservative as in
+    // source_overlap): a replicated corpus would otherwise pay the
+    // bigram explode and the instance-count shuffle once per copy for
+    // counts that gsize-weighting recovers exactly. Every member of a
+    // content group has the identical bigram multiset, so c2(x, y) =
+    // Σ_g gsize(g)·cnt_g(x, y), c1 = Σ_y c2, and each member's
+    // (n_bigrams, sum_q) IS its representative's — the members join
+    // replicates exact values. Unlike the span family — whose raw path
+    // explodes stride-1 windows, heavy enough that collapse pays at ANY
+    // duplication — lm_score's raw path is one cheap pass, and the
+    // collapse overhead (a second normalize, the distinct-text shuffle,
+    // the members join) measured ~60% of it, so the dispatch fires only
+    // at duplication factor ≥ 2, where the skipped (1 − d/n) ≥ 1/2 of
+    // the explode+count work clears the overhead and grows with g
+    // (g = 300 measured 30.0 → 6.4 s steady at the 300× dir). Both
+    // branches are exact; the threshold picks performance only.
+    val collapse = {
+      val c = docs.agg(count(lit(1)).as("n"),
+        countDistinct(col("text")).as("d")).head()
+      c.getLong(0) >= 2L * c.getLong(1)
+    }
+    val keyed =
+      if (collapse)
+        docs.select(col("doc_id"),
+            TextAnalysis.normalize(col("text")).as("nt"))
+          .select(col("doc_id"), col("nt"),
+            struct(xxhash64(col("nt")).as("g1"),
+              xxhash64(lit(2L), col("nt")).as("g2")).as("gk"))
+      else null
+    // (id, gsize, w): one row per doc (raw; weight 1) or per distinct
+    // normalized text (collapsed; weight = group size, text rides one
+    // min-combined shuffle — the repGroups discipline)
+    val frame =
+      if (collapse)
+        keyed.groupBy(col("gk"))
+          .agg(count(lit(1)).as("gsize"), min(col("nt")).as("nt"))
+          .select(col("gk").as("id"), col("gsize"),
+            split(col("nt"), " ").as("w"))
+      else
+        docs.select(col("doc_id").as("id"), lit(1L).as("gsize"),
+          split(TextAnalysis.normalize(col("text")), " ").as("w"))
+    val inst = frame
       .where(size(col("w")) >= 2)
-      .select(col("doc_id"),
+      .select(col("id"), col("gsize"),
         explode(transform(sequence(lit(1), size(col("w")) - 1),
           i => struct(element_at(col("w"), i).as("x"),
             element_at(col("w"), i + 1).as("y")))).as("bg"))
-      .select(col("doc_id"), col("bg.x").as("x"), col("bg.y").as("y"))
+      .select(col("id"), col("gsize"), col("bg.x").as("x"), col("bg.y").as("y"))
     // ONE tokenize+explode pass (the oov_rate checkpoint discipline): the
-    // per-(x, y, doc) instance-count table is the Zipf-compact
+    // per-(x, y, id) instance-count table is the Zipf-compact
     // intermediate — the count chains AND the score join read it. The
     // count-then-join shape re-ran the corpus normalize+explode per
     // consumer (THREE full passes: the instance side, the c2 chain, and
@@ -2992,10 +3033,11 @@ object Queries {
     // checkpoints too — at corpus scale that saves a second aggregate
     // pass over dxy. Per-doc sums ride the counts: sum(q·cnt) ≡ the
     // former per-instance sum(q), sum(cnt) ≡ count(1) over instances.
-    val dxy = inst.groupBy(col("x"), col("y"), col("doc_id"))
+    val dxy = inst.groupBy(col("x"), col("y"), col("id"), col("gsize"))
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
-    val c2 = dxy.groupBy(col("x"), col("y")).agg(sum(col("cnt")).as("c2"))
+    val c2 = dxy.groupBy(col("x"), col("y"))
+      .agg(sum(col("gsize") * col("cnt")).as("c2"))
       .localCheckpoint(true)
     val c1 = c2.groupBy(col("x")).agg(sum(col("c2")).as("c1"))
     val probs = c2.join(c1, "x")
@@ -3003,10 +3045,18 @@ object Queries {
         floor(lit(1048576.0) *
           (col("c2").cast("double") / col("c1").cast("double")))
           .cast("long").as("q"))
-    dxy.join(probs, Seq("x", "y"))
-      .groupBy(col("doc_id"))
+    val perId = dxy.join(probs, Seq("x", "y"))
+      .groupBy(col("id"))
       .agg(sum(col("q") * col("cnt")).as("sum_q"),
         sum(col("cnt")).as("n_bigrams"))
+    val perDoc =
+      if (collapse)
+        // inner join: groups under 2 words have no perId row, and their
+        // members must be absent from the output (raw-path contract)
+        keyed.select(col("doc_id"), col("gk").as("id"))
+          .join(perId, "id").drop("id")
+      else perId.withColumnRenamed("id", "doc_id")
+    perDoc
       .select(col("doc_id"), col("n_bigrams"),
         (col("sum_q").cast("double") / col("n_bigrams").cast("double") /
           lit(1048576.0)).as("lm_score"))

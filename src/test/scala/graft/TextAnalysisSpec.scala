@@ -130,6 +130,59 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("lmScore collapsed path equals the naive truth on a verbatim-" +
+      "duplicated corpus (gsize-weighted counts, members rejoined)") {
+    import spark.implicits._
+    // amplify the fixture: every doc appears twice more under new ids
+    // (duplication factor 3 ≥ the dispatch's ≥2 bar), so the dispatch
+    // takes the r18 collapse branch; the naive truth runs over the SAME
+    // rows
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val rows = base ++ base.flatMap { case (d, t) =>
+      Seq((d + 1000000L, t), (d + 2000000L, t)) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_lmdup_")
+    try {
+      // lmScore reads documents(dir) — source/lang are unused by it but
+      // the reader selects them, so carry placeholders
+      rows.toSeq.toDF("doc_id", "text")
+        .withColumn("source", lit("s")).withColumn("lang", lit("en"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      def norm(t: String) =
+        t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+      val inst = rows.toSeq.flatMap { case (d, t) =>
+        val w = norm(t).split(" ", -1).toSeq
+        if (w.length < 2) Nil
+        else w.sliding(2).map(p => (d, p(0), p(1))).toSeq
+      }
+      val c2 = inst.groupBy(i => (i._2, i._3))
+        .map { case (k, v) => k -> v.size.toLong }
+      val c1 = c2.groupBy(_._1._1).map { case (x, m) => x -> m.values.sum }
+      val q = c2.map { case ((x, y), c) =>
+        (x, y) -> math.floor(1048576.0 * (c.toDouble / c1(x).toDouble)).toLong
+      }
+      val want = inst.groupBy(_._1).map { case (d, xs) =>
+        val sq = xs.map(i => q((i._2, i._3))).sum
+        d -> ((xs.size.toLong, sq.toDouble / xs.size / 1048576.0))
+      }
+      val got = Queries.lmScore(spark, dir.toString).collect()
+      assert(got.length === want.size)
+      got.foreach { r =>
+        val d = r.getLong(0)
+        assert(r.getLong(1) === want(d)._1, s"n_bigrams of doc $d")
+        assert(r.getDouble(2) === want(d)._2, s"lm_score of doc $d")
+      }
+      // replicas carry exactly their original's row
+      base.foreach { case (d, _) =>
+        val byId = got.map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2)))).toMap
+        for (rep <- Seq(d + 1000000L, d + 2000000L) if byId.contains(d))
+          assert(byId(rep) === byId(d), s"replica $rep of doc $d")
+      }
+    } finally Queries.rmTree(dir.toFile)
+  }
+
   test("redactPii masks emails, IPv4s, and phone numbers; counts match") {
     val text = "mail a.b+c@ex-1.org or admin@x.io, host 192.168.0.1, " +
       "call +1 555-012-3456; clean text stays."
