@@ -52,7 +52,7 @@ object PlanDump {
       "span_census" -> "span strip-list: same single window-build pass as span_dedup, min(ws) riding the ONE h-exchange (a recovery re-explode would double the dominant build CPU); both agg levels + the >=3-docs threshold on HashPartitioning(h), zero further shuffles; top-k via TakeOrderedAndProject (per-partition heads, no global sort)",
       "domain_mixture" -> "sqrt-temperature mix table: one map-side-combining agg to |sources| rows; normalizing totals as broadcast one-row cross joins; no data-sized shuffle at any corpus size",
       "source_overlap" -> "provenance matrix: verbatim (src, text) dups collapse to one representative BEFORE the window build (adaptive raw-pair dispatch — r18; this dup-free corpus shows the raw branch), then one window build + one h-exchange; per-hash source set DIMENSION-bounded, self-pair explode folds per-source totals into the |S|^2 matrix diagonal (single consumer of the build); checkpointed matrix feeds both outputs, broadcast total joins",
-      "lm_score" -> "bigram-LM fluency: ONE ordered-bigram explode (the per-(x,y,doc) count table checkpoints; both count chains and the score join read it — r18); pair + first-position counts are aggregates of the vocabulary-sized count frame (distributed, never collected); quantized per-TYPE probability joined back on the bigram key; per-doc sums ride the counts — all linear",
+      "lm_score" -> "bigram-LM fluency: ONE ordered-bigram explode (the per-(x,y,id) count table checkpoints; both count chains and the score join read it — r18); verbatim-dup corpora (factor >= 2) collapse to distinct texts first with gsize-weighted counts (this distinct corpus shows the raw branch); pair + first-position counts are aggregates of the vocabulary-sized count frame (distributed, never collected); quantized per-TYPE probability joined back on the bigram key; per-doc sums ride the counts — all linear",
       "containment_pairs" -> "overlap-coefficient pairs: SLIM (blk,id) candidate self-join (shuffled-hash; arrays never ride it) -> hashed sorted arrays re-joined BY ID -> codegen'd merge-walk overlap kernel; strategy-roulette-proof",
       "ann_topk_q8" -> "quantized ANN: int8 codes in a narrow map, broadcast query side, integer-dot scoring, bounded-heap TopKPerKey argmax — corpus never shuffles",
       "profile_table" -> "one-pass profile: single scan -> Expand (multi-distinct) -> one aggregation -> stack unpivot; no per-column re-scan",
