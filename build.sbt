@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench contract (VERDICT r18 task 1): the driver parses the LAST
+// stdout line of `sbt "runMain graft.Bench"` as JSON. With the default
+// LoggedOutput strategy, sbt prefixes every forked-process stdout line
+// with "[info] " — corrupting the JSON — and appends its own
+// "[success] Total time: ..." line after it. StdoutOutput inherits the
+// parent stdout (no prefix); showSuccess := false drops the trailer, so
+// the bench's JSON line is genuinely the last line of stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not by settings/tasks —
+// the unused-key lint false-positives on it and its [warn] block would
+// pollute the stdout the driver parses
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

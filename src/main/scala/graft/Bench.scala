@@ -141,6 +141,25 @@ object Bench {
       .getOrElse(p).stripSuffix("/")
   }
 
+  /** The "cpus" field of a committed BENCH_full.json line (r19: the
+    * cross-CPU clobber guard — the r18 driver's 8-core scaling sweep
+    * passed the sentinel, because sf0.1 cold medians are JVM-warmth-
+    * bound and barely move with core count, and silently overwrote the
+    * committed 32-core line). Absent on pre-r19 artifacts → None, which
+    * the caller treats as "unknown: compare, don't divert" so one
+    * legacy artifact can't wedge the protocol.
+    */
+  private[graft] def parseCpus(line: String): Option[Int] =
+    raw""""cpus":(\d+)""".r.findFirstMatchIn(line).map(_.group(1).toInt)
+
+  /** Cross-CPU divert decision (pure; unit-tested): a full sweep whose
+    * core count differs from the committed artifact's routes to the
+    * partial file — its in-run totals and task-wave shapes are not
+    * comparable, even when warmth-bound cold medians fool the sentinel.
+    */
+  private[graft] def cpusMismatch(committed: Option[Int], now: Int): Boolean =
+    committed.exists(_ != now)
+
   /** queries_cold map of a committed BENCH_full.json line (flat
     * "name":seconds pairs) — tolerant regex extraction, no JSON dep.
     */
@@ -261,11 +280,15 @@ object Bench {
           .foreach(_.unpersist(blocking = true))
       }
       val fn = SparkEntry.queries(name)
+      // guide §1.5: label the jobs so event-log/UI forensics map cleanly
+      // back to the query being timed
+      spark.sparkContext.setJobDescription(s"bench: $name")
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
+      finally spark.sparkContext.setJobDescription(null)
       val dt = (System.nanoTime() - t0) / 1e9
       // the timed DataFrame is dead after the noop write: drop the
       // harness temp dirs it queued so reps don't stack landing trees
@@ -378,8 +401,12 @@ object Bench {
     // step silently clobbering the round's sf0.1 line
     val committedSf = committedRaw.flatMap(parseSf)
     val dirMismatch = committedSf.exists(normPath(_) != normPath(sfDir))
+    // cross-CPU guard (r19): a sweep at a different core count than the
+    // committed artifact's never compares against it (sentinel +
+    // envelope union skipped) and never overwrites it (routing below)
+    val cpuMismatch = cpusMismatch(committedRaw.flatMap(parseCpus), cpus)
     val committedLine =
-      if (dirMismatch || cold.isEmpty) None else committedRaw
+      if (dirMismatch || cpuMismatch || cold.isEmpty) None else committedRaw
     val committedCold =
       committedLine.map(parseColdMap).getOrElse(Map.empty)
     val sentinelRatios = names
@@ -455,29 +482,34 @@ object Bench {
       val med = if (rs.isEmpty) 1.0 else median(rs)
       s""","sentinel":{"loadavg_pre":$loadavgPre,"vs_committed_median":${jnum(med)},"compared":${rs.length},"contended":$contended,"regression_suspect":$regressionSuspect}"""
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(inRun)}$coldPart$spreadPart$forkPart$classPart$sentinelPart,"sf":"$sfDir"}"""
-    println(line)
-    // routing decided BEFORE the compact line so its artifact pointer is
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(inRun)}$coldPart$spreadPart$forkPart$classPart$sentinelPart,"cpus":$cpus,"sf":"$sfDir"}"""
+    // routing decided BEFORE the stdout line so its artifact pointer is
     // the file this sweep actually writes (a contended/partial sweep
     // must not point readers at a stale BENCH_full.json)
     val target = fullOutputTarget(sys.env.get("SPARK_GRAFT_BENCH_FULL"),
-      isPartial = only.isDefined || dirMismatch, contended = contended)
-    // the driver's BENCH_rN.json keeps only the TAIL of stdout, and the
-    // full line above has outgrown it (r17's driver artifact recorded
-    // parsed:null) — so the LAST stdout line is a compact summary the
-    // tail always contains whole: totals, per-class subtotals, sentinel,
-    // and a queries map restricted to the flagship set (the driver's
-    // schema wants a queries key; 17 rows keep the line a few hundred
-    // bytes). Cold medians are the diffable column of record; a sweep
-    // with the cold pass disabled falls back to in-run values rather
-    // than committing an empty map and a zero total.
-    val flagshipOf = (rs: Seq[(String, Double)]) => rs.filter {
-      case (n, _) => ScaleSmoke.flagshipSet.contains(n) }
-    val compactQueries =
-      if (cold.nonEmpty) flagshipOf(cold) else flagshipOf(inRun)
+      isPartial = only.isDefined || dirMismatch || cpuMismatch,
+      contended = contended)
+    // The driver's bench parse wants the LAST stdout line to be ONE JSON
+    // object whose "queries" map carries a scalar per EVERY timed query
+    // (VERDICT r18 task 1 — neither the r17 fat line, which outgrew the
+    // driver's stdout tail, nor the r18 flagship-subset compact line
+    // satisfied it; PERF_r18 recorded now_bench_ok:false both rounds).
+    // So: the fat line (envelopes/fork/minmax/class/sentinel) goes ONLY
+    // to the artifact file below, and stdout gets exactly one JSON line —
+    // every timed query at 2 decimals (cold median, the diffable column
+    // of record; in-run fallback when the cold pass is disabled, rather
+    // than an empty map), totals, cpus, the artifact pointer, sf.
+    // build.sbt pairs this with outputStrategy := StdoutOutput (no sbt
+    // "[info] " prefix corrupting the line) and showSuccess := false (no
+    // trailing "[success] Total time" after it).
+    val compactQueries = if (cold.nonEmpty) cold else inRun
     val compactCold =
-      if (cold.nonEmpty) s""","total_cold":${cold.map(_._2).sum}""" else ""
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(compactQueries)}$classPart$sentinelPart$compactCold,"full_artifact":"$target","sf":"$sfDir"}"""
+      if (cold.nonEmpty) s""","total_cold":${jnum(cold.map(_._2).sum, 2)}"""
+      else ""
+    def json2(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + jnum(v, 2) }
+        .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","queries":${json2(compactQueries)}$compactCold,"cpus":$cpus,"full_artifact":"$target","sf":"$sfDir"}"""
     println(compact)
     // the driver's BENCH_rN.json keeps only the tail of stdout, which
     // truncates the per-query map past ~70 queries — persist the FULL
@@ -492,6 +524,11 @@ object Bench {
           s"explicit SPARK_GRAFT_BENCH_FULL override in effect, writing " +
             s"$target (cross-scale compares still skipped)"
         else s"writing $target, NOT BENCH_full.json"))
+    if (cpuMismatch) System.err.println(
+      s"[bench] cpus mismatch: committed artifact ran " +
+        s"${committedRaw.flatMap(parseCpus).getOrElse(-1)} cores, this " +
+        s"sweep ran $cpus — writing $target, NOT BENCH_full.json " +
+        s"(cross-CPU compares skipped)")
     if (contended) System.err.println(
       s"[bench] contention guard tripped (loadavg_pre=$loadavgPre, " +
         s"pure-class cold medians vs committed artifact inflated) — " +

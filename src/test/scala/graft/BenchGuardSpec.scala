@@ -29,6 +29,24 @@ class BenchGuardSpec extends AnyFunSuite {
       contended = true) == "BENCH_full.contended.json")
   }
 
+  test("cross-CPU sweep is diverted off the committed artifact (r19)") {
+    val line = """{"metric":"total","value":1.5,"queries":{"a":1.0},""" +
+      """"cpus":32,"sf":"/root/testdata/sf0.1"}"""
+    assert(Bench.parseCpus(line).contains(32))
+    // a pre-r19 artifact has no cpus field: unknown → never diverts
+    assert(Bench.parseCpus("""{"metric":"total","value":1.5}""").isEmpty)
+    assert(!Bench.cpusMismatch(None, 8))
+    // the r18 failure mode: driver's 8-core scaling sweep vs the
+    // committed 32-core line → divert (and routing lands it in the
+    // partial file via isPartial)
+    assert(Bench.cpusMismatch(Some(32), 8))
+    assert(Bench.fullOutputTarget(None,
+      isPartial = Bench.cpusMismatch(Some(32), 8),
+      contended = false) == "BENCH_full.partial.json")
+    // same core count → the round's real sweep still commits
+    assert(!Bench.cpusMismatch(Some(32), 32))
+  }
+
   test("parseSf extracts the committed sweep's sf dir") {
     val line = """{"metric":"total","value":1.5,"queries":{"a":1.0},""" +
       """"sf":"/root/testdata/sf0.1"}"""
