@@ -78,6 +78,46 @@ object SpanDedup {
   private def collapseDisabled: Boolean =
     sys.env.get("SPARK_GRAFT_SPAN_NO_COLLAPSE").exists(_.trim == "1")
 
+  /** Dispatch probe verdict from (row count, APPROXIMATE distinct count):
+    * collapse when the measured duplication factor clears `margin`.
+    *
+    * r19 (VERDICT r18 task 5): the probes used EXACT countDistinct — on a
+    * dup-free 100 TB corpus that is a full distinct-key shuffle (for
+    * source_overlap/lm_score, a shuffle of the raw TEXT) spent only to
+    * decide a branch. Both branches are exact, so the threshold selects
+    * performance only and an approximate count decides just as well:
+    * HLL++ partials (rsd 0.02 → ~2.7k registers, a few KB per task)
+    * merge into one sketch — no Expand, no distinct exchange, map-side
+    * only. The margin absorbs the estimator error: an exact `n == d̂`
+    * test would misroute EVERY dup-free corpus (d̂ ≈ n ± 2% virtually
+    * never equals n), so collapse fires at duplication ≥ margin, where
+    * margin sits ≥ 5σ above the rsd. Corpora in the gray zone (true
+    * duplication within ~rsd of the margin) may take either branch —
+    * both exact, and at ≤ ~margin× duplication the two branches' costs
+    * are within the margin of each other by construction.
+    */
+  private[graft] def collapseWorthIt(n: Long, dApprox: Long,
+      margin: Double): Boolean = n >= margin * dApprox
+
+  /** HLL++ relative standard deviation for every dispatch probe. */
+  private[graft] val probeRsd = 0.02
+
+  /** One stderr line per dispatch decision, so any run (oracle verify,
+    * bench, decade probe) records WHICH branch executed — the collapse
+    * arms fire only on dup-heavy corpora, and without the log a green
+    * verify can't prove it exercised them (VERDICT r18 task 4).
+    */
+  private[graft] def logDispatch(op: String, collapse: Boolean, n: Long,
+      dApprox: Long): Unit =
+    System.err.println(s"[span-dispatch] $op: " +
+      (if (collapse) "collapse" else "raw") + s" (n=$n, d~=$dApprox)")
+
+  /** Span-family margin: the collapse pays at ANY real duplication (the
+    * raw path explodes stride-1 windows per copy), so the margin is just
+    * the estimator-noise floor (5σ of rsd 0.02).
+    */
+  private[graft] val spanMargin = 1.1
+
   /** (key, h) window-instance frame: one row per rolling `n`-word window
     * of `words`, keyed by whatever identity column the caller groups on
     * (doc_id on the raw path, the content-group key on the collapsed
@@ -167,10 +207,17 @@ object SpanDedup {
       // adaptive: a corpus with no verbatim dups needs no collapse — two
       // scalar counts on the slim cached key frame decide (the runtime-
       // statistic dispatch of Dedup.overTextGroups), and the dup-free
-      // path skips the group machinery entirely
+      // path skips the group machinery entirely. The distinct count is
+      // APPROXIMATE (see collapseWorthIt): sketches ride the one scalar
+      // agg, no distinct-key exchange — xxhash64 folds the 128-bit key
+      // struct to the sketch input (never NULL, so the probe's n and d̂
+      // count the same rows)
       val counts = members.agg(count(lit(1)).as("n"),
-        countDistinct(col("gk")).as("d")).head()
-      if (counts.getLong(0) == counts.getLong(1)) return rawSpanStats(k, n)
+        approx_count_distinct(xxhash64(col("gk")), probeRsd).as("d")).head()
+      val worth = collapseWorthIt(counts.getLong(0), counts.getLong(1),
+        spanMargin)
+      logDispatch("span_stats", worth, counts.getLong(0), counts.getLong(1))
+      if (!worth) return rawSpanStats(k, n)
       val reps = repGroups(k)
       val winsG = windows(reps, Seq("gk"), col("w"), col("nwl"), n)
       // same single-pass window shape as rawSpanStats (one consumer, one
@@ -267,9 +314,14 @@ object SpanDedup {
     if (collapseDisabled) return rawNoveltyStats(k, n)
     val members = k.select(col("doc_id"), col("gk")).cache()
     try {
+      // approximate probe — see spanStats / collapseWorthIt
       val counts = members.agg(count(lit(1)).as("n"),
-        countDistinct(col("gk")).as("d")).head()
-      if (counts.getLong(0) == counts.getLong(1)) return rawNoveltyStats(k, n)
+        approx_count_distinct(xxhash64(col("gk")), probeRsd).as("d")).head()
+      val worth = collapseWorthIt(counts.getLong(0), counts.getLong(1),
+        spanMargin)
+      logDispatch("novelty_stats", worth, counts.getLong(0),
+        counts.getLong(1))
+      if (!worth) return rawNoveltyStats(k, n)
       val reps = repGroups(k)
       val winsG = windows(reps, Seq("gk", "min_doc"), col("w"), col("nwl"), n)
       // single-pass window shape (see rawSpanStats): first_doc(h) as a
@@ -336,9 +388,12 @@ object SpanDedup {
     require(k >= 1, s"census cut must keep >= 1 row, got $k")
     val kk = keyed(docs, id, text)
     val useRaw = collapseDisabled || {
+      // approximate probe — see spanStats / collapseWorthIt
       val c = kk.agg(count(lit(1)).as("n"),
-        countDistinct(col("gk")).as("d")).head()
-      c.getLong(0) == c.getLong(1)
+        approx_count_distinct(xxhash64(col("gk")), probeRsd).as("d")).head()
+      val worth = collapseWorthIt(c.getLong(0), c.getLong(1), spanMargin)
+      logDispatch("span_census", worth, c.getLong(0), c.getLong(1))
+      !worth
     }
     // (src, weight, w, nwl): one row per doc (raw; weight 1) or per
     // distinct text (collapsed; weight = group size). src is doc_id on
@@ -406,11 +461,20 @@ object SpanDedup {
     // (~free next to the window build). Conservative: raw-distinct ≥
     // normalized-distinct, so a corpus whose only duplicates are
     // normalize-equal-but-raw-different takes the (always-correct) raw
-    // branch and merely forgoes the collapse.
+    // branch and merely forgoes the collapse. The distinct count is
+    // APPROXIMATE (collapseWorthIt): the exact probe shuffled the full
+    // distinct (source, text) pairs — the raw TEXT bytes — just to pick
+    // a branch; HLL++ over xxhash64(source, text) keeps the probe
+    // map-side (sketches only), and the hash never returns NULL, so a
+    // NULL text/source row counts in both n and d̂ instead of silently
+    // inflating the measured duplication (ADVICE r18).
     val collapse = !collapseDisabled && {
       val c = docs.agg(count(lit(1)).as("n"),
-        countDistinct(source, text).as("d")).head()
-      c.getLong(0) != c.getLong(1)
+        approx_count_distinct(xxhash64(source, text), probeRsd).as("d"))
+        .head()
+      val worth = collapseWorthIt(c.getLong(0), c.getLong(1), spanMargin)
+      logDispatch("source_overlap", worth, c.getLong(0), c.getLong(1))
+      worth
     }
     val normed = docs
       .select(source.as("src"), TextAnalysis.normalize(text).as("nt"))
