@@ -48,7 +48,37 @@ object ProbePlans {
       "lm_score_probe_after" ->
         docs.agg(count(lit(1)).as("n"),
           approx_count_distinct(xxhash64(col("text")),
-            SpanDedup.probeRsd).as("d")))
+            SpanDedup.probeRsd).as("d")),
+      // the dedup text-group collapse dispatch (overTextGroups /
+      // edgesOverTextGroups — dedup_stats, containment_stats, the
+      // clusters family): BEFORE probed the exact distinct of the
+      // md5-fingerprint key (a normalize+md5 pass + cache + distinct
+      // exchange); AFTER probes raw (text, blk) through one xxhash64
+      // scan + HLL merge
+      "dedup_stats_probe_before" -> {
+        val m = docs.select(TextAnalysis.fingerprint(col("text")).as("gk"))
+        m.agg(count(lit(1)).as("n"), countDistinct(col("gk")).as("d"))
+      },
+      "dedup_stats_probe_after" ->
+        docs.agg(count(lit(1)).as("n"),
+          approx_count_distinct(xxhash64(col("text")),
+            SpanDedup.probeRsd).as("d")),
+      // the vector-group collapse dispatch (overVectorGroups /
+      // lshCosineEdges — the embedding dedup family): BEFORE the exact
+      // distinct's key was the EMBEDDING VECTOR itself, so the probe
+      // exchange carried the full vectors; AFTER only HLL registers move
+      "dedup_embedding_probe_before" -> {
+        val v = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id").as("id"), col("embedding").as("v"))
+        v.agg(count(lit(1)).as("n"), countDistinct(col("v")).as("d"))
+      },
+      "dedup_embedding_probe_after" -> {
+        val v = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id").as("id"), col("embedding").as("v"))
+        v.agg(count(lit(1)).as("n"),
+          approx_count_distinct(xxhash64(col("v")),
+            SpanDedup.probeRsd).as("d"))
+      })
     shapes.foreach { case (name, df) =>
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(outDir, s"$name.txt"),

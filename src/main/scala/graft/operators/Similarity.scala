@@ -70,12 +70,23 @@ object Similarity {
     // cached for this call only: the counts probe, the group/rep joins and
     // the member expansion read it; the eager localCheckpoint below runs
     // them all before the finally-unpersist releases the memory
+    // r19 (the span-family probe fix): the exact countDistinct here
+    // shuffled the FULL VECTORS (the distinct key is the embedding
+    // itself) just to pick a branch on every dup-free corpus; the
+    // approximate probe hashes each vector in the scan task and merges
+    // HLL sketches — no vector exchange, no cache materialization on
+    // the raw branch. Both branches are exact; the margin only selects
+    // performance (SpanDedup.collapseWorthIt).
+    val pc = v.agg(count(lit(1)).as("n"),
+      approx_count_distinct(xxhash64(col("v")),
+        SpanDedup.probeRsd).as("d")).head()
+    val collapse = SpanDedup.collapseWorthIt(pc.getLong(0), pc.getLong(1),
+      SpanDedup.spanMargin)
+    SpanDedup.logDispatch("vector_groups", collapse, pc.getLong(0),
+      pc.getLong(1))
+    if (!collapse) return pairsOfReps(v)
     val members = v.select(col("v").as("gk"), col("id")).cache()
     try {
-      val counts = members.agg(count(lit(1)).as("n"),
-        countDistinct(col("gk")).as("d")).head()
-      if (counts.getLong(0) == counts.getLong(1))
-        return pairsOfReps(v)
       val groups = members.groupBy(col("gk")).agg(min(col("id")).as("rid"))
       val reps = v.join(groups.select(col("rid").as("id")), "id")
       val repPairs = pairsOfReps(reps.select(col("id"), col("v")))
@@ -192,13 +203,20 @@ object Similarity {
       threshold: Double, nPlanes: Int = 6, tables: Int = 128,
       dims: Int = 64): DataFrame = {
     val v0 = vectors.select(id.as("id"), vec.as("v"))
+    // approximate raw-key probe — see overVectorGroups (r19): no vector
+    // exchange, no cache on the duplicate-free branch
+    val pc = v0.agg(count(lit(1)).as("n"),
+      approx_count_distinct(xxhash64(col("v")),
+        SpanDedup.probeRsd).as("d")).head()
+    val collapse = SpanDedup.collapseWorthIt(pc.getLong(0), pc.getLong(1),
+      SpanDedup.spanMargin)
+    SpanDedup.logDispatch("lsh_cosine_edges", collapse, pc.getLong(0),
+      pc.getLong(1))
+    if (!collapse)
+      return lshCosinePairsRaw(v0, threshold, nPlanes, tables, dims)
+        .select(col("id_a"), col("id_b"))
     val members = v0.select(col("v").as("gk"), col("id")).cache()
     try {
-      val counts = members.agg(count(lit(1)).as("n"),
-        countDistinct(col("gk")).as("d")).head()
-      if (counts.getLong(0) == counts.getLong(1))
-        return lshCosinePairsRaw(v0, threshold, nPlanes, tables, dims)
-          .select(col("id_a"), col("id_b"))
       val groups = members.groupBy(col("gk")).agg(min(col("id")).as("rid"))
       val reps = v0.join(groups.select(col("rid").as("id")), "id")
       val repPairs = lshCosinePairsRaw(reps, threshold, nPlanes, tables,
