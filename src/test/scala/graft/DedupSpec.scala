@@ -394,6 +394,21 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(dist === want)
   }
 
+  test("clusters: distributed pointer-doubling closes a 40-node chain " +
+    "within the default round budget") {
+    // r19: plain min-label propagation moves the min one hop per round,
+    // so a diameter-39 chain under the default maxIter=10 would stop
+    // UNCONVERGED with wrong far-end roots; the pointer-doubling
+    // shortcut (root' = root(root)) covers 2^k hops after k rounds and
+    // must close the whole chain to the global min
+    val n = 40L
+    val ids = (1L to n).toSeq.toDF("id")
+    val pairs = (1L until n).map(i => (i, i + 1L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(ids, pairs, driverEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1L to n).map(_ -> 1L).toMap)
+  }
+
   test("clusters: Long.MinValue id works on both strategy paths") {
     // Long.MinValue doubles as the driver table's empty sentinel — the r5
     // advice case: it must behave like any other id (and, being the global
