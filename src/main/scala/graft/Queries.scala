@@ -2936,7 +2936,13 @@ object Queries {
     // consumer (two full corpus passes of the dominant regex kernel;
     // plans/r18/corpus_freq_score_before.txt), and at sf0.001 sizes the
     // planner even broadcast the INSTANCE side of the join — an estimate
-    // artifact this shape removes.
+    // artifact this shape removes. Single-node assumption (ADVICE r18,
+    // the quality_bands caveat): localCheckpoint truncates lineage, so
+    // on a multi-executor cluster an executor loss fails the query
+    // instead of recomputing — swap for cache()/reliable checkpoint in
+    // a clustered deployment. Same caveat for every eager
+    // localCheckpoint intermediate in this family (lm_score's dxy/c2,
+    // line_dedup's line frame).
     val bi = documents(s, dir).select(col("doc_id"),
       explode(Dedup.shingles(col("text"), 2)).as("bg"))
       .localCheckpoint(true)
@@ -3007,6 +3013,13 @@ object Queries {
         c.getLong(1))
       worth
     }
+    // gk is the span family's 128-bit content-key contract (ADVICE r18:
+    // stated here explicitly, not just by inheritance): two
+    // constant-first-seeded xxhash64 halves behave as independent 64-bit
+    // hashes, so two distinct texts merging is P ≈ n²/2¹²⁹ — ~5e-27 at a
+    // billion distinct texts — the same collision budget the md5-keyed
+    // oracle replay accepts. A merge would score both docs from one
+    // text; the probability is the contract.
     val keyed =
       if (collapse)
         docs.select(col("doc_id"),

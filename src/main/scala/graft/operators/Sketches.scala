@@ -102,6 +102,12 @@ object Sketches {
     val candidates = summaries.map(_._1)
       .foldLeft(mutable.Map.empty[String, Long])(mergeSummaries(_, _, k))
       .keys.toSeq.sorted
+    // nTotal is SNAPSHOTTED at call time (ADVICE r18): the MG summary
+    // collect already counted every partition's rows, so the total rides
+    // as a literal instead of a crossJoin(agg(count)) re-tokenize. The
+    // returned frame's cnt re-derives from the source at execution, so
+    // the call-time snapshot assumes immutable input — the engine's
+    // parquet contract; a mutable-source caller must re-invoke.
     val nTotal = summaries.map(_._2).sum
     // pass 2: candidate filter BEFORE the aggregation — the recount's
     // key space is ≤ k-1, never the item cardinality (InSet, codegen'd)

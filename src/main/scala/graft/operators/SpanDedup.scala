@@ -481,7 +481,9 @@ object SpanDedup {
     val texts =
       if (collapse)
         // min picks THE text: group members carry identical nt by the
-        // 128-bit key contract (the repGroups argument)
+        // 128-bit key contract (the repGroups argument; collision
+        // P ≈ n²/2¹²⁹ — the explicit budget note lives at lmScore's
+        // keyed frame, ADVICE r18)
         normed
           .select(col("src"), col("nt"),
             struct(xxhash64(col("nt")).as("g1"),
